@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of all operator modules; every entry with a
+  * DuckDB-expressible semantics also appears in `oracleSql` with IDENTICAL
+  * output column names and a canonical ORDER BY (the driver's compare
+  * sorts columns by name, then hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Customer analytics (SURVEY.md §7.2) — scan, broadcast join, hash agg,
+    * distinct agg, conditional sums, derived metrics, canonical sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.Core.aggCustomer(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Core.queries ++
+      graft.queries.Joins.queries ++
+      graft.queries.Windows.queries ++
+      graft.queries.SetOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Core.oracles ++
+      graft.queries.Joins.oracles ++
+      graft.queries.Windows.oracles ++
+      graft.queries.SetOps.oracles
 }

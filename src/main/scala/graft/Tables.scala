@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's scan surface (SURVEY.md §2.1): the reference
+  * reads CSV/parquet paths into DataFrames (generate-asset.scala:38-40);
+  * here every table is a parquet directory under the scale-factor dir.
+  * Plain `spark.read.parquet` keeps the scan declarative so Catalyst can
+  * push filters/projections into the vectorized parquet reader.
+  */
+object Tables {
+  final val AsOf = "2002-01-01" // frozen `as_of` replacing current_date (SURVEY.md §7.5.2)
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads only as a
+    * raw nanosecond Long (spark.sql.legacy.parquet.nanosAsLong — set in
+    * Verify/Bench/test sessions). Truncating DIV 1000 to micros matches
+    * DuckDB's ns→µs truncation, so oracle timestamps agree. Integer DIV,
+    * not `/`: ns epoch values (~1.7e18) exceed double's 2^53 mantissa.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

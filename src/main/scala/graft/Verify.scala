@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Classic (non-ANSI) semantics so double/0 → NULL etc. matches the
+      // DuckDB oracle (Spark 4.x flips the default to ANSI-on).
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as Long (Tables.events
+      // converts to micros, matching DuckDB's truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

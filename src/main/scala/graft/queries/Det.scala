@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic numerics shared by every verified query and its DuckDB
+  * oracle twin (SURVEY.md §7.5.6).
+  *
+  * Two failure modes make naive `round(sum(double), 2)` hash-unstable
+  * across engines:
+  *
+  *   1. Summation order: IEEE double addition is not associative, and
+  *      Spark's parallel partial sums vs DuckDB's (and DuckDB's window
+  *      segment trees vs Spark's sequential frames) can differ in the
+  *      last ulp — which `round` then amplifies to a 0.01 flip near a
+  *      .005 boundary.
+  *   2. Rounding rule: Spark `round` is exact-decimal HALF_UP while
+  *      DuckDB rounds via scaled-double arithmetic; they disagree on
+  *      boundary values even for bit-identical inputs.
+  *
+  * Fixes, applied as a calling convention on BOTH sides:
+  *   - Sums aggregate in DECIMAL(28,8) (exact, associative, order-free),
+  *     then cast to double (correctly rounded, engine-identical).
+  *   - Averages are exact-decimal sums divided by counts in double — one
+  *     IEEE division, identical everywhere.
+  *   - Rounding is `floor(x * 1eS + 0.5) / 1eS`: only IEEE double ops,
+  *     so both engines compute the same bits (ties resolve toward +inf,
+  *     consistently). The +0.5 absorbs half-ulp scaling error.
+  */
+object Det {
+  private val DecT = "decimal(28,8)"
+
+  private def p10(s: Int): Double = math.pow(10.0, s)
+
+  /** floor-based round: bit-identical across engines for identical x. */
+  def r(c: Column, s: Int): Column = floor(c * lit(p10(s)) + lit(0.5)) / lit(p10(s))
+  def r2(c: Column): Column = r(c, 2)
+  def r4(c: Column): Column = r(c, 4)
+  def r6(c: Column): Column = r(c, 6)
+
+  /** Order-independent sum: exact decimal accumulation → double. */
+  def dsum(c: Column): Column = sum(c.cast(DecT)).cast("double")
+
+  /** Order-independent avg: exact decimal sum / non-null count. */
+  def davg(c: Column): Column = dsum(c) / count(c).cast("double")
+
+  /** Windowed variants (DuckDB computes window sums via segment trees —
+    * a different addition order than Spark's frames; decimal is exact
+    * under any order).
+    */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(DecT)).over(w).cast("double")
+  def davgOver(c: Column, w: WindowSpec): Column =
+    dsumOver(c, w) / count(c).over(w).cast("double")
+
+  // ---- DuckDB SQL twins (same ops, same order) ----
+  def sqlR(e: String, s: Int): String = s"floor(($e) * 1e$s + 0.5) / 1e$s"
+  def sqlR2(e: String): String = sqlR(e, 2)
+  def sqlR4(e: String): String = sqlR(e, 4)
+  def sqlR6(e: String): String = sqlR(e, 6)
+  def sqlDsum(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(28,8))) AS DOUBLE)"
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / CAST(count($e) AS DOUBLE))"
+  def sqlDsumOver(e: String, w: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,8))) OVER $w AS DOUBLE)"
+  def sqlDavgOver(e: String, w: String): String =
+    s"(${sqlDsumOver(e, w)} / CAST(count($e) OVER $w AS DOUBLE))"
+}
