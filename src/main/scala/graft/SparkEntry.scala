@@ -23,7 +23,9 @@ object SparkEntry {
     graft.queries.Core.queries ++
       graft.queries.Joins.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.SetOps.queries
+      graft.queries.SetOps.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +34,7 @@ object SparkEntry {
     graft.queries.Core.oracles ++
       graft.queries.Joins.oracles ++
       graft.queries.Windows.oracles ++
-      graft.queries.SetOps.oracles
+      graft.queries.SetOps.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.Dedup.oracles
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` — the core corpus-cleaning
+  * family for a training-data pipeline: exact (hash groupBy), MinHash+LSH
+  * (shingle → signature → band → bucket-join), SimHash (bit-majority
+  * fingerprint + banded Hamming search), and exact n-gram Jaccard
+  * (inverted-index blocking) as the ground truth the approximate methods
+  * are measured against.
+  *
+  * Cross-engine determinism: every hash is md5 (identical in Spark and
+  * DuckDB); MinHash takes the lexicographic MIN over md5 hex strings —
+  * uniform over the 128-bit space, no integer-conversion divergence.
+  *
+  * Scale shape (100 TB): every stage is a per-row map or a bucketed
+  * equi-join on a hash key — no O(n²) pair enumeration. Candidate pairs
+  * are generated only inside LSH buckets (band collision) or inverted
+  * shingle postings; skewed super-frequent shingles would be capped by
+  * document frequency in a production run (see PLAN.md).
+  */
+object Dedup {
+  import Tables._
+  import Det._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id + distinct 3-token shingles (guarded for docs shorter than one
+    * shingle — Spark's sequence(1,0) would count DOWN, not empty).
+    */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
+          |                                i -> concat_ws(' ', slice(toks, i, 3))))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+
+  private val duckShingles: String =
+    """SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                 for i in generate_series(1, len(toks) - 2)]) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  /** Exact dedup: hash-group on the normalized content hash (sorted
+    * distinct tokens — catches permuted duplicates too). Window over the
+    * hash gives group size and the canonical (min-id) representative; at
+    * scale this is one shuffle keyed on the hash, perfectly partitionable.
+    */
+  val dedupExact: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("norm_hash", md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("norm_hash"))).cast("long"))
+      .withColumn("canonical_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("norm_hash"))))
+      .select(col("doc_id"), col("norm_hash"), col("group_size"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS norm_hash
+      |  FROM documents)
+      |SELECT doc_id, norm_hash,
+      |  CAST(count(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS group_size,
+      |  min(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS is_duplicate
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** MinHash + LSH near-dup: 12 min-md5 signature values over 3-token
+    * shingles, banded 4×3; pairs colliding in ≥1 band are candidates,
+    * verified with exact Jaccard ≥ 0.8. For J=0.98 planted dups the
+    * per-band hit probability is J³≈0.94, any-band ≈ 1-(1-J³)⁴ ≈ 1.0.
+    * Candidates only ever form inside buckets — linear + bucket-join.
+    */
+  val dedupMinHash: Q = (spark, dir) => {
+    val sh = withShingles(documents(spark, dir)).select(col("doc_id"), col("shingles"))
+    val sig = sh
+      .withColumn("sig", expr(
+        "transform(sequence(0, 11), j -> array_min(transform(shingles, s -> md5(concat(CAST(j AS STRING), ':', s)))))"))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"))
+    val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band"))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("da"), col("shingles").as("shingles_a"))
+    val sb = sh.select(col("doc_id").as("db"), col("shingles").as("shingles_b"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("inter", expr("CAST(size(array_intersect(shingles_a, shingles_b)) AS DOUBLE)"))
+      .withColumn("jac_raw", col("inter") /
+        (size(col("shingles_a")) + size(col("shingles_b")) - col("inter")))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), r6(col("jac_raw")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinHashSql: String =
+    s"""WITH sh AS ($duckShingles),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    [list_aggregate(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')
+       |     for j in generate_series(0, 11)] AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id,
+       |    unnest([md5(CAST(k AS VARCHAR) || '|' || sig[3*k+1] || '|' || sig[3*k+2] || '|' || sig[3*k+3])
+       |            for k in generate_series(0, 3)]) AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter,
+       |    len(x.shingles) AS na, len(y.shingles) AS nb
+       |  FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  ${sqlR6("inter / (na + nb - inter)")} AS jaccard
+       |FROM v WHERE inter / (na + nb - inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard with inverted-index blocking: explode shingles,
+    * self-join postings (only docs sharing a shingle ever pair), count
+    * shared, compute exact Jaccard ≥ 0.8 — the ground truth for MinHash
+    * recall. Same pair set as q_dedup_minhash ⟺ LSH recall is 100%.
+    */
+  val dedupNgram: Q = (spark, dir) => {
+    val sh = withShingles(documents(spark, dir))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).cast("double").as("shared"))
+      .withColumn("jac_raw", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("shared").cast("long").as("shared_shingles"), r6(col("jac_raw")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramSql: String =
+    s"""WITH sh AS ($duckShingles),
+       |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb,
+       |    CAST(count(*) AS DOUBLE) AS shared
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(shared AS BIGINT) AS shared_shingles,
+       |  ${sqlR6("shared / (na + nb - shared)")} AS jaccard
+       |FROM p WHERE shared / (na + nb - shared) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup: 32-bit bit-majority fingerprint over 3-token
+    * SHINGLE md5s (tokens alone don't discriminate — every doc shares most
+    * of the small vocabulary, shingle sets are ~5% Jaccard for random
+    * pairs); candidate pairs share ≥1 of 4 byte-bands (pigeonhole: any
+    * pair with Hamming ≤ 3 must agree on a full byte); verified Hamming ≤ 3.
+    */
+  val dedupSimHash: Q = (spark, dir) => {
+    val fp = withShingles(documents(spark, dir))
+      .withColumn("md5s", expr("transform(shingles, s -> md5(s))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc +
+          |  IF(aggregate(md5s, CAST(0 AS BIGINT), (a2, h) ->
+          |       a2 + IF(instr('0123456789abcdef', substr(h, i, 1)) >= 9,
+          |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+          |     shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS band_idx, shiftright(simhash, k*8) & 255 AS byte_val))")).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.byte_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.byte_val") === col("b.byte_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(simhash_a ^ simhash_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("simhash_a"), col("simhash_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimHashSql: String =
+    s"""WITH sh AS ($duckShingles),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN list_sum([CASE WHEN instr('0123456789abcdef', substr(h, i, 1)) >= 9
+      |                                            THEN 1 ELSE -1 END
+      |                                       for h in md5s]) > 0
+      |                        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END
+      |                   for i in generate_series(1, 32)]) AS BIGINT) AS simhash
+      |  FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS md5s
+      |        FROM sh)),
+      |banded AS (
+      |  SELECT doc_id, simhash, k AS band_idx, (simhash >> (k*8)) & 255 AS byte_val
+      |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS k)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS simhash_a, b.simhash AS simhash_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, simhash_a, simhash_b,
+      |  CAST(bit_count(xor(simhash_a, simhash_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinHash,
+    "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_simhash" -> dedupSimHash
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinHashSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_simhash" -> dedupSimHashSql
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder brief): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * All computations are codegen-friendly built-in expressions (split /
+  * higher-order array functions / md5) — no UDFs, so the whole pipeline
+  * stays inside WholeStageCodegen and scales embarrassingly parallel
+  * (per-row map over the corpus, zero shuffles before the final sort).
+  */
+object TextOps {
+  import Tables._
+  import Det._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token stats + quality scoring: whitespace tokenization, distinct-token
+    * ratio, stopword ratio, a `(chars+3)/4`-style BPE-ish token estimate,
+    * and a blended [0,1] quality score — the standard cheap quality gate a
+    * corpus-cleaning pipeline applies before expensive dedup.
+    */
+  val textStats: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)"))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("uniq_ratio_raw", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio_raw", col("n_stop").cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        col("n_chars_m").as("n_chars_measured"),
+        col("n_tokens"), col("n_distinct"), col("n_stop"),
+        expr("CAST((n_chars_m + 3) div 4 AS BIGINT)").as("bpe_token_estimate"),
+        r4((col("n_chars_m") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        r4(col("uniq_ratio_raw")).as("uniq_ratio"),
+        r4(col("stop_ratio_raw")).as("stop_ratio"),
+        r4(lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          + lit(0.4) * col("uniq_ratio_raw")
+          + lit(0.3) * (lit(1.0) - col("stop_ratio_raw"))).as("quality_score")
+      )
+      .orderBy(col("doc_id"))
+
+  val textStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, text,
+       |    string_split(text, ' ') AS toks,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, source, n_chars_m,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, lang, source,
+       |  n_chars_m AS n_chars_measured, n_tokens, n_distinct, n_stop,
+       |  CAST((n_chars_m + 3) // 4 AS BIGINT) AS bpe_token_estimate,
+       |  ${sqlR4("CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens")} AS avg_token_len,
+       |  ${sqlR4("CAST(n_distinct AS DOUBLE) / n_tokens")} AS uniq_ratio,
+       |  ${sqlR4("CAST(n_stop AS DOUBLE) / n_tokens")} AS stop_ratio,
+       |  ${sqlR4("0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)" +
+         " + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)" +
+         " + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)")} AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by marker-lexicon scoring (n-gram-heuristic family): count
+    * hits from small per-language token lexicons, argmax with a fixed
+    * tie-break order. The lexicons are fixed constants — the point is the
+    * operator shape (per-row HOF scoring, no shuffle), not the lexicons.
+    */
+  val textLangId: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score_en", expr("CAST(size(filter(toks, t -> t IN ('the', 'a'))) AS BIGINT)"))
+      .withColumn("score_es", expr("CAST(size(filter(toks, t -> t IN ('data', 'query', 'table'))) AS BIGINT)"))
+      .withColumn("score_de", expr("CAST(size(filter(toks, t -> t IN ('key', 'value', 'hash'))) AS BIGINT)"))
+      .withColumn("score_fr", expr("CAST(size(filter(toks, t -> t IN ('join', 'merge', 'group'))) AS BIGINT)"))
+      .withColumn("score_zh", expr("CAST(size(filter(toks, t -> t IN ('stream', 'batch', 'window'))) AS BIGINT)"))
+      .withColumn("best", greatest(col("score_en"), col("score_es"), col("score_de"),
+        col("score_fr"), col("score_zh")))
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        col("score_en"), col("score_es"), col("score_de"), col("score_fr"), col("score_zh"),
+        when(col("score_en") === col("best"), "en")
+          .when(col("score_es") === col("best"), "es")
+          .when(col("score_de") === col("best"), "de")
+          .when(col("score_fr") === col("best"), "fr")
+          .otherwise("zh").as("predicted_lang")
+      )
+      .orderBy(col("doc_id"))
+
+  val textLangIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS score_en,
+      |    CAST(len(list_filter(toks, t -> t IN ('data', 'query', 'table'))) AS BIGINT) AS score_es,
+      |    CAST(len(list_filter(toks, t -> t IN ('key', 'value', 'hash'))) AS BIGINT) AS score_de,
+      |    CAST(len(list_filter(toks, t -> t IN ('join', 'merge', 'group'))) AS BIGINT) AS score_fr,
+      |    CAST(len(list_filter(toks, t -> t IN ('stream', 'batch', 'window'))) AS BIGINT) AS score_zh
+      |  FROM t)
+      |SELECT doc_id, lang AS labeled_lang,
+      |  score_en, score_es, score_de, score_fr, score_zh,
+      |  CASE WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+      |       WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+      |       WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+      |       WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+      |       ELSE 'zh' END AS predicted_lang
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: raw md5, order-insensitive normalized md5
+    * (sorted distinct tokens — catches token-permuted duplicates), a 64-bit
+    * prefix signature, and a 16-way shard bucket derived from the hash —
+    * the partition key a 100 TB dedup would shuffle on.
+    */
+  val textFingerprint: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("norm_hash", md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .select(
+        col("doc_id"),
+        col("content_hash"),
+        col("norm_hash"),
+        substring(col("content_hash"), 1, 16).as("sig64"),
+        (expr("instr('0123456789abcdef', substr(content_hash, 1, 1))") - 1)
+          .cast("long").as("shard_bucket"),
+        expr("CAST(size(array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))) AS BIGINT)").as("n_shingles")
+      )
+      .orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks, md5(text) AS content_hash
+      |  FROM documents)
+      |SELECT doc_id, content_hash,
+      |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS norm_hash,
+      |  substr(content_hash, 1, 16) AS sig64,
+      |  CAST(instr('0123456789abcdef', substr(content_hash, 1, 1)) - 1 AS BIGINT) AS shard_bucket,
+      |  CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |    for i in generate_series(1, len(toks) - 2)])) AS BIGINT) AS n_shingles
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> textStats,
+    "q_text_langid" -> textLangId,
+    "q_text_fingerprint" -> textFingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_text_langid" -> textLangIdSql,
+    "q_text_fingerprint" -> textFingerprintSql
+  )
+}
