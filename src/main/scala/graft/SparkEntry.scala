@@ -25,7 +25,9 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.SetOps.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.Dedup.queries
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +38,7 @@ object SparkEntry {
       graft.queries.Windows.oracles ++
       graft.queries.SetOps.oracles ++
       graft.queries.TextOps.oracles ++
-      graft.queries.Dedup.oracles
+      graft.queries.Dedup.oracles ++
+      graft.queries.Similarity.oracles ++
+      graft.queries.Events.oracles
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.9
+  * north-star): tumbling and sliding window aggregates and gap-based
+  * sessionization — the batch formulations whose semantics carry 1:1 to
+  * Structured Streaming (`graft.streaming.EventStream` runs the same
+  * tumbling aggregate with `readStream` + watermark).
+  *
+  * Scale shape: window(ts) is just a derived grouping key — the aggregate
+  * shuffles on (window_start, key) like any hash aggregation; sliding
+  * windows fan each row into window/slide buckets before the shuffle;
+  * sessionization partitions by user and sorts within partition — at
+  * 100 TB all three stay fully parallel (no global sort anywhere).
+  */
+object Events {
+  import Tables._
+  import Det._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows × event_type: count, distinct users, exact
+    * sums/avgs. Oracle: DuckDB time_bucket.
+    */
+  val eventsTumbling: Q = (spark, dir) =>
+    events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour")("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        r2(dsum(col("value"))).as("total_value"),
+        r4(davg(col("value"))).as("avg_value")
+      )
+      .orderBy(col("window_start"), col("event_type"))
+
+  val eventsTumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS distinct_users,
+       |  ${sqlR2(sqlDsum("value"))} AS total_value,
+       |  ${sqlR4(sqlDavg("value"))} AS avg_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sliding windows: 1-hour length, 15-minute slide — each event lands in
+    * 4 overlapping windows. Spark's `window(ts, len, slide)` expands rows
+    * before the hash aggregate; the oracle reproduces the expansion with a
+    * generate_series offset join.
+    */
+  val eventsSliding: Q = (spark, dir) =>
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        r2(dsum(col("value"))).as("total_value")
+      )
+      .orderBy(col("window_start"))
+
+  val eventsSlidingSql: String =
+    s"""WITH expanded AS (
+       |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start, value
+       |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+       |SELECT window_start,
+       |  count(*) AS n_events,
+       |  ${sqlR2(sqlDsum("value"))} AS total_value
+       |FROM expanded
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user, done
+    * the scalable relational way: lag() flags session starts, a running
+    * sum assigns session ids, then one aggregate per session. Identical
+    * semantics to Structured Streaming's session_window(ts, '30 minutes')
+    * on the event-start side; session bounds here are [first, last] event.
+    */
+  val eventsSession: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        r2(dsum(col("value"))).as("total_value")
+      )
+      .withColumn("duration_sec", expr(
+        "(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val eventsSessionSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, session_seq,
+       |  min(ts) AS session_start,
+       |  max(ts) AS session_end,
+       |  count(*) AS n_events,
+       |  ${sqlR2(sqlDsum("value"))} AS total_value,
+       |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+       |FROM sess GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_events_tumbling" -> eventsTumbling,
+    "q_events_sliding" -> eventsSliding,
+    "q_events_session" -> eventsSession
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_tumbling" -> eventsTumblingSql,
+    "q_events_sliding" -> eventsSlidingSql,
+    "q_events_session" -> eventsSessionSql
+  )
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, a random-hyperplane
+  * LSH-bucketed variant as the scale path, and threshold near-dup pairs.
+  *
+  * Determinism across engines:
+  *   - dot products / norms are SEQUENTIAL left folds over the 64 dims
+  *     (Spark `aggregate` with 0.0 seed ≡ DuckDB `list_reduce`; 0.0+x = x
+  *     bit-wise), elements cast to double first — identical IEEE ops.
+  *   - LSH hyperplanes are md5-derived: weight(j,i) = hexdigit₁(md5(j:i))
+  *     − 7.5 ∈ {−7.5,…,+7.5} — the same pseudo-random planes materialize
+  *     in both engines with no RNG.
+  *
+  * Scale shape: brute-force is O(Q·N) with Q small (broadcast the query
+  * set, never shuffle the corpus); LSH is linear sketching + bucketed
+  * equi-join on (band, nibble) — the 100 TB path. Exact pairwise near-dup
+  * is quadratic and exists as the verification baseline; production use
+  * goes through the LSH buckets (PLAN.md).
+  */
+object Similarity {
+  import Tables._
+  import Det._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential-fold dot product of two double-cast float arrays. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+       |  (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, 64)], (x, y) -> x + y)"
+
+  /** vectors + precomputed L2 norm (sequential fold, engine-identical). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  private val duckNorm: String =
+    s"SELECT vec_id, label, embedding, sqrt(${duckDot("embedding", "embedding")}) AS norm FROM embeddings"
+
+  /** Brute-force cosine top-k: the 10 probe vectors (vec_id < 10) against
+    * the full corpus, exact top-5 via window rank with vec_id tie-break.
+    * The probe side is tiny → broadcast; the corpus is scanned once.
+    */
+  val knnBrute: Q = (spark, dir) => {
+    val v = withNorm(embeddings(spark, dir))
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("label").as("neighbor_label"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH v AS ($duckNorm),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM v WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id, v.label,
+       |    ${duckDot("q.q_emb", "v.embedding")} / (q.q_norm * v.norm) AS cosine_raw
+       |  FROM v, q WHERE v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, label AS neighbor_label,
+       |  ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN: 16 md5-derived hyperplanes → 16-bit sign sketch per
+    * vector; 4 bands of 4 bits; candidates = corpus vectors sharing ≥1
+    * (band, nibble) bucket with a probe; exact cosine re-rank of the
+    * candidates, top-5. Everything before the re-rank is a linear map plus
+    * an equi-join on the bucket key — the shape that scales.
+    */
+  private val sketchExpr: String =
+    """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> acc +
+      |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+      |       (a2, i) -> a2 + CAST(element_at(embedding, i) AS DOUBLE) *
+      |         (CAST(instr('0123456789abcdef',
+      |            substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1)) AS DOUBLE) - 8.5)) > 0,
+      |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin
+
+  private val duckSketch: String =
+    """CAST(list_sum([CASE WHEN list_reduce([embedding[i]::DOUBLE *
+      |      (CAST(instr('0123456789abcdef',
+      |         substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) AS DOUBLE) - 8.5)
+      |    for i in generate_series(1, 64)], (a, b) -> a + b) > 0
+      |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+      |  for j in generate_series(0, 15)]) AS BIGINT)""".stripMargin
+
+  val knnLsh: Q = (spark, dir) => {
+    val v = withNorm(embeddings(spark, dir)).withColumn("sketch", expr(sketchExpr))
+    val banded = v.select(col("vec_id"), col("label"), col("embedding"), col("norm"),
+      explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS band_idx, shiftright(sketch, k*4) & 15 AS nib))")).as("b"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
+        col("b.band_idx"), col("b.nib"))
+    val qb = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        col("band_idx"), col("nib"))
+    val cand = banded.join(broadcast(qb), Seq("band_idx", "nib"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("embedding"), col("norm"),
+        col("q_emb"), col("q_norm"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    cand
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("label").as("neighbor_label"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnLshSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding, sqrt(${duckDot("embedding", "embedding")}) AS norm,
+       |    $duckSketch AS sketch
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, label, embedding, norm, k AS band_idx, (sketch >> (k*4)) & 15 AS nib
+       |  FROM v, (SELECT unnest(generate_series(0, 3)) AS k)),
+       |qb AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, band_idx, nib
+       |  FROM banded WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, b.vec_id, b.label, b.embedding, b.norm, qb.q_emb, qb.q_norm
+       |  FROM banded b JOIN qb ON b.band_idx = qb.band_idx AND b.nib = qb.nib
+       |  WHERE b.vec_id <> qb.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label,
+       |    ${duckDot("q_emb", "embedding")} / (q_norm * norm) AS cosine_raw,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${duckDot("q_emb", "embedding")} / (q_norm * norm) DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT query_id, vec_id AS neighbor_id, rank, label AS neighbor_label,
+       |  ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-dup pairs: exact all-pairs at verification
+    * scale (the baseline the LSH buckets approximate), threshold at the
+    * p99.9 of this corpus's cosine distribution.
+    */
+  val embedNearDup: Q = (spark, dir) => {
+    val v = withNorm(embeddings(spark, dir))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine_raw", expr(dotExpr("emb_a", "emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine_raw") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH v AS ($duckNorm)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${sqlR6(s"${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm)")} AS cosine
+       |FROM v a, v b
+       |WHERE a.vec_id < b.vec_id
+       |  AND ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_brute" -> knnBrute,
+    "q_knn_lsh" -> knnLsh,
+    "q_embed_neardup" -> embedNearDup
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" -> knnBruteSql,
+    "q_knn_lsh" -> knnLshSql,
+    "q_embed_neardup" -> embedNearDupSql
+  )
+}
