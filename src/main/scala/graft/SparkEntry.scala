@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.Media.oracles
 }

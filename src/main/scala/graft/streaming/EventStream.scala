@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.9 north-star;
+  * the reference is batch-only — this is the `readStream` → transforms →
+  * `writeStream` surface a streaming-capable engine adds).
+  *
+  * Two pipelines:
+  *   1. Windowed aggregate: file-source stream → watermark → tumbling
+  *      1-hour window × event_type → append sink. Semantically identical
+  *      to the batch `q_events_tumbling` query — `StreamingSpec` asserts
+  *      the equivalence row-for-row.
+  *   2. Stateful sessionization via flatMapGroupsWithState: per-user
+  *      session accumulation with a 30-minute processing gap, the custom
+  *      state path (KeyValueGroupedDataset) for semantics window() can't
+  *      express.
+  *
+  * Scale notes: the file source lists directories incrementally
+  * (maxFilesPerTrigger bounds batch size); state lives in the state store
+  * keyed by (window, type) / user — both partition horizontally. The
+  * watermark bounds state: windows older than max(event time) − 1h are
+  * finalized and evicted.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Tumbling-window streaming aggregate from a parquet file source. */
+  def windowedCounts(spark: SparkSession, sourceDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(sourceDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")("start").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Run the windowed aggregate to completion against a static source dir
+    * (processAllAvailable) into a memory sink; returns the final table.
+    * Complete mode: with a bounded demo source no watermark ever closes
+    * the last windows, so append would drop them.
+    */
+  def runWindowed(spark: SparkSession, sourceDir: String, queryName: String): DataFrame = {
+    val q = windowedCounts(spark, sourceDir).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  // ---- Stateful sessionization ----
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class SessionState(sessionStart: Long, lastTs: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, total_value: Double)
+
+  /** Emit closed sessions (30-minute event-time gap) per user; state keeps
+    * only the open session per key — bounded by the active-user count.
+    */
+  def sessionize(spark: SparkSession, sourceDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          // Per-batch arrivals sorted by event time; with a static demo
+          // source all data arrives in one batch, so this is total order.
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val tsUs = e.ts.getTime * 1000
+            st = st match {
+              case null => SessionState(tsUs, tsUs, 1, e.value)
+              case s if tsUs - s.lastTs > gapUs =>
+                out += SessionOut(user, new java.sql.Timestamp(s.sessionStart / 1000), s.n, s.total)
+                SessionState(tsUs, tsUs, 1, e.value)
+              case s => s.copy(lastTs = tsUs, n = s.n + 1, total = s.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  def runSessionize(spark: SparkSession, sourceDir: String, queryName: String): DataFrame = {
+    val q = sessionize(spark, sourceDir).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Demo main: stage the batch events table as a streaming source dir,
+    * run both pipelines, print results.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-event-stream").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val src = java.nio.file.Files.createTempDirectory("events_stream").toString
+      graft.Tables.events(spark, sfDir).repartition(8).write.mode("overwrite").parquet(src)
+      val win = runWindowed(spark, src, "win_demo")
+      println(s"[stream] windowed rows=${win.count()}")
+      win.orderBy(col("window_start"), col("event_type")).show(10, truncate = false)
+      val sess = runSessionize(spark, src, "sess_demo")
+      println(s"[stream] closed sessions=${sess.count()}")
+      sess.orderBy(col("user_id"), col("session_start")).show(10, truncate = false)
+    } finally spark.stop()
+  }
+}
