@@ -78,9 +78,15 @@ object Dedup {
     */
   val dedupMinHash: Q = (spark, dir) => {
     val sh = withShingles(documents(spark, dir)).select(col("doc_id"), col("shingles"))
-    val sig = sh
-      .withColumn("sig", expr(
-        "transform(sequence(0, 11), j -> array_min(transform(shingles, s -> md5(concat(CAST(j AS STRING), ':', s)))))"))
+    // The 12 minima in ONE aggregate pass over the shingles (12 md5 per
+    // shingle, not 12 scans), then a pin so the signature is computed
+    // once — not re-inlined into each of the 12 band references and both
+    // self-join sides (a 24x blowup without it).
+    val sig = Det.pin(sh.withColumn("sig", expr(
+      """aggregate(shingles, array_repeat('g', 12),
+        |  (acc, s) -> zip_with(acc, sequence(0, 11),
+        |    (m, j) -> least(m, md5(concat(CAST(j AS STRING), ':', s)))))""".stripMargin))
+      .select(col("doc_id"), col("sig")))
       .withColumn("bands", expr(
         "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"))
     val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band"))
@@ -167,15 +173,20 @@ object Dedup {
     * pair with Hamming ≤ 3 must agree on a full byte); verified Hamming ≤ 3.
     */
   val dedupSimHash: Q = (spark, dir) => {
-    val fp = withShingles(documents(spark, dir))
+    // Pins: md5s is referenced by all 32 bit-folds, and simhash by the
+    // output + 4 band extractions + both self-join sides — without the
+    // exchanges each reference would re-inline the full upstream HOF chain.
+    val md5s = Det.pin(withShingles(documents(spark, dir))
       .withColumn("md5s", expr("transform(shingles, s -> md5(s))"))
+      .select(col("doc_id"), col("md5s")))
+    val fp = Det.pin(md5s
       .withColumn("simhash", expr(
         """aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc +
           |  IF(aggregate(md5s, CAST(0 AS BIGINT), (a2, h) ->
           |       a2 + IF(instr('0123456789abcdef', substr(h, i, 1)) >= 9,
           |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
           |     shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), col("simhash")))
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), k -> struct(k AS band_idx, shiftright(simhash, k*8) & 255 AS byte_val))")).as("b"))

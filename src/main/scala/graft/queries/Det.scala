@@ -54,6 +54,24 @@ object Det {
   def davgOver(c: Column, w: WindowSpec): Column =
     dsumOver(c, w) / count(c).over(w).cast("double")
 
+  /** Materialization pin for expensive computed columns (reference C1
+    * pattern — persist what multiple consumers read).
+    *
+    * Two optimizer behaviors multiply the cost of a pricey HOF column (a
+    * MinHash signature, a SimHash fingerprint, a vector norm) without
+    * this: (1) CollapseProject inlines the expression into every
+    * downstream reference and into both sides of a self-join; (2)
+    * InferFiltersFromGenerate clones it again into a pushed-down filter
+    * below any explode — a plain repartition barrier does NOT stop the
+    * pushdown (filters travel through exchanges; measured 24x blowup,
+    * 414 s for q_dedup_minhash at sf0.1). An InMemoryRelation blocks
+    * both: the column is computed once and every consumer — including
+    * both self-join sides — scans the same cache. At 100 TB the
+    * equivalent is a staged write of the signature table.
+    */
+  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.cache()
+
   // ---- DuckDB SQL twins (same ops, same order) ----
   def sqlR(e: String, s: Int): String = s"floor(($e) * 1e$s + 0.5) / 1e$s"
   def sqlR2(e: String): String = sqlR(e, 2)

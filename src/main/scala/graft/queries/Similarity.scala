@@ -36,9 +36,12 @@ object Similarity {
   private def duckDot(a: String, b: String): String =
     s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, 64)], (x, y) -> x + y)"
 
-  /** vectors + precomputed L2 norm (sequential fold, engine-identical). */
+  /** vectors + precomputed L2 norm (sequential fold, engine-identical),
+    * behind a pin so the fold runs once per row — not once per pair
+    * reference after CollapseProject inlining (Det.pin).
+    */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    Det.pin(df.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
 
   private val duckNorm: String =
     s"SELECT vec_id, label, embedding, sqrt(${duckDot("embedding", "embedding")}) AS norm FROM embeddings"
@@ -83,13 +86,30 @@ object Similarity {
     * candidates, top-5. Everything before the re-rank is a linear map plus
     * an equi-join on the bucket key — the shape that scales.
     */
-  private val sketchExpr: String =
-    """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> acc +
-      |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-      |       (a2, i) -> a2 + CAST(element_at(embedding, i) AS DOUBLE) *
-      |         (CAST(instr('0123456789abcdef',
-      |            substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1)) AS DOUBLE) - 8.5)) > 0,
-      |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin
+  /** The 16×64 hyperplane weights, precomputed driver-side from the SAME
+    * md5 derivation the oracle SQL uses (first hex digit of md5("j:i")
+    * minus 7.5) and embedded as a literal — the runtime fold is then pure
+    * multiply-add instead of 1024 md5 calls per row.
+    */
+  private lazy val planesLit: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 to 15).map { j =>
+      (1 to 64).map { i =>
+        md.reset()
+        val hex = md.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val w = "0123456789abcdef".indexOf(hex.charAt(0)).toDouble - 7.5
+        s"${w}D"
+      }.mkString("array(", ", ", ")")
+    }
+    rows.mkString("array(", ", ", ")")
+  }
+
+  private def sketchExpr: String =
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> acc +
+       |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+       |       (a2, i) -> a2 + CAST(element_at(embedding, i) AS DOUBLE) *
+       |         element_at(element_at($planesLit, j + 1), i)) > 0,
+       |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin
 
   private val duckSketch: String =
     """CAST(list_sum([CASE WHEN list_reduce([embedding[i]::DOUBLE *
@@ -100,7 +120,7 @@ object Similarity {
       |  for j in generate_series(0, 15)]) AS BIGINT)""".stripMargin
 
   val knnLsh: Q = (spark, dir) => {
-    val v = withNorm(embeddings(spark, dir)).withColumn("sketch", expr(sketchExpr))
+    val v = Det.pin(withNorm(embeddings(spark, dir)).withColumn("sketch", expr(sketchExpr)))
     val banded = v.select(col("vec_id"), col("label"), col("embedding"), col("norm"),
       explode(expr(
         "transform(sequence(0, 3), k -> struct(k AS band_idx, shiftright(sketch, k*4) & 15 AS nib))")).as("b"))
