@@ -263,7 +263,33 @@ object Core {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** S9 — the SQL-string surface: one SQL text, parsed and executed by
+    * BOTH engines verbatim (Spark via temp view + spark.sql, DuckDB as
+    * the oracle) — full parse → analyze → optimize path (SURVEY.md §3.3),
+    * in the shape of the classic pricing-summary report. The Det numeric
+    * convention is inlined as plain SQL (decimal sums, floor-round), so
+    * the shared text is engine-portable by construction.
+    */
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+      |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+      |  floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+      |  floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_charge,
+      |  floor(CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / count(l_discount) * 1e6 + 0.5) / 1e6 AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val sqlPricingSummary: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(pricingSummarySql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_pricing_summary" -> sqlPricingSummary,
     "q_agg_customer" -> aggCustomer,
     "q_agg_product" -> aggProduct,
     "q_agg_time" -> aggTime,
@@ -274,6 +300,7 @@ object Core {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_pricing_summary" -> pricingSummarySql, // same text, both engines
     "q_agg_customer" -> aggCustomerSql,
     "q_agg_product" -> aggProductSql,
     "q_agg_time" -> aggTimeSql,
