@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Media.queries
+      graft.queries.Media.queries ++
+      graft.queries.Grouping.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.Events.oracles ++
-      graft.queries.Media.oracles
+      graft.queries.Media.oracles ++
+      graft.queries.Grouping.oracles
 }

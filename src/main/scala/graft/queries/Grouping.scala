@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-level aggregation surface beyond the reference's flat groupBys
+  * (SURVEY.md §2.4 notes rollup/cube/pivot are absent there — a complete
+  * engine carries them): ROLLUP, CUBE, and pivot (conditional aggregation).
+  *
+  * Scale shape: rollup/cube plan through Expand — input × #grouping-sets
+  * before the hash aggregate, with map-side partial aggregation keeping
+  * shuffle volume ∝ output groups; pivot compiles to one conditional
+  * aggregate per pivot value (no extra shuffle vs the plain groupBy).
+  */
+object Grouping {
+  import Tables._
+  import Det._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ROLLUP over the region ⊃ nation hierarchy: per-nation, per-region
+    * subtotals and a grand total. grouping() flags disambiguate real NULLs
+    * from subtotal rows — and order the output deterministically.
+    */
+  val rollupRegion: Q = (spark, dir) => {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        r2(dsum(col("c_acctbal"))).as("total_acctbal"),
+        grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("n_name")).cast("long").as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+  }
+
+  val rollupRegionSql: String =
+    s"""SELECT r.r_name, n.n_name, count(*) AS customer_count,
+       |  ${sqlR2(sqlDsum("c.c_acctbal"))} AS total_acctbal,
+       |  CAST(grouping(r.r_name) AS BIGINT) AS g_region,
+       |  CAST(grouping(n.n_name) AS BIGINT) AS g_nation
+       |FROM customer c
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY ROLLUP (r.r_name, n.n_name)
+       |ORDER BY g_region, g_nation, r.r_name, n.n_name""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels in
+    * one pass.
+    */
+  val cubeFlags: Q = (spark, dir) =>
+    lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        r2(dsum(col("l_quantity"))).as("total_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  val cubeFlagsSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS line_count,
+       |  ${sqlR2(sqlDsum("l_quantity"))} AS total_qty,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** Pivot: order-priority counts per market segment, one column per
+    * priority bucket. Spark's pivot IS conditional aggregation — the
+    * oracle states the equivalent CASE form explicitly (also the portable
+    * formulation when the pivot values must be stable across engines).
+    */
+  val pivotPriority: Q = (spark, dir) => {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      .groupBy(col("c_mktsegment"))
+      .pivot("prio", Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("c_mktsegment"),
+        col("1").as("p1"), col("2").as("p2"), col("3").as("p3"),
+        col("4").as("p4"), col("5").as("p5"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val pivotPrioritySql: String =
+    """SELECT c.c_mktsegment,
+      |  count(*) FILTER (substr(o.o_orderpriority, 1, 1) = '1') AS p1,
+      |  count(*) FILTER (substr(o.o_orderpriority, 1, 1) = '2') AS p2,
+      |  count(*) FILTER (substr(o.o_orderpriority, 1, 1) = '3') AS p3,
+      |  count(*) FILTER (substr(o.o_orderpriority, 1, 1) = '4') AS p4,
+      |  count(*) FILTER (substr(o.o_orderpriority, 1, 1) = '5') AS p5
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_rollup_region" -> rollupRegion,
+    "q_cube_flags" -> cubeFlags,
+    "q_pivot_priority" -> pivotPriority
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup_region" -> rollupRegionSql,
+    "q_cube_flags" -> cubeFlagsSql,
+    "q_pivot_priority" -> pivotPrioritySql
+  )
+}
