@@ -15,6 +15,7 @@ object Verify {
       // Classic (non-ANSI) semantics so double/0 → NULL etc. matches the
       // DuckDB oracle (Spark 4.x flips the default to ANSI-on).
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS); read as Long (Tables.events
       // converts to micros, matching DuckDB's truncation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -52,6 +52,7 @@ object Pipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .appName("graft-etl-pipeline")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

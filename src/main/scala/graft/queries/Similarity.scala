@@ -28,17 +28,13 @@ object Similarity {
   import Det._
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential dot product of two double-cast float arrays, unrolled to
-    * a flat left-associative sum: ((p1+p2)+p3)+… is the SAME addition
-    * order as a 0-seeded fold (and as DuckDB's list_reduce), so results
-    * stay bit-identical — but the expression has no higher-order function,
-    * so it compiles under WholeStageCodegen instead of interpreting a
-    * lambda per element (~10x on the all-pairs query).
+  /** Sequential dot product via the native `dot_f32` expression
+    * (graft.functions.DotProductF32, registered by GraftExtensions): one
+    * codegen'd loop over the array data, accumulating left-to-right in
+    * double — the SAME addition order as a 0-seeded SQL fold and as
+    * DuckDB's list_reduce, so results stay bit-identical to the oracle.
     */
-  private def dotExpr(a: String, b: String): String =
-    (1 to 64).map(i =>
-      s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
-      .mkString(" + ")
+  private def dotExpr(a: String, b: String): String = s"dot_f32($a, $b)"
 
   private def duckDot(a: String, b: String): String =
     s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, 64)], (x, y) -> x + y)"

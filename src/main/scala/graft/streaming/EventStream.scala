@@ -125,6 +125,7 @@ object EventStream {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("graft-event-stream").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
