@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
       graft.queries.Media.queries ++
-      graft.queries.Grouping.queries
+      graft.queries.Grouping.queries ++
+      graft.queries.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Similarity.oracles ++
       graft.queries.Events.oracles ++
       graft.queries.Media.oracles ++
-      graft.queries.Grouping.oracles
+      graft.queries.Grouping.oracles ++
+      graft.queries.Scalars.oracles
 }
