@@ -222,13 +222,43 @@ object Similarity {
        |  AND ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Brute-force top-k via the custom TopKByScore Aggregator (tier-b
+    * custom aggregate, functions/TopKByScore.scala): same scoring as
+    * q_knn_brute but the shuffle carries at most k candidates per
+    * (partition, query) instead of the full candidate set that the
+    * window-rank formulation sorts. Results are identical by
+    * construction — the oracle IS q_knn_brute's SQL.
+    */
+  val knnTopKAgg: Q = (spark, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(5))
+    val v = withNorm(embeddings(spark, dir))
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine_raw"), col("vec_id"), col("label").cast("int")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(
+        col("query_id"),
+        col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.label").cast("int").as("neighbor_label"),
+        r6(col("s.score")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_embed_neardup" -> embedNearDup
   )
 
   val oracles: Map[String, String] = Map(
+    "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
     "q_embed_neardup" -> embedNearDupSql

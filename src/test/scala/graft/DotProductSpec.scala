@@ -45,3 +45,37 @@ class DotProductSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 }
+
+/** TopKByScore Aggregator: bounded buffer, total-order determinism. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{Scored, TopKByScore}
+
+  test("top-k keeps k best by (score desc, id asc), any arrival order") {
+    val agg = new TopKByScore(3)
+    val rows = Seq(
+      Scored(0.9, 7, 0), Scored(0.9, 3, 0), Scored(0.1, 1, 0),
+      Scored(0.5, 2, 0), Scored(0.9, 5, 0), Scored(0.7, 9, 0))
+    val expected = Seq(Scored(0.9, 3, 0), Scored(0.9, 5, 0), Scored(0.9, 7, 0))
+    // direct reduce in two arrival orders
+    val r1 = rows.foldLeft(agg.zero)(agg.reduce)
+    val r2 = rows.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(r1) == expected && agg.finish(r2) == expected)
+    // split-merge in arbitrary partitioning
+    val (p1, p2) = rows.splitAt(2)
+    val merged = agg.merge(p1.foldLeft(agg.zero)(agg.reduce), p2.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == expected)
+  }
+
+  test("udaf path groups and explodes identically to window rank") {
+    val topk = org.apache.spark.sql.functions.udaf(new TopKByScore(2))
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 0.5, 10L, 0), (1L, 0.9, 11L, 1), (1L, 0.7, 12L, 2), (2L, 0.2, 13L, 3))
+      .toDF("g", "score", "id", "label")
+    val got = df.groupBy(col("g")).agg(topk(col("score"), col("id"), col("label")).as("top"))
+      .select(col("g"), explode(col("top")).as("s"))
+      .select(col("g"), col("s.id")).orderBy(col("g"), col("s.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (1L, 12L), (2L, 13L)))
+  }
+}
