@@ -137,8 +137,11 @@ object Dedup {
     * recall. Same pair set as q_dedup_minhash ⟺ LSH recall is 100%.
     */
   val dedupNgram: Q = (spark, dir) => {
-    val sh = withShingles(documents(spark, dir))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    // Pin: the postings table feeds both self-join sides; without it the
+    // shingle derivation (and its InferFiltersFromGenerate clone) runs
+    // twice per side.
+    val sh = Det.pin(withShingles(documents(spark, dir))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh")))
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
