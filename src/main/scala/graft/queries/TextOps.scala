@@ -117,10 +117,11 @@ object TextOps {
       |       ELSE 'zh' END AS predicted_lang
       |FROM s ORDER BY doc_id""".stripMargin
 
-  /** Document fingerprinting: raw md5, order-insensitive normalized md5
-    * (sorted distinct tokens — catches token-permuted duplicates), a 64-bit
-    * prefix signature, and a 16-way shard bucket derived from the hash —
-    * the partition key a 100 TB dedup would shuffle on.
+  /** Document fingerprinting: raw md5; order-insensitive normalized md5
+    * (sorted distinct tokens — catches token-permuted duplicates); a
+    * 64-bit prefix signature; a 16-way shard bucket derived from the hash
+    * (the partition key a 100 TB dedup would shuffle on); and a
+    * Karp-Rabin polynomial rolling hash over the characters.
     */
   val textFingerprint: Q = (spark, dir) =>
     documents(spark, dir)
@@ -135,7 +136,12 @@ object TextOps {
         (expr("instr('0123456789abcdef', substr(content_hash, 1, 1))") - 1)
           .cast("long").as("shard_bucket"),
         expr("CAST(size(array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-          "i -> concat_ws(' ', slice(toks, i, 3))))) AS BIGINT)").as("n_shingles")
+          "i -> concat_ws(' ', slice(toks, i, 3))))) AS BIGINT)").as("n_shingles"),
+        // Karp-Rabin polynomial rolling hash over the characters
+        // (base 31 mod 1e9+7, exact in BIGINT — identical both engines).
+        expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+          "(acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)")
+          .as("rolling_hash")
       )
       .orderBy(col("doc_id"))
 
@@ -148,7 +154,10 @@ object TextOps {
       |  substr(content_hash, 1, 16) AS sig64,
       |  CAST(instr('0123456789abcdef', substr(content_hash, 1, 1)) - 1 AS BIGINT) AS shard_bucket,
       |  CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
-      |    for i in generate_series(1, len(toks) - 2)])) AS BIGINT) AS n_shingles
+      |    for i in generate_series(1, len(toks) - 2)])) AS BIGINT) AS n_shingles,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [ascii(substr(text, i, 1))::BIGINT for i in generate_series(1, length(text))]),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
       |FROM t ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
