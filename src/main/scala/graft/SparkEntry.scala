@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Media.queries ++
       graft.queries.Grouping.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.queries.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.Media.oracles ++
       graft.queries.Grouping.oracles ++
-      graft.queries.Scalars.oracles
+      graft.queries.Scalars.oracles ++
+      graft.queries.Temporal.oracles
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark lacks natively (builder brief:
+  * "as-of join, range join"), composed from built-ins the scalable way
+  * (preference tier (a) — no custom plan nodes needed):
+  *
+  *   - AS-OF: the union + ordered-window + last_value(ignoreNulls)
+  *     formulation — one shuffle on the key, one per-partition sort; no
+  *     row explosion, no range-condition nested loop. The oracle is
+  *     DuckDB's native ASOF JOIN, so parity proves the rewrite equals
+  *     the first-class operator.
+  *   - RANGE: time-bucketed candidate join — each probe lands in its
+  *     bucket and each build row replicates into the adjacent buckets
+  *     its window can reach, turning the range predicate into an
+  *     equi-join on (key, bucket) plus a residual filter. Candidates ∝
+  *     bucket occupancy, never |A|×|B|.
+  */
+object Temporal {
+  import Tables._
+  import Det._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** AS-OF join inside events: for every purchase, the most recent click
+    * (inclusive) by the same user. Sort key (ts, kind, event_id) makes
+    * same-timestamp resolution deterministic: 'click' < 'purchase'
+    * lexicographically, so an equal-ts click is visible to the purchase —
+    * matching ASOF JOIN's inclusive `>=`.
+    */
+  val asofJoin: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit("click").as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), lit("purchase").as("kind"))
+    val tagged = clicks.withColumn("value", lit(null).cast("double"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("kind"), col("value"))
+      .unionAll(purchases.select(col("user_id"), col("ts"), col("event_id"), col("kind"), col("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts",
+        last(when(col("kind") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("value"),
+        col("last_click_ts"),
+        when(col("last_click_ts").isNotNull,
+          expr("(unix_micros(ts) - unix_micros(last_click_ts)) div 1000000"))
+          .as("secs_since_click"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Oracle: DuckDB's first-class LEFT ASOF JOIN — if the window rewrite
+    * equals this, the composed operator implements true as-of semantics.
+    */
+  val asofJoinSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, p.value,
+      |  c.ts AS last_click_ts,
+      |  CASE WHEN c.ts IS NOT NULL
+      |       THEN (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS secs_since_click
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Bucketed RANGE join: for each error event, count and sum the view
+    * events by the same user within ±5 minutes. Views replicate into the
+    * 3 adjacent 5-minute buckets they can reach; the equi-join on
+    * (user_id, bucket) bounds candidates to bucket occupancy, and the
+    * residual |Δt| ≤ 5 min filter exacts the semantics.
+    */
+  val rangeJoin: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"),
+        (unix_micros(col("ts")) / lit(300000000L)).cast("long").as("bucket"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"),
+        (unix_micros(col("ts")) / lit(300000000L)).cast("long").as("vbucket"))
+      .withColumn("bucket", explode(array(col("vbucket") - 1, col("vbucket"), col("vbucket") + 1)))
+    errors.join(views, Seq("user_id", "bucket"))
+      .filter(abs(unix_micros(col("error_ts")) - unix_micros(col("view_ts"))) <= 300000000L)
+      .groupBy(col("error_id"), col("user_id"), col("error_ts"))
+      .agg(
+        count(lit(1)).as("views_within_5min"),
+        r2(dsum(col("view_value"))).as("view_value_sum"))
+      .orderBy(col("error_id"))
+  }
+
+  /** Oracle: the direct (unbucketed) range predicate — equal results
+    * prove the bucketing rewrite is lossless.
+    */
+  val rangeJoinSql: String =
+    s"""SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+       |  count(*) AS views_within_5min,
+       |  ${sqlR2(sqlDsum("v.value"))} AS view_value_sum
+       |FROM events e
+       |JOIN events v
+       |  ON e.user_id = v.user_id
+       | AND v.event_type = 'view'
+       | AND abs(epoch_us(e.ts) - epoch_us(v.ts)) <= 300000000
+       |WHERE e.event_type = 'error'
+       |GROUP BY 1, 2, 3
+       |ORDER BY error_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql
+  )
+}
