@@ -119,13 +119,44 @@ object Events {
        |FROM sess GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** JSON property extraction from the semi-structured `props` column
+    * (get_json_object path syntax ↔ DuckDB json_extract_string), then a
+    * grouped aggregate over the extracted field — the schema-on-read
+    * pattern for event payloads.
+    */
+  val eventsJson: Q = (spark, dir) =>
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_band", expr("k div 10").cast("long"))
+      .groupBy(col("event_type"), col("k_band"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        r2(dsum(col("value"))).as("total_value"))
+      .orderBy(col("event_type"), col("k_band"))
+
+  val eventsJsonSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, value,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events)
+       |SELECT event_type, k // 10 AS k_band,
+       |  count(*) AS n_events,
+       |  min(k) AS k_min,
+       |  max(k) AS k_max,
+       |  ${sqlR2(sqlDsum("value"))} AS total_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_events_json" -> eventsJson,
     "q_events_tumbling" -> eventsTumbling,
     "q_events_sliding" -> eventsSliding,
     "q_events_session" -> eventsSession
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_json" -> eventsJsonSql,
     "q_events_tumbling" -> eventsTumblingSql,
     "q_events_sliding" -> eventsSlidingSql,
     "q_events_session" -> eventsSessionSql
