@@ -100,13 +100,50 @@ object Grouping {
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  /** Skew-resistant salted aggregation: stage 1 groups on
+    * (key, salt = hash(row) % 16) so a hot key spreads over 16 reducers;
+    * stage 2 combines the partials per key. Exact-decimal partials make
+    * the two-stage result IDENTICAL to the direct groupBy — which is
+    * exactly what the oracle asserts (it computes the plain aggregate).
+    * This is the salting pattern PLAN.md prescribes for skewed keys,
+    * verified lossless.
+    */
+  val saltedAgg: Q = (spark, dir) => {
+    val l = lineitem(spark, dir)
+    val salted = l
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        count(lit(1)).as("n_part"),
+        sum(col("l_quantity").cast("decimal(28,8)")).as("qty_part"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,8)"))
+          .as("rev_part"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("n_part")).as("line_count"),
+        r2(sum(col("qty_part")).cast("double")).as("total_qty"),
+        r2(sum(col("rev_part")).cast("double")).as("total_revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val saltedAggSql: String =
+    s"""SELECT l_returnflag,
+       |  count(*) AS line_count,
+       |  ${sqlR2(sqlDsum("l_quantity"))} AS total_qty,
+       |  ${sqlR2(sqlDsum("l_extendedprice * (1.0 - l_discount)"))} AS total_revenue
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_salted_agg" -> saltedAgg,
     "q_rollup_region" -> rollupRegion,
     "q_cube_flags" -> cubeFlags,
     "q_pivot_priority" -> pivotPriority
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" -> saltedAggSql, // plain aggregate: asserts salting is lossless
     "q_rollup_region" -> rollupRegionSql,
     "q_cube_flags" -> cubeFlagsSql,
     "q_pivot_priority" -> pivotPrioritySql
