@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Media.queries ++
       graft.queries.Grouping.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.queries ++
+      graft.queries.Subqueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Media.oracles ++
       graft.queries.Grouping.oracles ++
       graft.queries.Scalars.oracles ++
-      graft.queries.Temporal.oracles
+      graft.queries.Temporal.oracles ++
+      graft.queries.Subqueries.oracles
 }

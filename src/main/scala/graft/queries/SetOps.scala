@@ -121,13 +121,42 @@ object SetOps {
       |    (SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey IN (1, 2)))
       |ORDER BY set_op, l_partkey""".stripMargin
 
+  /** Multiset (ALL) variants — duplicate-preserving set algebra over
+    * per-supplier part multisets (intersectAll keeps min multiplicity,
+    * exceptAll subtracts multiplicities — same in DuckDB).
+    */
+  val setAllOps: Q = (spark, dir) => {
+    val l = lineitem(spark, dir)
+    val s1 = l.filter(col("l_suppkey") === 1L).select(col("l_partkey"))
+    val s2 = l.filter(col("l_suppkey") === 2L).select(col("l_partkey"))
+    s1.intersectAll(s2).withColumn("set_op", lit("intersect_all"))
+      .union(s1.exceptAll(s2).withColumn("set_op", lit("except_all")))
+      .select(col("set_op"), col("l_partkey"))
+      .orderBy(col("set_op"), col("l_partkey"))
+  }
+
+  val setAllOpsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'intersect_all' AS set_op, l_partkey FROM
+      |    (SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+      |     INTERSECT ALL
+      |     SELECT l_partkey FROM lineitem WHERE l_suppkey = 2)
+      |  UNION ALL
+      |  SELECT 'except_all', l_partkey FROM
+      |    (SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+      |     EXCEPT ALL
+      |     SELECT l_partkey FROM lineitem WHERE l_suppkey = 2))
+      |ORDER BY set_op, l_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_union_harmonized" -> unionHarmonized,
-    "q_set_intersect_except" -> setIntersectExcept
+    "q_set_intersect_except" -> setIntersectExcept,
+    "q_set_all_ops" -> setAllOps
   )
 
   val oracles: Map[String, String] = Map(
     "q_union_harmonized" -> unionHarmonizedSql,
-    "q_set_intersect_except" -> setIntersectExceptSql
+    "q_set_intersect_except" -> setIntersectExceptSql,
+    "q_set_all_ops" -> setAllOpsSql
   )
 }
