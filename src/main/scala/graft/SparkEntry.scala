@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Grouping.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.Temporal.queries ++
-      graft.queries.Subqueries.queries
+      graft.queries.Subqueries.queries ++
+      graft.queries.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Grouping.oracles ++
       graft.queries.Scalars.oracles ++
       graft.queries.Temporal.oracles ++
-      graft.queries.Subqueries.oracles
+      graft.queries.Subqueries.oracles ++
+      graft.queries.Stats.oracles
 }
