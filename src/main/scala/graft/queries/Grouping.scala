@@ -135,7 +135,43 @@ object Grouping {
        |FROM lineitem
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Collection aggregates with deterministic ordering: per-customer
+    * sorted order-key array (collect_list is arrival-ordered in Spark —
+    * sort_array pins it; DuckDB uses list(... ORDER BY)) plus a sorted
+    * string_agg and array ops over the result.
+    */
+  val collectAgg: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+    o.filter(col("o_custkey") <= 100)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        col("o_custkey"),
+        col("order_keys"),
+        col("n_orders"),
+        size(col("order_keys")).cast("long").as("arr_len"),
+        col("order_keys").getItem(0).as("first_key"),
+        array_contains(col("order_keys"), 1L).as("has_key_1"),
+        concat_ws(",", col("order_keys")).as("keys_csv"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val collectAggSql: String =
+    """SELECT o_custkey,
+      |  list_sort(list(o_orderkey)) AS order_keys,
+      |  count(*) AS n_orders,
+      |  CAST(len(list_sort(list(o_orderkey))) AS BIGINT) AS arr_len,
+      |  list_sort(list(o_orderkey))[1] AS first_key,
+      |  list_contains(list_sort(list(o_orderkey)), 1) AS has_key_1,
+      |  string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS keys_csv
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_collect_agg" -> collectAgg,
     "q_salted_agg" -> saltedAgg,
     "q_rollup_region" -> rollupRegion,
     "q_cube_flags" -> cubeFlags,
@@ -143,6 +179,7 @@ object Grouping {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_collect_agg" -> collectAggSql,
     "q_salted_agg" -> saltedAggSql, // plain aggregate: asserts salting is lossless
     "q_rollup_region" -> rollupRegionSql,
     "q_cube_flags" -> cubeFlagsSql,
