@@ -250,7 +250,85 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: per-label centroids (exact-decimal per-dimension
+    * means, rounded r6 so centroid last-ulp noise cannot flip an
+    * assignment), probes assigned to the nearest centroid relationally
+    * (explode dims → join → decimal sum of squared diffs), then exact
+    * cosine top-5 WITHIN the assigned cluster only — the
+    * coarse-quantization scale path: search touches 1/|clusters| of the
+    * corpus. Fully declarative; distances accumulate in DECIMAL(38,18)
+    * so the grouped sum is order-free.
+    */
+  val knnIvf: Q = (spark, dir) => {
+    val v = withNorm(embeddings(spark, dir))
+    val dims = v.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "valf")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).as("d"),
+        col("valf").cast("double").as("val"))
+    val cent = dims.groupBy(col("label"), col("d"))
+      .agg(r6(davg(col("val"))).as("cval"))
+    val qdims = dims.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("d"), col("val").as("qval"))
+    val dist = qdims.join(cent, "d")
+      .groupBy(col("query_id"), col("label"))
+      .agg(r6(sum(((col("qval") - col("cval")) * (col("qval") - col("cval")))
+        .cast("decimal(38,18)")).cast("double")).as("dist"))
+    val assigned = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("searched_label"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    v.join(broadcast(assigned), v("label") === assigned("searched_label"))
+      .join(broadcast(probes), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("searched_label"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnIvfSql: String =
+    s"""WITH v AS ($duckNorm),
+       |dims AS (
+       |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS d,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, ${sqlR6(sqlDavg("val"))} AS cval
+       |  FROM dims GROUP BY label, d),
+       |qdims AS (
+       |  SELECT vec_id AS query_id, d, val AS qval FROM dims WHERE vec_id < 10),
+       |dist AS (
+       |  SELECT q.query_id, c.label,
+       |    ${sqlR6("CAST(sum(CAST((q.qval - c.cval) * (q.qval - c.cval) AS DECIMAL(38,18))) AS DOUBLE)")} AS dist
+       |  FROM qdims q JOIN cent c ON q.d = c.d
+       |  GROUP BY q.query_id, c.label),
+       |assigned AS (
+       |  SELECT query_id, label AS searched_label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, label) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM v WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT a.query_id, v.vec_id, a.searched_label,
+       |    ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) AS cosine_raw,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) DESC, v.vec_id) AS rank
+       |  FROM v JOIN assigned a ON v.label = a.searched_label
+       |  JOIN probes p ON p.query_id = a.query_id
+       |  WHERE v.vec_id <> a.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  searched_label, ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_knn_ivf" -> knnIvf,
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
@@ -258,6 +336,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_knn_ivf" -> knnIvfSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
