@@ -327,7 +327,57 @@ object Similarity {
        |  searched_label, ${sqlR6("cosine_raw")} AS cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Measured ANN quality: per-probe recall of the LSH and IVF variants
+    * against the brute-force ground truth (|approx ∩ exact| / k). The
+    * approximate methods are only worth their speed if recall is known —
+    * this makes the tradeoff a verified number, not a guess.
+    */
+  val annRecall: Q = (spark, dir) => {
+    val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val lsh = knnLsh(spark, dir)
+      .select(col("query_id").as("ql"), col("neighbor_id").as("nl"))
+    val ivf = knnIvf(spark, dir)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val lshHits = brute.join(lsh,
+        brute("query_id") === lsh("ql") && brute("neighbor_id") === lsh("nl"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("lsh_hits"))
+    val ivfHits = brute.join(ivf,
+        brute("query_id") === ivf("qi") && brute("neighbor_id") === ivf("ni"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ivf_hits"))
+    base
+      .join(lshHits, Seq("query_id"), "left_outer")
+      .join(ivfHits, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        r2(coalesce(col("lsh_hits"), lit(0L)) / col("k").cast("double")).as("lsh_recall"),
+        r2(coalesce(col("ivf_hits"), lit(0L)) / col("k").cast("double")).as("ivf_recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
+       |lsh AS (SELECT query_id AS ql, neighbor_id AS nl FROM ($knnLshSql)),
+       |ivf AS (SELECT query_id AS qi, neighbor_id AS ni FROM ($knnIvfSql)),
+       |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY query_id),
+       |lh AS (SELECT query_id, count(*) AS lsh_hits FROM brute
+       |       JOIN lsh ON query_id = ql AND neighbor_id = nl GROUP BY query_id),
+       |ih AS (SELECT query_id, count(*) AS ivf_hits FROM brute
+       |       JOIN ivf ON query_id = qi AND neighbor_id = ni GROUP BY query_id)
+       |SELECT b.query_id,
+       |  coalesce(lh.lsh_hits, 0) AS lsh_hits,
+       |  coalesce(ih.ivf_hits, 0) AS ivf_hits,
+       |  ${sqlR2("coalesce(lh.lsh_hits, 0) / CAST(b.k AS DOUBLE)")} AS lsh_recall,
+       |  ${sqlR2("coalesce(ih.ivf_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivf_recall
+       |FROM base b
+       |LEFT JOIN lh ON b.query_id = lh.query_id
+       |LEFT JOIN ih ON b.query_id = ih.query_id
+       |ORDER BY b.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ann_recall" -> annRecall,
     "q_knn_ivf" -> knnIvf,
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
@@ -336,6 +386,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ann_recall" -> annRecallSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,
