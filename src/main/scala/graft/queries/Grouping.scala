@@ -170,7 +170,45 @@ object Grouping {
       |WHERE o_custkey <= 100
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Conditional + argmax aggregates: count_if, bool_and/bool_or, and
+    * max_by/min_by. Argmax over doubles is nondeterministic under ties
+    * (one o_totalprice tie exists in the data), so the ordering key is a
+    * fixed-width string of (price-in-cents, orderkey) — unique and
+    * lexicographically ≡ numerically ordered, identical in both engines.
+    */
+  val conditionalAggs: Q = (spark, dir) =>
+    orders(spark, dir)
+      .withColumn("price_key", expr(
+        "concat(lpad(CAST(floor(o_totalprice * 1e2 + 0.5) AS STRING), 12, '0'), '|', " +
+          "lpad(CAST(o_orderkey AS STRING), 12, '0'))"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("CAST(count_if(o_totalprice > 200000.0) AS BIGINT)").as("n_big"),
+        expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+        expr("bool_or(o_totalprice > 400000.0)").as("any_huge"),
+        expr("max_by(o_orderkey, price_key)").as("priciest_order"),
+        expr("min_by(o_orderkey, price_key)").as("cheapest_order"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val conditionalAggsSql: String =
+    """WITH o AS (
+      |  SELECT *, lpad(CAST(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS VARCHAR), 12, '0')
+      |    || '|' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS price_key
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 0.0) AS all_positive,
+      |  bool_or(o_totalprice > 400000.0) AS any_huge,
+      |  arg_max(o_orderkey, price_key) AS priciest_order,
+      |  arg_min(o_orderkey, price_key) AS cheapest_order,
+      |  max(o_totalprice) AS max_price,
+      |  min(o_totalprice) AS min_price
+      |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_conditional_aggs" -> conditionalAggs,
     "q_collect_agg" -> collectAgg,
     "q_salted_agg" -> saltedAgg,
     "q_rollup_region" -> rollupRegion,
@@ -179,6 +217,7 @@ object Grouping {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_conditional_aggs" -> conditionalAggsSql,
     "q_collect_agg" -> collectAggSql,
     "q_salted_agg" -> saltedAggSql, // plain aggregate: asserts salting is lossless
     "q_rollup_region" -> rollupRegionSql,

@@ -153,13 +153,50 @@ object Windows {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** Value window functions — first_value / last_value / nth_value /
+    * cume_dist / dense_rank — with explicit frames and total-order sort
+    * keys (last_value over the default frame is current-row-bounded, a
+    * classic trap; the explicit ROWS frame pins full-partition semantics
+    * in both engines).
+    */
+  val windowValueFns: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("first_order_key", first(col("o_orderkey")).over(wFull))
+      .withColumn("last_order_key", last(col("o_orderkey")).over(wFull))
+      .withColumn("second_order_key", nth_value(col("o_orderkey"), 2).over(wFull))
+      .withColumn("cume", r6(cume_dist().over(w)))
+      .withColumn("dense_rnk", dense_rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))).cast("long"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowValueFnsSql: String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderpriority,
+       |  first_value(o_orderkey) OVER wf AS first_order_key,
+       |  last_value(o_orderkey) OVER wf AS last_order_key,
+       |  nth_value(o_orderkey, 2) OVER wf AS second_order_key,
+       |  ${sqlR6("cume_dist() OVER w")} AS cume,
+       |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS dense_rnk
+       |FROM orders
+       |WINDOW
+       |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_window_value_fns" -> windowValueFns,
     "q_window_rank" -> windowRank,
     "q_window_moving_avg" -> windowMovingAvg,
     "q_window_lag_lead" -> windowLagLead
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_value_fns" -> windowValueFnsSql,
     "q_window_rank" -> windowRankSql,
     "q_window_moving_avg" -> windowMovingAvgSql,
     "q_window_lag_lead" -> windowLagLeadSql
