@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch.select(streamed.columns.map(col).toSeq: _*)).count() == 0)
   }
 
+  test("streaming sliding window equals batch groupBy(window(len, slide))") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val q = spark.readStream.schema(EventStream.eventSchema).parquet(sourceDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide_test")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val sessions = EventStream.runSessionize(spark, sourceDir, "sess_test")
     // Closed sessions emitted by the stream + one open session per user
