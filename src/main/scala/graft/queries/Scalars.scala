@@ -34,7 +34,8 @@ object Scalars {
         expr("replace(p_type, ' ', '-')").as("dashed_type"),
         expr("left(p_name, 3)").as("left3"),
         expr("right(p_name, 3)").as("right3"),
-        split(col("p_name"), " ").getItem(0).as("tok0")
+        split(col("p_name"), " ").getItem(0).as("tok0"),
+        expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("all_words")
       )
       .orderBy(col("p_partkey"))
 
@@ -53,7 +54,8 @@ object Scalars {
       |  replace(p_type, ' ', '-') AS dashed_type,
       |  left(p_name, 3) AS left3,
       |  right(p_name, 3) AS right3,
-      |  string_split(p_name, ' ')[1] AS tok0
+      |  string_split(p_name, ' ')[1] AS tok0,
+      |  regexp_extract_all(p_name, '[a-z]+') AS all_words
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Date/time functions over orders: truncation, month arithmetic,

@@ -90,13 +90,46 @@ object Stats {
       |FROM lineitem
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Fixed-width histogram of order totals: bucket index from portable
+    * arithmetic (`floor((x-lo)/step)` clamped — DuckDB 1.0 lacks
+    * width_bucket, and the explicit form is engine-identical anyway),
+    * with per-bucket count and exact-decimal sum.
+    */
+  val histogram: Q = (spark, dir) =>
+    orders(spark, dir)
+      .withColumn("bucket",
+        least(greatest(floor((col("o_totalprice") - 0.0) / 60000.0), lit(0.0)), lit(9.0))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r2(dsum(col("o_totalprice"))).as("bucket_total"),
+        r2(min(col("o_totalprice"))).as("bucket_min"),
+        r2(max(col("o_totalprice"))).as("bucket_max"))
+      .orderBy(col("bucket"))
+
+  val histogramSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 60000.0), 0.0), 9.0) AS BIGINT)
+       |           AS bucket,
+       |         o_totalprice
+       |  FROM orders)
+       |SELECT bucket,
+       |  count(*) AS n_orders,
+       |  ${sqlR2(sqlDsum("o_totalprice"))} AS bucket_total,
+       |  ${sqlR2("min(o_totalprice)")} AS bucket_min,
+       |  ${sqlR2("max(o_totalprice)")} AS bucket_max
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_stats_moments" -> statsMoments,
-    "q_percentiles" -> percentiles
+    "q_percentiles" -> percentiles,
+    "q_histogram" -> histogram
   )
 
   val oracles: Map[String, String] = Map(
     "q_stats_moments" -> statsMomentsSql,
-    "q_percentiles" -> percentilesSql
+    "q_percentiles" -> percentilesSql,
+    "q_histogram" -> histogramSql
   )
 }
