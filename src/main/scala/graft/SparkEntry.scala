@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.Subqueries.queries ++
-      graft.queries.Stats.queries
+      graft.queries.Stats.queries ++
+      graft.queries.Classic.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Scalars.oracles ++
       graft.queries.Temporal.oracles ++
       graft.queries.Subqueries.oracles ++
-      graft.queries.Stats.oracles
+      graft.queries.Stats.oracles ++
+      graft.queries.Classic.oracles
 }

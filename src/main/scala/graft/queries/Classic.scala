@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Classic multi-table analytics in the shared-SQL form (one text, both
+  * engines verbatim): a selective scan-aggregate, a 3-way
+  * join-aggregate-topk, and a SIX-way star join — the first plan in the
+  * suite deep enough for Catalyst's join-reorder and DuckDB's optimizer
+  * to make genuinely different ordering choices while producing the same
+  * rows (SURVEY.md §4 listed join reorder as unexercised by the
+  * reference). Det numerics inlined as portable SQL throughout.
+  */
+object Classic {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def viaSql(tables: Seq[String], sql: String): Q = (spark, dir) => {
+    tables.foreach(t => table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
+  /** Selective scan-aggregate (forecast-revenue shape): one tight filter,
+    * one exact-decimal product sum — pushdown does all the work.
+    */
+  val revenueForecastSql: String =
+    """SELECT
+      |  floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+      |    AS potential_revenue,
+      |  count(*) AS qualifying_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** 3-way join + aggregate + top-k (shipping-priority shape). */
+  val shippingPrioritySql: String =
+    """SELECT l.l_orderkey,
+      |  floor(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+      |    AS revenue,
+      |  CAST(o.o_orderdate AS DATE) AS order_date
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l.l_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** SIX-way star join (local-supplier-volume shape): region → nation →
+    * customer/supplier → orders → lineitem, with the
+    * customer-and-supplier-in-same-nation constraint. Catalyst plans the
+    * dimension edges as broadcasts and reorders the rest.
+    */
+  val localVolumeSql: String =
+    """SELECT n.n_name,
+      |  floor(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+      |    AS revenue,
+      |  count(*) AS line_count
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_revenue_forecast" -> viaSql(Seq("lineitem"), revenueForecastSql),
+    "q_sql_shipping_priority" -> viaSql(Seq("customer", "orders", "lineitem"), shippingPrioritySql),
+    "q_sql_local_volume" -> viaSql(
+      Seq("region", "nation", "customer", "orders", "lineitem", "supplier"), localVolumeSql)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_revenue_forecast" -> revenueForecastSql,
+    "q_sql_shipping_priority" -> shippingPrioritySql,
+    "q_sql_local_volume" -> localVolumeSql
+  )
+}
