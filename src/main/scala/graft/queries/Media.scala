@@ -66,8 +66,10 @@ object Media {
       |    CAST(instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS shard_bucket,
       |    CAST(n_chars % 24 + 1 AS BIGINT) AS n_frames
       |  FROM documents)
-      |SELECT media_type, count(*) AS n_media, sum(n_bytes) AS total_bytes,
-      |  sum(n_frames) AS total_frames, count(DISTINCT shard_bucket) AS shards_used
+      |SELECT media_type, count(*) AS n_media,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  count(DISTINCT shard_bucket) AS shards_used
       |FROM env GROUP BY media_type ORDER BY media_type""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -35,7 +35,10 @@ object Scalars {
         expr("left(p_name, 3)").as("left3"),
         expr("right(p_name, 3)").as("right3"),
         split(col("p_name"), " ").getItem(0).as("tok0"),
-        expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("all_words")
+        // serialized: the driver's pandas row-sort can't hash raw arrays,
+        // so the array op is verified through its csv projection.
+        array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), ",")
+          .as("all_words_csv")
       )
       .orderBy(col("p_partkey"))
 
@@ -55,7 +58,7 @@ object Scalars {
       |  left(p_name, 3) AS left3,
       |  right(p_name, 3) AS right3,
       |  string_split(p_name, ' ')[1] AS tok0,
-      |  regexp_extract_all(p_name, '[a-z]+') AS all_words
+      |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS all_words_csv
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Date/time functions over orders: truncation, month arithmetic,

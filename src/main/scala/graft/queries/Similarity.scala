@@ -176,40 +176,43 @@ object Similarity {
     * scale (the baseline the LSH buckets approximate), threshold at the
     * p99.9 of this corpus's cosine distribution.
     *
-    * This is the one deliberate use of the imperative tier (brief's
-    * preference order (d)): the quadratic pair loop materialized 2M+
-    * array-pair rows through a nested-loop join, dominated by row
-    * copying, not math. The corpus is broadcast (small by definition for
-    * an exact-all-pairs check — production near-dup goes through LSH
-    * buckets, PLAN.md) and each partition scans its slice against it.
-    * The scalar loop accumulates left-to-right in double — the SAME IEEE
-    * op order as the SQL fold — so results stay bit-identical to the
-    * DuckDB oracle.
+    * Block-bucketed formulation — the exact O(n²) pair set WITHOUT any
+    * driver materialization: each vector gets a block id (vec_id % B), a
+    * tiny broadcast table of the B(B+1)/2 ordered block pairs replicates
+    * the left side (avg (B+1)/2 copies), and pair generation is then a
+    * plain shuffled equi-join on the right block key. Each unordered pair
+    * surfaces exactly once: cross-block pairs via the (smaller-block left,
+    * larger-block right) orientation, same-block pairs via the id order.
+    * At 100 TB you'd raise B ≈ √tasks so each (ba, bb) cell fits one task;
+    * the quadratic WORK is inherent to the exact baseline (production
+    * near-dup goes through the LSH buckets) — what matters is that no
+    * single node ever holds the corpus.
+    *
+    * dot_f32 accumulates left-to-right in double — the SAME IEEE op order
+    * as the DuckDB fold — and x·y is bitwise symmetric, so the cosine is
+    * identical whichever side of the join a vector lands on.
     */
   val embedNearDup: Q = (spark, dir) => {
-    import spark.implicits._
-    val vecs = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<float>"))
-      .as[(Long, Array[Float])]
-    val corpus = vecs.sparkSession.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    val pairs = vecs.mapPartitions { it =>
-      val all = corpus.value
-      def dot(x: Array[Float], y: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < 64) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-        s
-      }
-      val norms = all.map(v => math.sqrt(dot(v._2, v._2))) // once per task
-      it.flatMap { case (ida, ea) =>
-        val na = math.sqrt(dot(ea, ea))
-        all.indices.iterator
-          .filter(k => all(k)._1 > ida)
-          .map { k => (ida, all(k)._1, dot(ea, all(k)._2) / (na * norms(k))) }
-          .filter(_._3 >= 0.35)
-      }
-    }.toDF("vec_a", "vec_b", "cosine_raw")
-    pairs
-      .select(col("vec_a"), col("vec_b"), r6(col("cosine_raw")).as("cosine"))
+    val B = 8
+    val v = withNorm(embeddings(spark, dir))
+      .withColumn("blk", (col("vec_id") % B).cast("int"))
+    val blockPairs = spark.range(B).select(col("id").cast("int").as("ba"))
+      .crossJoin(spark.range(B).select(col("id").cast("int").as("bb")))
+      .filter(col("ba") <= col("bb"))
+    val left = v.select(col("vec_id").as("id_l"), col("embedding").as("emb_l"),
+        col("norm").as("norm_l"), col("blk").as("ba"))
+      .join(broadcast(blockPairs), "ba")
+    val right = v.select(col("vec_id").as("id_r"), col("embedding").as("emb_r"),
+        col("norm").as("norm_r"), col("blk").as("bb"))
+    left.join(right, Seq("bb"))
+      .filter(col("ba") < col("bb") || col("id_l") < col("id_r"))
+      .withColumn("cosine_raw",
+        expr(dotExpr("emb_l", "emb_r")) / (col("norm_l") * col("norm_r")))
+      .filter(col("cosine_raw") >= 0.35)
+      .select(
+        least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"),
+        r6(col("cosine_raw")).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -34,12 +34,16 @@ def main():
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             spark_cols = sorted(spark_rel.columns)
+            spark_types = dict(zip(spark_rel.columns,
+                                   (str(t) for t in spark_rel.types)))
             spark_rows = con.sql(
                 "SELECT " + ", ".join(f'"{c}"' for c in spark_cols) +
                 f" FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
             duck_rel = con.sql(sql)
             duck_cols_orig = duck_rel.columns
             duck_cols = sorted(duck_cols_orig)
+            duck_types = dict(zip(duck_rel.columns,
+                                  (str(t) for t in duck_rel.types)))
             duck_rows = con.sql(
                 "SELECT " + ", ".join(f'"{c}"' for c in duck_cols) +
                 f" FROM ({sql})").fetchall()
@@ -48,6 +52,20 @@ def main():
             n_fail += 1
             continue
         errs = []
+        # Mirror the driver's strictness, which plain value-compare hides:
+        # (1) the driver's pandas row-sort cannot hash LIST cells — any
+        #     array-typed output column is an automatic driver failure;
+        # (2) pandas renders DuckDB HUGEINT/different widths differently
+        #     from Spark's BIGINT → hash drift even when values are equal.
+        for c in spark_cols:
+            if c in duck_types:
+                st, dt = spark_types[c], duck_types[c]
+                if st.endswith("[]") or dt.endswith("[]"):
+                    errs.append(f"array-typed column {c} ({st} vs {dt}): "
+                                "driver compare cannot hash arrays")
+                elif st != dt:
+                    errs.append(f"type mismatch {c}: spark={st} duck={dt} "
+                                "(driver hash would drift)")
         if spark_cols != duck_cols:
             errs.append(f"columns differ: spark={spark_cols} duck={duck_cols}")
         elif len(spark_rows) != len(duck_rows):
