@@ -34,7 +34,9 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.queries.Subqueries.queries ++
       graft.queries.Stats.queries ++
-      graft.queries.Classic.queries
+      graft.queries.Classic.queries ++
+      graft.queries.Nested.queries ++
+      graft.queries.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -54,5 +56,7 @@ object SparkEntry {
       graft.queries.Temporal.oracles ++
       graft.queries.Subqueries.oracles ++
       graft.queries.Stats.oracles ++
-      graft.queries.Classic.oracles
+      graft.queries.Classic.oracles ++
+      graft.queries.Nested.oracles ++
+      graft.queries.Sampling.oracles
 }
