@@ -43,8 +43,13 @@ object EventStream {
       .option("maxFilesPerTrigger", "4")
       .parquet(sourceDir)
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour")("start").as("window_start"), col("event_type"))
+      // Group by the window STRUCT (not window(...)("start")): extracting the
+      // field before the agg severs the event-time watermark link, which
+      // append mode rejects and which would disable state eviction here.
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
 
   /** Run the windowed aggregate to completion against a static source dir
     * (processAllAvailable) into a memory sink; returns the final table.
@@ -73,10 +78,13 @@ object EventStream {
   /** Emit closed sessions (30-minute event-time gap) per user; state keeps
     * only the open session per key — bounded by the active-user count.
     */
-  def sessionize(spark: SparkSession, sourceDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sourceDir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
-    spark.readStream.schema(eventSchema).parquet(sourceDir)
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -103,8 +111,9 @@ object EventStream {
       .toDF()
   }
 
-  def runSessionize(spark: SparkSession, sourceDir: String, queryName: String): DataFrame = {
-    val q = sessionize(spark, sourceDir).writeStream
+  def runSessionize(spark: SparkSession, sourceDir: String, queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = sessionize(spark, sourceDir, maxFilesPerTrigger).writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode(OutputMode.Append())

@@ -30,8 +30,11 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.OutputMode
     val q = spark.readStream.schema(EventStream.eventSchema).parquet(sourceDir)
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes")("start").as("window_start"))
+      // Group by the full window struct so the event-time watermark metadata
+      // stays attached to the aggregate; project window.start afterwards.
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
       .writeStream.format("memory").queryName("slide_test")
       .outputMode(OutputMode.Complete()).start()
     q.processAllAvailable(); q.stop()
@@ -43,45 +46,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  /** Rows (event_id, ts-string) → events-schema DataFrame. */
+  private def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) =>
+      (id, java.sql.Timestamp.valueOf(t), id % 5, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Stage `df` as a single parquet file in `watched` with a controlled
+    * modification time, so maxFilesPerTrigger=1 yields one micro-batch per
+    * staged file in `modOffsetSec` order.
+    */
+  private def stageFile(watched: java.nio.file.Path, name: String,
+                        df: org.apache.spark.sql.DataFrame, modOffsetSec: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val tmp = Files.createTempDirectory(s"late_stage_$name").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = watched.resolve(s"$name.parquet")
+    Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst,
+      FileTime.fromMillis(System.currentTimeMillis() - 60000 + modOffsetSec * 1000))
+  }
+
   test("append-mode watermark drops a too-late event") {
     import org.apache.spark.sql.streaming.OutputMode
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
+    import java.nio.file.Files
 
-    // Three files, one micro-batch each (maxFilesPerTrigger=1, mod-time
-    // ordered). Batch 1 carries the 10:00 window AND a 12:00 event that
-    // advances max event time, so the watermark after batch 1 is 11:50.
-    // Batch 2's 10:05 event is then 105 minutes late → must be dropped,
-    // and the finalized [10:00, 10:10) window emitted WITHOUT it.
-    def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
-      import spark.implicits._
-      rows.map { case (id, t) =>
-        (id, java.sql.Timestamp.valueOf(t), id % 5, "click", 1.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    }
+    // One micro-batch per file (maxFilesPerTrigger=1, mod-time ordered).
+    // Spark keeps TWO watermarks per batch (SPARK-42376): the late-event
+    // filter uses the PREVIOUS batch's watermark, eviction uses the current
+    // one. Batch 0 carries the 10:00 window and a 12:00 event, so the
+    // eviction watermark in batch 1 is 11:50 — but batch 1's late-event
+    // watermark is still epoch 0. Hence the filler batch 1 (12:01): it lets
+    // the [10:00, 10:10) window finalize at 3 events, and by batch 2 the
+    // late-event watermark has advanced to 11:50, so batch 2's 10:05 event
+    // (105 minutes late) is dropped by the watermark filter.
     val watched = Files.createTempDirectory("late_src")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame, modOffsetSec: Long): Unit = {
-      val tmp = Files.createTempDirectory(s"late_stage_$name").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dst = watched.resolve(s"$name.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        FileTime.fromMillis(System.currentTimeMillis() - 60000 + modOffsetSec * 1000))
-    }
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, modOffsetSec: Long): Unit =
+      stageFile(watched, name, df, modOffsetSec)
     stage("a", mkEvents(Seq(
       (1L, "2024-01-01 10:00:30"), (2L, "2024-01-01 10:02:00"),
       (3L, "2024-01-01 10:04:00"), (4L, "2024-01-01 12:00:00"))), 0)
-    stage("b", mkEvents(Seq((5L, "2024-01-01 10:05:00"))), 10) // late
-    stage("c", mkEvents(Seq((6L, "2024-01-01 12:30:00"))), 20)
+    stage("b", mkEvents(Seq((7L, "2024-01-01 12:01:00"))), 10) // filler
+    stage("c", mkEvents(Seq((5L, "2024-01-01 10:05:00"))), 20) // late
+    stage("d", mkEvents(Seq((6L, "2024-01-01 12:30:00"))), 30)
 
     val q = spark.readStream.schema(EventStream.eventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(watched.toString)
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "10 minutes")("start").as("window_start"))
+      // Must group by the window STRUCT: extracting ("start") before the agg
+      // severs the watermark link and append mode rejects the plan.
+      .groupBy(window(col("ts"), "10 minutes"))
       .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
       .writeStream.format("memory").queryName("late_test")
       .outputMode(OutputMode.Append()).start()
     q.processAllAvailable(); q.stop()
@@ -94,6 +116,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1, s"expected one 10:00 window row, got ${out.toSeq}")
     assert(out.head.getAs[Long]("n_events") == 3L,
       s"late event leaked into the finalized window: ${out.toSeq}")
+    // And the operator itself reports exactly one watermark-dropped row.
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1L, s"expected 1 row dropped by watermark, got $dropped")
+  }
+
+  test("sessionization across micro-batches: gap event closes the old session, opens a new one") {
+    import java.nio.file.Files
+    // Batch 0: user 42's session starts (10:00, 10:05). Batch 1 arrives
+    // out of order within the batch: 10:06 (still in-session — must extend,
+    // not reopen) and 11:00 (54 min after 10:06 → closes the first session
+    // at n=3 and opens a NEW session rather than extending the closed one).
+    // State carries the open session across the batch boundary.
+    val watched = Files.createTempDirectory("sess_src")
+    // event_id chosen ≡ 2 (mod 5) so all rows land on user_id 2.
+    stageFile(watched, "a", mkEvents(Seq(
+      (2L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:05:00"))), 0)
+    stageFile(watched, "b", mkEvents(Seq(
+      (17L, "2024-01-01 11:00:00"), (12L, "2024-01-01 10:06:00"))), 10)
+
+    val closed = EventStream.runSessionize(
+      spark, watched.toString, "sess_gap_test", maxFilesPerTrigger = Some(1))
+      .filter(col("user_id") === 2L).collect()
+    assert(closed.length == 1, s"expected exactly one closed session, got ${closed.toSeq}")
+    val row = closed.head
+    assert(row.getAs[java.sql.Timestamp]("session_start") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), s"wrong session start: $row")
+    assert(row.getAs[Long]("n_events") == 3L,
+      s"out-of-order in-session event must extend, not reopen: $row")
   }
 
   test("stateful sessionization closes sessions on the 30-minute gap") {
