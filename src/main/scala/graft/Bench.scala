@@ -1,9 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},...}`.
+  *
+  * Honesty rules:
+  *   - Each query runs SPARK_GRAFT_BENCH_N times (default 3); the reported
+  *     per-query number is the MIN (warm steady-state), `value` is the sum
+  *     of mins, and `value_mean` the sum of means, so run-to-run noise is
+  *     distinguishable from real regressions.
+  *   - A failing query is NOT silently recorded as a fast time: it reports
+  *     sec = -1 and an entry in the top-level `errors` map.
+  *   - Every individual run time goes to BENCH_DETAIL.json (path
+  *     overridable via SPARK_GRAFT_BENCH_DETAIL) for offline analysis; the
+  *     stdout line stays compact (3-decimal secs) so the driver's tail
+  *     buffer keeps it intact.
+  */
 object Bench {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,15 +51,40 @@ object Bench {
     // JVM/classloader/codegen-compiler costs.
     try SparkEntry.queries("q_agg_customer")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // name -> (per-run seconds, first error message or null)
+    val detail: Seq[(String, Seq[Double], String)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var err: String = null
+        val runs = (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => if (err == null) err = e.toString }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, runs, err)
+      }
+
+    val detailJson = detail.map { case (name, runs, err) =>
+      val errJs = if (err == null) "null" else "\"" + jsonEscape(err) + "\""
+      s""""$name":{"runs":[${runs.map(fmt).mkString(",")}],"err":$errJs}"""
+    }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    val ok = detail.filter(_._3 == null)
+    val qs = detail.map { case (name, runs, err) =>
+      val v = if (err == null) fmt(runs.min) else "-1"
+      s""""$name":$v"""
+    }.mkString("{", ",", "}")
+    val errs = detail.collect { case (name, _, err) if err != null =>
+      s""""$name":"${jsonEscape(err.take(160))}""""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2.min).sum
+    val totalMean = ok.map(t => t._2.sum / t._2.size).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
