@@ -64,6 +64,7 @@ object Bench {
         }
         (name, runs, err)
       }
+    graft.queries.Det.releasePins(spark) // pins live only for the sweep
 
     val detailJson = detail.map { case (name, runs, err) =>
       val errJs = if (err == null) "null" else "\"" + jsonEscape(err) + "\""

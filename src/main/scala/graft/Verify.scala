@@ -47,6 +47,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.queries.Det.releasePins(spark) // pins live only for the dump sweep
     spark.stop()
   }
 }

@@ -44,13 +44,12 @@ object Dedup {
     * derivation — signatures, fingerprints, postings, both self-join
     * sides — scans the same InMemoryRelation. The 100 TB equivalent is a
     * staged write of the shingle table read by all downstream dedup jobs.
+    * Lifecycle (and the stale-on-rewrite caveat) via Det.memo/releasePins.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedShingles(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((spark, dir),
-      Det.pin(withShingles(documents(spark, dir))
-        .select(col("doc_id"), col("shingles"))))
+    Det.memo(spark, s"dedup.shingles:$dir") {
+      withShingles(documents(spark, dir)).select(col("doc_id"), col("shingles"))
+    }
 
   private val duckShingles: String =
     """SELECT doc_id,

@@ -68,9 +68,46 @@ object Det {
     * both: the column is computed once and every consumer — including
     * both self-join sides — scans the same cache. At 100 TB the
     * equivalent is a staged write of the signature table.
+    *
+    * Lifecycle: every pin is registered per owning session;
+    * `releasePins(spark)` unpersists them all after the last consumer
+    * (Verify after its dump, Bench after its sweep, suites in cleanup),
+    * so a long-lived session doesn't accumulate dead InMemoryRelations.
     */
-  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private val pinRegistry = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession,
+           scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]]
+  private val memoRegistry = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val buf = pinRegistry.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.ArrayBuffer.empty)
+    buf.synchronized { buf += df }
     df.cache()
+  }
+
+  /** Memoized pin per (session, key): the first caller builds and pins,
+    * later callers reuse the same InMemoryRelation — the in-session twin
+    * of a staged intermediate table at 100 TB. Assumes the underlying
+    * source is immutable for the session: a rewrite of the parquet under
+    * the same path would serve stale data until `releasePins`.
+    */
+  def memo(spark: org.apache.spark.sql.SparkSession, key: String)
+          (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    memoRegistry.getOrElseUpdate((spark, key), pin(build))
+
+  /** Unpersist every pin owned by `spark` and evict its memo entries.
+    * Memo eviction matters: an unpersisted-but-memoized DataFrame would
+    * silently recompute its HOF chain per consumer on reuse (the exact
+    * blowup pin exists to prevent) — evicting forces a fresh pin instead.
+    */
+  def releasePins(spark: org.apache.spark.sql.SparkSession): Unit = {
+    memoRegistry.keys.filter(_._1 eq spark).foreach(memoRegistry.remove)
+    pinRegistry.remove(spark).foreach { buf =>
+      buf.synchronized { buf.foreach(_.unpersist(blocking = false)); buf.clear() }
+    }
+  }
 
   // ---- DuckDB SQL twins (same ops, same order) ----
   def sqlR(e: String, s: Int): String = s"floor(($e) * 1e$s + 0.5) / 1e$s"

@@ -40,11 +40,16 @@ object Similarity {
     s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, 64)], (x, y) -> x + y)"
 
   /** vectors + precomputed L2 norm (sequential fold, engine-identical),
-    * behind a pin so the fold runs once per row — not once per pair
-    * reference after CollapseProject inlining (Det.pin).
+    * behind a memoized pin so the fold runs once per row AND once per
+    * (session, dir) — q_ann_recall re-runs the brute/LSH/IVF pipelines as
+    * subplans, and without the memo each subplan re-pinned its own copy
+    * of the same norm scan.
     */
-  private def withNorm(df: DataFrame): DataFrame =
-    Det.pin(df.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Det.memo(spark, s"sim.norm:$dir") {
+      embeddings(spark, dir)
+        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    }
 
   private val duckNorm: String =
     s"SELECT vec_id, label, embedding, sqrt(${duckDot("embedding", "embedding")}) AS norm FROM embeddings"
@@ -54,7 +59,7 @@ object Similarity {
     * The probe side is tiny → broadcast; the corpus is scanned once.
     */
   val knnBrute: Q = (spark, dir) => {
-    val v = withNorm(embeddings(spark, dir))
+    val v = withNorm(spark, dir)
     val queries = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val scored = v.crossJoin(broadcast(queries))
@@ -123,7 +128,11 @@ object Similarity {
       |  for j in generate_series(0, 15)]) AS BIGINT)""".stripMargin
 
   val knnLsh: Q = (spark, dir) => {
-    val v = Det.pin(withNorm(embeddings(spark, dir)).withColumn("sketch", expr(sketchExpr)))
+    // Memoized like the norm scan: q_ann_recall embeds this pipeline as a
+    // subplan and must reuse the same sketch cache, not pin a second copy.
+    val v = Det.memo(spark, s"sim.sketch:$dir") {
+      withNorm(spark, dir).withColumn("sketch", expr(sketchExpr))
+    }
     val banded = v.select(col("vec_id"), col("label"), col("embedding"), col("norm"),
       explode(expr(
         "transform(sequence(0, 3), k -> struct(k AS band_idx, shiftright(sketch, k*4) & 15 AS nib))")).as("b"))
@@ -192,19 +201,43 @@ object Similarity {
     * as the DuckDB fold — and x·y is bitwise symmetric, so the cosine is
     * identical whichever side of the join a vector lands on.
     */
+  /** Block count for the exact pair join, derived from the environment
+    * instead of hardcoded: enough (ba, bb) cells to fill the cluster
+    * (B(B+1)/2 ≳ default parallelism) and enough blocks that one block
+    * stays task-sized (≈64k vectors) — whichever demands more. The output
+    * is independent of B (blocking only partitions the same exact pair
+    * set), which `SimilaritySpec` asserts by comparing B values.
+    */
+  private def autoBlocks(spark: SparkSession, rows: Long): Int = {
+    val byParallelism = math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism))
+    val byRows = math.ceil(rows / 65536.0)
+    math.max(2.0, math.max(byParallelism, byRows)).toInt
+  }
+
   val embedNearDup: Q = (spark, dir) => {
-    val B = 8
-    val v = withNorm(embeddings(spark, dir))
+    val v = withNorm(spark, dir) // memoized pin: count() below reads the cache
+    embedNearDupBlocked(autoBlocks(spark, v.count()))(spark, dir)
+  }
+
+  /** Exact near-dup pairs with an explicit block count. The join key is the
+    * full (ba, bb) cell — not bb alone — so the quadratic work spreads over
+    * B(B+1)/2 shuffle cells rather than B, at the cost of also replicating
+    * the right side ~(B+1)/2× (both sides now carry the same volume; the
+    * old shape capped parallelism at B tasks regardless of cluster size).
+    */
+  def embedNearDupBlocked(B: Int): Q = (spark, dir) => {
+    val v = withNorm(spark, dir)
       .withColumn("blk", (col("vec_id") % B).cast("int"))
     val blockPairs = spark.range(B).select(col("id").cast("int").as("ba"))
       .crossJoin(spark.range(B).select(col("id").cast("int").as("bb")))
       .filter(col("ba") <= col("bb"))
     val left = v.select(col("vec_id").as("id_l"), col("embedding").as("emb_l"),
         col("norm").as("norm_l"), col("blk").as("ba"))
-      .join(broadcast(blockPairs), "ba")
+      .join(broadcast(blockPairs), "ba") // replicate over cells (ba, bb ≥ ba)
     val right = v.select(col("vec_id").as("id_r"), col("embedding").as("emb_r"),
         col("norm").as("norm_r"), col("blk").as("bb"))
-    left.join(right, Seq("bb"))
+      .join(broadcast(blockPairs), "bb") // replicate over cells (ba ≤ bb, bb)
+    left.join(right, Seq("ba", "bb"))
       .filter(col("ba") < col("bb") || col("id_l") < col("id_r"))
       .withColumn("cosine_raw",
         expr(dotExpr("emb_l", "emb_r")) / (col("norm_l") * col("norm_r")))
@@ -234,7 +267,7 @@ object Similarity {
     */
   val knnTopKAgg: Q = (spark, dir) => {
     val topk = udaf(new graft.functions.TopKByScore(5))
-    val v = withNorm(embeddings(spark, dir))
+    val v = withNorm(spark, dir)
     val queries = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val scored = v.crossJoin(broadcast(queries))
@@ -263,7 +296,7 @@ object Similarity {
     * so the grouped sum is order-free.
     */
   val knnIvf: Q = (spark, dir) => {
-    val v = withNorm(embeddings(spark, dir))
+    val v = withNorm(spark, dir)
     val dims = v.select(col("label"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "valf")))
       .select(col("label"), col("vec_id"), (col("pos") + 1).as("d"),
