@@ -72,16 +72,77 @@ object Classic {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  /** Market-share shape (grouped subquery over an EIGHT-way join): the
+    * supplier nation's share of PROMO-part revenue sold into ASIA, per
+    * order year. The inner query joins part → lineitem → supplier/orders →
+    * customer → nation → region (plus the second nation edge for the
+    * supplier side) and the outer computes the conditional-sum ratio —
+    * the deepest reorder problem in the suite, and the shape where a bad
+    * join order (fact-first instead of selective-dimension-first) is
+    * catastrophic at 100×.
+    */
+  val marketShareSql: String =
+    """SELECT o_year,
+      |  floor((nation_volume / total_volume) * 1e4 + 0.5) / 1e4 AS mkt_share,
+      |  floor(total_volume * 1e2 + 0.5) / 1e2 AS total_volume
+      |FROM (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
+      |                       THEN l.l_extendedprice * (1.0 - l.l_discount)
+      |                       ELSE 0.0 END AS DECIMAL(28,8))) AS DOUBLE) AS nation_volume,
+      |    CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS total_volume
+      |  FROM part p
+      |  JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  WHERE r.r_name = 'ASIA'
+      |    AND p.p_type = 'PROMO'
+      |    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY year(o.o_orderdate)
+      |) t
+      |ORDER BY o_year""".stripMargin
+
+  /** Large-volume-order shape (semi-join via IN + grouped HAVING): orders
+    * whose total quantity exceeds 250, re-joined to customer detail. The
+    * IN subquery decorrelates to a semi-join against a grouped aggregate
+    * of the same fact table — at scale the aggregate prunes before the
+    * 3-way join runs, so the expensive path only sees qualifying keys.
+    * Quantities are integral doubles, so the HAVING sum is exact in both
+    * engines.
+    */
+  val bigOrdersSql: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |  CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice,
+      |  floor(CAST(sum(CAST(l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_qty
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sql_revenue_forecast" -> viaSql(Seq("lineitem"), revenueForecastSql),
     "q_sql_shipping_priority" -> viaSql(Seq("customer", "orders", "lineitem"), shippingPrioritySql),
     "q_sql_local_volume" -> viaSql(
-      Seq("region", "nation", "customer", "orders", "lineitem", "supplier"), localVolumeSql)
+      Seq("region", "nation", "customer", "orders", "lineitem", "supplier"), localVolumeSql),
+    "q_sql_market_share" -> viaSql(
+      Seq("region", "nation", "customer", "orders", "lineitem", "supplier", "part"), marketShareSql),
+    "q_sql_big_orders" -> viaSql(Seq("customer", "orders", "lineitem"), bigOrdersSql)
   )
 
   val oracles: Map[String, String] = Map(
     "q_sql_revenue_forecast" -> revenueForecastSql,
     "q_sql_shipping_priority" -> shippingPrioritySql,
-    "q_sql_local_volume" -> localVolumeSql
+    "q_sql_local_volume" -> localVolumeSql,
+    "q_sql_market_share" -> marketShareSql,
+    "q_sql_big_orders" -> bigOrdersSql
   )
 }
