@@ -123,6 +123,77 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming dedup ----
+
+  private def streamReader(spark: SparkSession, sourceDir: String,
+                           maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+  }
+
+  /** Streaming exact dedup on event_id: the streaming twin of
+    * q_dedup_exact's hash-group. dropDuplicatesWithinWatermark keeps only
+    * keys newer than the watermark in the state store, so state is bounded
+    * by (event-rate × watermark delay) instead of growing with the full
+    * history — the property that makes exact dedup feasible on an
+    * unbounded stream. A duplicate arriving within the delay is dropped;
+    * one arriving later than the watermark is the documented residual
+    * (production dedup composes this with the batch exact pass).
+    */
+  def dedupStream(spark: SparkSession, sourceDir: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    streamReader(spark, sourceDir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  def runDedupStream(spark: SparkSession, sourceDir: String, queryName: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = dedupStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
+  // ---- Stream-stream interval join ----
+
+  /** Click→purchase attribution as a stream-stream inner join: purchases
+    * join clicks of the same user within [click_ts, click_ts + 30 min].
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can evict join state older than
+    * (watermark − interval) — without the bound the state store would
+    * retain every click forever. Append-mode emits a match once both
+    * sides' watermarks pass the row.
+    */
+  def clickPurchaseJoin(spark: SparkSession, sourceDir: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val clicks = streamReader(spark, sourceDir, maxFilesPerTrigger)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = streamReader(spark, sourceDir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  def runClickPurchaseJoin(spark: SparkSession, sourceDir: String, queryName: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = clickPurchaseJoin(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   /** Demo main: stage the batch events table as a streaming source dir,
     * run both pipelines, print results.
     */

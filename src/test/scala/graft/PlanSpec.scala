@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape assertions over the real query suite: the properties that
+  * decide 100 TB viability — filters/projections reaching the parquet
+  * scan, dimension joins broadcasting, aggregates inside whole-stage
+  * codegen, and NO cartesian product anywhere — checked on every
+  * registered query, so a regression in plan quality fails CI even while
+  * results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filters and projection are pushed into the parquet scan") {
+    val plan = planOf("q_scan_filter_project")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown metadata:\n$plan")
+    assert(!plan.replaceAll("\\s", "").contains("PushedFilters:[]"),
+      s"filter list pushed down empty:\n$plan")
+    // Projection pruning: the scan must not read the full 11-column
+    // lineitem schema (the query needs 7).
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length).getOrElse(Int.MaxValue)
+    assert(scanCols <= 8, s"scan reads $scanCols of 11 lineitem columns:\n$plan")
+  }
+
+  test("star-join dimensions broadcast") {
+    val plan = planOf("q_sql_local_volume")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+  }
+
+  test("aggregation pipelines run inside whole-stage codegen") {
+    for (q <- Seq("q_agg_customer", "q_agg_product", "q_sql_pricing_summary")) {
+      // Codegen wrapping only shows in the FINAL adaptive plan — execute
+      // THIS df's own queryExecution first (count() would plan a separate
+      // execution and leave this one initial).
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("codegen id"), s"$q left codegen:\n$plan")
+    }
+  }
+
+  test("no query in the suite plans a cartesian product") {
+    // Broadcast nested-loop joins against tiny probe/block-pair sets are
+    // legitimate; an actual CartesianProduct (both sides shuffled, n×m)
+    // never is.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name)
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}

@@ -147,6 +147,43 @@ class StreamingSpec extends SparkSpec {
       s"out-of-order in-session event must extend, not reopen: $row")
   }
 
+  test("streaming dedup drops a cross-batch duplicate within the watermark") {
+    import java.nio.file.Files
+    val watched = Files.createTempDirectory("dedup_src")
+    stageFile(watched, "a", mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:02:00"),
+      (3L, "2024-01-01 10:04:00"))), 0)
+    // Batch 1 re-sends event_id 2 (within the 1 h watermark → must drop)
+    // alongside a genuinely new event.
+    stageFile(watched, "b", mkEvents(Seq(
+      (2L, "2024-01-01 10:06:00"), (4L, "2024-01-01 10:30:00"))), 10)
+
+    val out = EventStream.runDedupStream(
+      spark, watched.toString, "dedup_stream_test", maxFilesPerTrigger = Some(1))
+    assert(out.count() == 4, s"expected 4 unique events, got ${out.collect().toSeq}")
+    assert(out.filter(col("event_id") === 2L).count() == 1,
+      "the re-sent event_id must appear exactly once")
+  }
+
+  test("stream-stream interval join equals the batch join") {
+    val streamed = EventStream.runClickPurchaseJoin(spark, sourceDir, "attrib_test")
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+    assert(streamed.count() > 0, "the interval join should find attributed purchases")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val sessions = EventStream.runSessionize(spark, sourceDir, "sess_test")
     // Closed sessions emitted by the stream + one open session per user
