@@ -207,13 +207,79 @@ object Grouping {
       |  min(o_totalprice) AS min_price
       |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Arbitrary GROUPING SETS — the combination rollup/cube can't express:
+    * (region × segment), region-only, and segment-only marginals in ONE
+    * Expand pass (3 of the 4 cube levels; skipping the grand total is the
+    * point — you pay only for the sets you need).
+    */
+  val groupingSets: Q = (spark, dir) => {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("c_mktsegment")), Seq(col("r_name")), Seq(col("c_mktsegment"))),
+        col("r_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        r2(dsum(col("c_acctbal"))).as("total_acctbal"),
+        grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("c_mktsegment")).cast("long").as("g_segment"))
+      .orderBy(col("g_region"), col("g_segment"), col("r_name"), col("c_mktsegment"))
+  }
+
+  val groupingSetsSql: String =
+    s"""SELECT r.r_name, c.c_mktsegment, count(*) AS customer_count,
+       |  ${sqlR2(sqlDsum("c.c_acctbal"))} AS total_acctbal,
+       |  CAST(grouping(r.r_name) AS BIGINT) AS g_region,
+       |  CAST(grouping(c.c_mktsegment) AS BIGINT) AS g_segment
+       |FROM customer c
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY GROUPING SETS ((r.r_name, c.c_mktsegment), (r.r_name), (c.c_mktsegment))
+       |ORDER BY g_region, g_segment, r.r_name, c.c_mktsegment""".stripMargin
+
+  /** Unpivot (wide → long): per-returnflag measure columns melted into
+    * (metric, value) rows — the inverse of pivot, Spark's `unpivot`
+    * operator. The oracle states the portable UNION ALL form. At scale
+    * unpivot is a per-row flatMap (Expand), no shuffle.
+    */
+  val unpivotMeasures: Q = (spark, dir) =>
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(dsum(col("l_quantity"))).as("sum_qty"),
+        r2(dsum(col("l_extendedprice"))).as("sum_price"),
+        r2(dsum(col("l_discount"))).as("sum_disc"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val unpivotMeasuresSql: String =
+    s"""WITH w AS (
+       |  SELECT l_returnflag,
+       |    ${sqlR2(sqlDsum("l_quantity"))} AS sum_qty,
+       |    ${sqlR2(sqlDsum("l_extendedprice"))} AS sum_price,
+       |    ${sqlR2(sqlDsum("l_discount"))} AS sum_disc
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+       |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+       |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+       |ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_conditional_aggs" -> conditionalAggs,
     "q_collect_agg" -> collectAgg,
     "q_salted_agg" -> saltedAgg,
     "q_rollup_region" -> rollupRegion,
     "q_cube_flags" -> cubeFlags,
-    "q_pivot_priority" -> pivotPriority
+    "q_pivot_priority" -> pivotPriority,
+    "q_grouping_sets" -> groupingSets,
+    "q_unpivot" -> unpivotMeasures
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +288,8 @@ object Grouping {
     "q_salted_agg" -> saltedAggSql, // plain aggregate: asserts salting is lossless
     "q_rollup_region" -> rollupRegionSql,
     "q_cube_flags" -> cubeFlagsSql,
-    "q_pivot_priority" -> pivotPrioritySql
+    "q_pivot_priority" -> pivotPrioritySql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_unpivot" -> unpivotMeasuresSql
   )
 }

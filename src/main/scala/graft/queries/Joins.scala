@@ -188,12 +188,53 @@ object Joins {
       |  ON c.c_custkey = t.o_custkey
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** FULL outer join with genuinely one-sided keys on BOTH sides: nations
+    * holding top-balance customers vs nations holding top-balance
+    * suppliers (the thresholds make each side partial), null-extended in
+    * both directions. Shuffle join on the nation key; both inputs are
+    * pre-aggregated so the outer join sees one row per key per side.
+    */
+  val joinFullOuter: Q = (spark, dir) => {
+    val ca = customer(spark, dir).filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("rich_customers"), r2(dsum(col("c_acctbal"))).as("cust_balance"))
+    val sa = supplier(spark, dir).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("rich_suppliers"), r2(dsum(col("s_acctbal"))).as("supp_balance"))
+    ca.join(sa, ca("c_nationkey") === sa("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("rich_customers"), lit(0L)).as("rich_customers"),
+        coalesce(col("cust_balance"), lit(0.0)).as("cust_balance"),
+        coalesce(col("rich_suppliers"), lit(0L)).as("rich_suppliers"),
+        coalesce(col("supp_balance"), lit(0.0)).as("supp_balance"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinFullOuterSql: String =
+    s"""WITH ca AS (
+      |  SELECT c_nationkey, count(*) AS rich_customers,
+      |    ${sqlR2(sqlDsum("c_acctbal"))} AS cust_balance
+      |  FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+      |sa AS (
+      |  SELECT s_nationkey, count(*) AS rich_suppliers,
+      |    ${sqlR2(sqlDsum("s_acctbal"))} AS supp_balance
+      |  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+      |SELECT coalesce(ca.c_nationkey, sa.s_nationkey) AS nationkey,
+      |  coalesce(ca.rich_customers, 0) AS rich_customers,
+      |  coalesce(ca.cust_balance, 0.0) AS cust_balance,
+      |  coalesce(sa.rich_suppliers, 0) AS rich_suppliers,
+      |  coalesce(sa.supp_balance, 0.0) AS supp_balance
+      |FROM ca FULL OUTER JOIN sa ON ca.c_nationkey = sa.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_join_3way" -> join3Way,
     "q_join_multikey" -> joinMultiKey,
     "q_join_snowflake" -> joinSnowflake,
     "q_join_left_anti" -> joinLeftAnti,
-    "q_join_left_outer" -> joinLeftOuter
+    "q_join_left_outer" -> joinLeftOuter,
+    "q_join_full_outer" -> joinFullOuter
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +242,7 @@ object Joins {
     "q_join_multikey" -> joinMultiKeySql,
     "q_join_snowflake" -> joinSnowflakeSql,
     "q_join_left_anti" -> joinLeftAntiSql,
-    "q_join_left_outer" -> joinLeftOuterSql
+    "q_join_left_outer" -> joinLeftOuterSql,
+    "q_join_full_outer" -> joinFullOuterSql
   )
 }

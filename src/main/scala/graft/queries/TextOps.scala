@@ -160,15 +160,86 @@ object TextOps {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** BM25 term scoring: top-3 scoring terms per document (probe subset)
+    * against corpus-wide document frequencies — the retrieval-quality
+    * signal a training-data pipeline uses for query-document relevance
+    * and keyword extraction.
+    *
+    * Determinism: the classic BM25 idf is ln-based, and libm's ln differs
+    * in the last ulp across engines — so this uses the Robertson RATIONAL
+    * idf (N − df + 0.5)/(df + 0.5), keeping the whole score inside plain
+    * IEEE arithmetic that both engines compute bit-identically (k1 = 1.2,
+    * b = 0.75 folded as 0.25 + 0.75·dl/avgdl in both texts).
+    *
+    * Scale shape: tf is one shuffle on (doc, term), df one on term, the
+    * corpus stats are a broadcast scalar, and the final top-k is a
+    * per-doc window over the probe subset only.
+    */
+  val textBm25: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val docLen = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      davg(col("dl")).as("avgdl"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(dfreq, "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        r6(col("score")).as("bm25"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textBm25Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+       |tf AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM toks),
+       |tfc AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tf GROUP BY doc_id, term),
+       |dfc AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY term),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, ${sqlDavg("dl")} AS avgdl FROM dl),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+       |  FROM tfc t JOIN dfc d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+       |  WHERE t.doc_id < 50),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, rank, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  ${sqlR6("score")} AS bm25
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
-    "q_text_fingerprint" -> textFingerprint
+    "q_text_fingerprint" -> textFingerprint,
+    "q_text_bm25" -> textBm25
   )
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,
-    "q_text_fingerprint" -> textFingerprintSql
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_text_bm25" -> textBm25Sql
   )
 }
