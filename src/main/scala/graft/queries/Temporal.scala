@@ -117,13 +117,57 @@ object Temporal {
        |GROUP BY 1, 2, 3
        |ORDER BY error_id""".stripMargin
 
+  /** Date-spine gap fill: daily revenue for one nation over a month,
+    * INCLUDING the zero days — a generated calendar spine (sequence +
+    * explode) left-joined against the sparse per-day aggregate, zeros
+    * coalesced in. The time-series completion idiom: without the spine a
+    * day with no orders silently vanishes from the series (and from any
+    * moving average over it). The spine is O(days) — generated, never
+    * shuffled (broadcast side of the join at scale).
+    */
+  val dateSpine: Q = (spark, dir) => {
+    val spine = spark.range(1)
+      .select(explode(expr("sequence(DATE'1996-01-01', DATE'1996-01-31')")).as("day"))
+    val daily = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 3 &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"), r2(dsum(col("o_totalprice"))).as("revenue"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"))
+  }
+
+  val dateSpineSql: String =
+    s"""WITH spine AS (
+       |  SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-01-31', INTERVAL 1 DAY))::DATE AS day),
+       |daily AS (
+       |  SELECT CAST(o.o_orderdate AS DATE) AS day, count(*) AS n_orders,
+       |    ${sqlR2(sqlDsum("o.o_totalprice"))} AS revenue
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE c.c_nationkey = 3
+       |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o.o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s.day,
+       |  coalesce(d.n_orders, 0) AS n_orders,
+       |  coalesce(d.revenue, 0.0) AS revenue
+       |FROM spine s LEFT JOIN daily d ON s.day = d.day
+       |ORDER BY s.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_asof_join" -> asofJoin,
-    "q_range_join" -> rangeJoin
+    "q_range_join" -> rangeJoin,
+    "q_date_spine" -> dateSpine
   )
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofJoinSql,
-    "q_range_join" -> rangeJoinSql
+    "q_range_join" -> rangeJoinSql,
+    "q_date_spine" -> dateSpineSql
   )
 }

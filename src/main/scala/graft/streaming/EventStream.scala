@@ -194,6 +194,61 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** LEFT OUTER variant: clicks with no purchase in the interval emit
+    * null-extended ONCE the click's join window is provably closed — i.e.
+    * both watermarks have passed click_ts + 30 min. The two-sided
+    * watermark + time bound is what makes the null emission decidable on
+    * an unbounded stream (without it "no match yet" never becomes "no
+    * match ever").
+    */
+  def clickPurchaseJoinOuter(spark: SparkSession, sourceDir: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val clicks = streamReader(spark, sourceDir, maxFilesPerTrigger)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = streamReader(spark, sourceDir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("purchase_id"))
+  }
+
+  def runClickPurchaseJoinOuter(spark: SparkSession, sourceDir: String, queryName: String,
+                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = clickPurchaseJoinOuter(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
+  /** Arbitrary-sink pattern via foreachBatch: each micro-batch of the
+    * deduped stream lands as an append to a parquet directory. foreachBatch
+    * is the hook for sinks the built-ins can't express (merge/upsert,
+    * multi-table fan-out) — the batch DataFrame is a normal batch frame
+    * inside the callback. Exactly-once comes from the checkpoint's batch
+    * id + an idempotent write at the destination.
+    */
+  def runDedupToParquet(spark: SparkSession, sourceDir: String, outDir: String,
+                        maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val q = dedupStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable(); q.stop()
+  }
+
   /** Demo main: stage the batch events table as a streaming source dir,
     * run both pipelines, print results.
     */

@@ -44,6 +44,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partition filters prune a partitioned layout at plan time") {
+    import org.apache.spark.sql.functions._
+    // Hive-style partition layout on the high-cardinality-scan side: at
+    // 100 TB, partitioning events by type/date means a filtered read
+    // lists only matching directories — the scan never touches the rest.
+    val dir = java.nio.file.Files.createTempDirectory("events_part").toString
+    Tables.events(spark, sfDir).write
+      .partitionBy("event_type").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filter metadata:\n$plan")
+    assert(plan.contains("event_type"), s"partition filter lost:\n$plan")
+    assert(!plan.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"partition filter list empty — scan reads every partition:\n$plan")
+    // And the pruned read returns exactly the filtered rows.
+    val expected = Tables.events(spark, sfDir).filter(col("event_type") === "click").count()
+    assert(df.count() == expected)
+  }
+
   test("no query in the suite plans a cartesian product") {
     // Broadcast nested-loop joins against tiny probe/block-pair sets are
     // legitimate; an actual CartesianProduct (both sides shuffled, n×m)

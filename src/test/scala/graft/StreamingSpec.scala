@@ -184,6 +184,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("left-outer interval join emits null for a provably unmatched click") {
+    import java.nio.file.Files
+    val watched = Files.createTempDirectory("outer_src")
+    // Batch 0 (user 2): click 10:00 matched by purchase 10:10; click
+    // 11:00 unmatched. The global watermark is the MIN across both
+    // watermarked streams — so batch 1 advances BOTH sides past 19:00
+    // (click 20:00 user 2, purchase 20:05 user 3 — different users, no
+    // new match). Only then is "no purchase ≤ 11:30" provable for the
+    // 11:00 click. Eviction (the null emission) runs in a later batch
+    // than the watermark advance (SPARK-42376 lag) — the two view
+    // batches trigger it. The 20:00 click's window stays open → no row.
+    def ev(id: Long, t: String, typ: String) = {
+      import spark.implicits._
+      Seq((id, java.sql.Timestamp.valueOf(t), id % 5, typ, 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    stageFile(watched, "a",
+      ev(2L, "2024-01-01 10:00:00", "click")
+        .unionAll(ev(7L, "2024-01-01 10:10:00", "purchase"))
+        .unionAll(ev(12L, "2024-01-01 11:00:00", "click")), 0)
+    stageFile(watched, "b",
+      ev(17L, "2024-01-01 20:00:00", "click")
+        .unionAll(ev(23L, "2024-01-01 20:05:00", "purchase")), 10)
+    stageFile(watched, "c", ev(22L, "2024-01-01 20:30:00", "view"), 20)
+    stageFile(watched, "d", ev(27L, "2024-01-01 21:00:00", "view"), 30)
+
+    val out = EventStream.runClickPurchaseJoinOuter(
+      spark, watched.toString, "outer_join_test", maxFilesPerTrigger = Some(1))
+    val matched = out.filter(col("click_id") === 2L).collect()
+    assert(matched.length == 1 && matched.head.getAs[Long]("purchase_id") == 7L,
+      s"click 2 should match purchase 7: ${out.collect().toSeq}")
+    val unmatched = out.filter(col("click_id") === 12L).collect()
+    assert(unmatched.length == 1 && unmatched.head.isNullAt(unmatched.head.fieldIndex("purchase_id")),
+      s"click 12 should emit null-extended: ${out.collect().toSeq}")
+  }
+
+  test("foreachBatch parquet sink lands exactly the deduped rows") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("dedup_out").toString
+    EventStream.runDedupToParquet(spark, sourceDir, out)
+    val expected = Tables.events(spark, sfDir).select("event_id").distinct().count()
+    assert(spark.read.parquet(out).count() == expected)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val sessions = EventStream.runSessionize(spark, sourceDir, "sess_test")
     // Closed sessions emitted by the stream + one open session per user
