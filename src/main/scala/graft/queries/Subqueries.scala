@@ -65,15 +65,32 @@ object Subqueries {
       |FROM orders o
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** CORRELATED scalar subquery: each customer's orders at their personal
+    * maximum price. Catalyst must decorrelate the per-row aggregate into
+    * a grouped join (RewriteCorrelatedScalarSubquery) — the uncorrelated
+    * scalars in q_sql_scalar_subquery don't exercise that path. Ties
+    * (two orders at the max) surface identically in both engines: the
+    * compare is on stored doubles, no arithmetic.
+    */
+  val correlatedMaxSql: String =
+    """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+      |                        FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sql_exists" -> viaSql(Seq("customer", "orders"), existsSql),
     "q_sql_in_notin" -> viaSql(Seq("part", "lineitem", "orders"), inNotInSql),
-    "q_sql_scalar_subquery" -> viaSql(Seq("orders"), scalarSubquerySql)
+    "q_sql_scalar_subquery" -> viaSql(Seq("orders"), scalarSubquerySql),
+    "q_sql_correlated_max" -> viaSql(Seq("orders"), correlatedMaxSql)
   )
 
   val oracles: Map[String, String] = Map(
     "q_sql_exists" -> existsSql,
     "q_sql_in_notin" -> inNotInSql,
-    "q_sql_scalar_subquery" -> scalarSubquerySql
+    "q_sql_scalar_subquery" -> scalarSubquerySql,
+    "q_sql_correlated_max" -> correlatedMaxSql
   )
 }

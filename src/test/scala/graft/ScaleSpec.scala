@@ -39,6 +39,48 @@ class ScaleSpec extends SparkSpec {
     spark.sql("USE default")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // A manufactured hot key (98% of rows on k=0) joined under forced
+    // sort-merge: with the skew thresholds scaled to test size, AQE must
+    // re-plan the hot partition into splits (skew=true on the join) —
+    // the runtime answer to skew that salting solves statically
+    // (q_salted_agg); at 100 TB both paths matter.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val skewed = spark.range(200000).select(
+        when(col("id") < 196000, 0L).otherwise(pmod(col("id"), lit(97)) + 1L).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name"))
+      // Correctness through the grouped form (a downstream groupBy on the
+      // join key suppresses the skew split — it would break the agg's
+      // co-partitioning — so the plan assertion uses the plain join).
+      val grouped = skewed.join(dim, "k").groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(grouped.collect().find(_.getLong(0) == 0L).get.getAs[Long]("n") == 196000L)
+      val joined = skewed.join(dim, "k")
+      assert(joined.collect().length == 200000)
+      // The final adaptive plan only prints its tree through explainString.
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join for splitting:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct within rsd bound of exact") {
     val l = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = l.agg(
