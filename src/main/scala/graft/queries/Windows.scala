@@ -188,17 +188,54 @@ object Windows {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Ratio-to-report: each nation's share of its region's revenue via an
+    * unordered window total over the region partition — the
+    * percent-of-parent shape, one pass over the grouped table with no
+    * self-join. The window total sums the rounded per-nation revenues in
+    * DECIMAL (dsumOver): a plain double window sum would be
+    * partition-order-dependent in the last ulp.
+    */
+  val windowShare: Q = (spark, dir) => {
+    val per = customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .join(orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(r2(dsum(col("o_totalprice"))).as("revenue"))
+    val w = Window.partitionBy(col("r_name"))
+    per
+      .withColumn("region_total", r2(dsumOver(col("revenue"), w)))
+      .withColumn("share", r6(col("revenue") / dsumOver(col("revenue"), w)))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val windowShareSql: String =
+    s"""WITH per AS (
+       |  SELECT r.r_name, n.n_name,
+       |    ${sqlR2(sqlDsum("o.o_totalprice"))} AS revenue
+       |  FROM customer c
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  JOIN orders o ON o.o_custkey = c.c_custkey
+       |  GROUP BY r.r_name, n.n_name)
+       |SELECT r_name, n_name, revenue,
+       |  ${sqlR2(sqlDsumOver("revenue", "(PARTITION BY r_name)"))} AS region_total,
+       |  ${sqlR6("revenue / " + sqlDsumOver("revenue", "(PARTITION BY r_name)"))} AS share
+       |FROM per ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_window_value_fns" -> windowValueFns,
     "q_window_rank" -> windowRank,
     "q_window_moving_avg" -> windowMovingAvg,
-    "q_window_lag_lead" -> windowLagLead
+    "q_window_lag_lead" -> windowLagLead,
+    "q_window_share" -> windowShare
   )
 
   val oracles: Map[String, String] = Map(
     "q_window_value_fns" -> windowValueFnsSql,
     "q_window_rank" -> windowRankSql,
     "q_window_moving_avg" -> windowMovingAvgSql,
-    "q_window_lag_lead" -> windowLagLeadSql
+    "q_window_lag_lead" -> windowLagLeadSql,
+    "q_window_share" -> windowShareSql
   )
 }

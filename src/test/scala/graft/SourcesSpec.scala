@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage beyond the CSV/parquet the pipelines use:
+  * ORC and JSON-lines round-trips preserve rows and schema-compatible
+  * values. Formats are interchangeable behind the same DataFrame surface
+  * — the engine property that matters when a 100 TB lake mixes layouts.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ORC round-trip preserves rows and values") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq ==
+      src.orderBy(col("n_nationkey")).collect().toSeq)
+  }
+
+  test("JSON-lines round-trip preserves rows (schema re-applied on read)") {
+    val dir = java.nio.file.Files.createTempDirectory("json_rt").toString
+    val src = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    src.write.mode("overwrite").json(dir)
+    // JSON is schemaless on disk — reading with the explicit schema (the
+    // production pattern; inference is a full extra pass at scale).
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+}
