@@ -229,17 +229,115 @@ object TextOps {
        |  ${sqlR6("score")} AS bm25
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Training-chunk splitting: every document sliced into 64-token
+    * windows with stride 48 (16-token overlap) — the canonical LLM
+    * pre-training preprocessing step. Chunk boundaries come from a
+    * generated start-position sequence (1, 49, 97, …), so the operator is
+    * a per-row flatMap: no shuffle until the output sort, and the chunk
+    * count is ⌈n/48⌉ regardless of document size — no driver involvement.
+    * Each chunk carries its md5 so downstream chunk-level dedup can run
+    * without re-reading text.
+    */
+  val textChunks: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("start", explode(expr("sequence(1, CAST(n_tokens AS INT), 48)")))
+      .withColumn("chunk", expr("slice(toks, start, 64)"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / 48).cast("long").as("chunk_id"),
+        col("n_tokens"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        expr("element_at(chunk, 1)").as("first_token"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val textChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens, unnest(generate_series(1, CAST(n_tokens AS INT), 48)) AS start, toks
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |  n_tokens,
+      |  CAST(len(toks[start : start + 63]) AS BIGINT) AS chunk_tokens,
+      |  toks[start] AS first_token,
+      |  md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Benchmark-contamination check: per training document, the fraction
+    * of its distinct 8-grams that appear anywhere in the benchmark set
+    * (here: doc_id < 20 standing in for an eval suite) — the
+    * decontamination gate every serious pre-training pipeline runs.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * → broadcast; the train side is explode → broadcast-semi-join →
+    * per-doc count, so the corpus is scanned once and never shuffled on
+    * gram (at a 100 TB corpus with a big benchmark suite the broadcast
+    * becomes a bloom-filter pre-pass in front of the same join).
+    */
+  val textContamination: Q = (spark, dir) => {
+    val grams = documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 7),
+          |                         i -> concat_ws(' ', slice(toks, i, 8))))""".stripMargin)).as("gram"))
+    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") >= 20)
+    val hits = train.join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r6(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+          .as("overlap_ratio"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double") > 0.1)
+          .as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textContaminationSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(toks[i : i + 7], ' ')
+       |     for i in generate_series(1, len(toks) - 7)])) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 8),
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20),
+       |train AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 20),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM train
+       |  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id),
+       |totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_grams,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  ${sqlR6("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)")} AS overlap_ratio,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) > 0.1 AS is_contaminated
+       |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_fingerprint" -> textFingerprint,
-    "q_text_bm25" -> textBm25
+    "q_text_bm25" -> textBm25,
+    "q_text_chunks" -> textChunks,
+    "q_text_contamination" -> textContamination
   )
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,
-    "q_text_bm25" -> textBm25Sql
+    "q_text_bm25" -> textBm25Sql,
+    "q_text_chunks" -> textChunksSql,
+    "q_text_contamination" -> textContaminationSql
   )
 }
