@@ -148,17 +148,72 @@ object Events {
        |  ${sqlR2(sqlDsum("value"))} AS total_value
        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Ordered funnel analysis: per user, the signup → click → purchase
+    * progression where each stage's first event must be AT OR AFTER the
+    * previous stage's — the product-analytics staple. Stage resolution is
+    * a chain of grouped mins with a time bound carried from the previous
+    * stage (each stage one aggregate + one equi-join on user_id; users
+    * who never reach a stage null-extend, so funnel_depth is exact).
+    * Null stage timestamps are expected output (ORDER BY key is the
+    * non-null user_id).
+    */
+  val eventsFunnel: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val cl = ev.filter(col("event_type") === "click").as("e")
+      .join(su.as("s"), col("e.user_id") === col("s.user_id"))
+      .filter(col("e.ts") >= col("s.signup_ts"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("click_ts"))
+    val pu = ev.filter(col("event_type") === "purchase").as("e")
+      .join(cl.as("c"), col("e.user_id") === col("c.user_id"))
+      .filter(col("e.ts") >= col("c.click_ts"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("purchase_ts"))
+    su.join(cl, Seq("user_id"), "left_outer")
+      .join(pu, Seq("user_id"), "left_outer")
+      .select(
+        col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
+        (lit(1L)
+          + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_ts").isNotNull, 1L).otherwise(0L)).as("funnel_depth"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |cl AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= su.signup_ts
+      |  GROUP BY e.user_id),
+      |pu AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN cl ON e.user_id = cl.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= cl.click_ts
+      |  GROUP BY e.user_id)
+      |SELECT su.user_id, su.signup_ts, cl.click_ts, pu.purchase_ts,
+      |  CAST(1 + CASE WHEN cl.click_ts IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN pu.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth
+      |FROM su
+      |LEFT JOIN cl ON su.user_id = cl.user_id
+      |LEFT JOIN pu ON su.user_id = pu.user_id
+      |ORDER BY su.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_events_json" -> eventsJson,
     "q_events_tumbling" -> eventsTumbling,
     "q_events_sliding" -> eventsSliding,
-    "q_events_session" -> eventsSession
+    "q_events_session" -> eventsSession,
+    "q_events_funnel" -> eventsFunnel
   )
 
   val oracles: Map[String, String] = Map(
     "q_events_json" -> eventsJsonSql,
     "q_events_tumbling" -> eventsTumblingSql,
     "q_events_sliding" -> eventsSlidingSql,
-    "q_events_session" -> eventsSessionSql
+    "q_events_session" -> eventsSessionSql,
+    "q_events_funnel" -> eventsFunnelSql
   )
 }

@@ -323,13 +323,37 @@ object TextOps {
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Chunk-level exact dedup — q_text_chunks composed with the hash-group
+    * dedup: identical 64-token chunks appearing more than once anywhere
+    * in the corpus (near-dup documents share most of their chunks, so
+    * chunk-level dedup catches repetition document-level exact dedup
+    * misses). One shuffle on the chunk hash.
+    */
+  val textChunkDedup: Q = (spark, dir) =>
+    textChunks(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("chunk_hash"))
+
+  val textChunkDedupSql: String =
+    s"""SELECT chunk_hash, count(*) AS n_copies,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM ($textChunksSql)
+       |GROUP BY chunk_hash HAVING count(*) > 1
+       |ORDER BY chunk_hash""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_fingerprint" -> textFingerprint,
     "q_text_bm25" -> textBm25,
     "q_text_chunks" -> textChunks,
-    "q_text_contamination" -> textContamination
+    "q_text_contamination" -> textContamination,
+    "q_text_chunk_dedup" -> textChunkDedup
   )
 
   val oracles: Map[String, String] = Map(
@@ -338,6 +362,7 @@ object TextOps {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_chunks" -> textChunksSql,
-    "q_text_contamination" -> textContaminationSql
+    "q_text_contamination" -> textContaminationSql,
+    "q_text_chunk_dedup" -> textChunkDedupSql
   )
 }
