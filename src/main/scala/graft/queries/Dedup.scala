@@ -277,40 +277,68 @@ object Dedup {
     * its label table so lineage doesn't re-execute prior rounds; at
     * 100 TB the equivalent is checkpointing labels per round.
     */
-  val dedupGroups: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = dedupMinHash(spark, dir).select(col("doc_a"), col("doc_b"))
-    // Iteration intermediates cache/unpersist EAGERLY inside the loop (a
-    // stale round's labels are dead the moment the next round material-
-    // izes): routing them through the session-lifetime pin registry would
-    // retain ~iterations×runs relations and starve later queries of
-    // storage memory (measured: q_text_bm25 degraded 2.5→8.3 s across
-    // bench runs purely from this pressure).
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = edges.select(col("doc_a").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).cache()
+  /** Generic connected components over an undirected edge list
+    * (src, dst): min-label propagation with POINTER JUMPING — each round
+    * every vertex takes the min of its neighbors' labels, then follows
+    * that label one more hop (l(l(v))), doubling the distance information
+    * travels per round. Convergence is O(log diameter) rounds instead of
+    * O(diameter) — on a 100 TB graph with a long-chain component that is
+    * the difference between ~40 shuffles and ~7 (DedupGroupsSpec proves
+    * the bound on a planted chain). Returns (labels, rounds).
+    *
+    * Iteration intermediates cache/unpersist EAGERLY inside the loop (a
+    * stale round's labels are dead the moment the next round material-
+    * izes): routing them through the session-lifetime pin registry would
+    * retain ~iterations×runs relations and starve later queries of
+    * storage memory (measured: q_text_bm25 degraded 2.5→8.3 s across
+    * bench runs purely from this pressure).
+    */
+  def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
+    val sym0 = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Self-loops fold "min over neighbors ∪ self" into ONE join+groupBy —
+    // no per-round union of label frames (unioning the labels table with
+    // a join over it trips Union constraint rewriting on shared attribute
+    // ids, and a second plan branch would double the per-round work).
+    val sym = sym0.union(sym0.select(col("src").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    // localCheckpoint (eager) each round: truncates the logical lineage so
+    // round N's plan doesn't nest all N-1 predecessors — with plain cache
+    // the plan tree grows exponentially and analysis itself blows up.
+    var labels = sym.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
     var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val viaNeighbor = edges
-        .join(labels, edges("doc_b") === labels("doc"))
-        .select(edges("doc_a").as("doc"), col("lbl"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl")).cache()
-      // The convergence count materializes `next`; the previous round's
-      // cache is then safe to drop.
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc")
-        .filter(col("lbl") < col("prev")).count()
-      labels.unpersist(blocking = false)
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("doc"))
+        .groupBy(sym("src").as("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // Pointer jump through the round's OWN labels: l(v) ← min(l(v), l(l(v))).
+      // Aliased self-join — bare column refs on a self-joined frame resolve
+      // ambiguously.
+      val next = nbrMin.as("a")
+        .join(nbrMin.as("b"), col("a.lbl") === col("b.doc"), "left_outer")
+        .select(col("a.doc").as("doc"),
+          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.doc") === col("p.doc"))
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
       labels = next
       converged = changed == 0
-      iter += 1
+      rounds += 1
     }
-    edges.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
+    (labels, rounds)
+  }
+
+  val dedupGroups: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = dedupMinHash(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // The final (already materialized) labels outlive this call — hand
     // them to the pin registry so releasePins owns the cleanup.
-    labels = Det.pin(labels)
+    val labels = Det.pin(connectedComponents(pairs)._1)
     labels
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
       .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
