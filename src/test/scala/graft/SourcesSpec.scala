@@ -21,6 +21,23 @@ class SourcesSpec extends SparkSpec {
       src.orderBy(col("n_nationkey")).collect().toSeq)
   }
 
+  test("parquet mergeSchema unifies evolved batches (old rows null-extend)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // Batch 1: v1 schema. Batch 2: adds a column — the lake-evolution
+    // case where history is never rewritten.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(merged.count() == 3)
+    // Old-batch rows surface with score = null, not an error.
+    assert(merged.filter(col("score").isNull).count() == 2)
+    assert(merged.filter(col("id") === 3L).select("score").head().getDouble(0) == 0.5)
+  }
+
   test("JSON-lines round-trip preserves rows (schema re-applied on read)") {
     val dir = java.nio.file.Files.createTempDirectory("json_rt").toString
     val src = Tables.customer(spark, sfDir)
