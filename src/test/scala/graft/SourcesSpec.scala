@@ -38,6 +38,42 @@ class SourcesSpec extends SparkSpec {
     assert(merged.filter(col("id") === 3L).select("score").head().getDouble(0) == 0.5)
   }
 
+  test("CSV malformed-row modes: PERMISSIVE nulls, DROPMALFORMED skips, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("csv_bad")
+    java.nio.file.Files.writeString(dir.resolve("data.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val read = (mode: String) => spark.read.schema(schema)
+      .option("header", "true").option("mode", mode).csv(dir.toString)
+    // PERMISSIVE (default): bad cell → null, row kept.
+    val perm = read("PERMISSIVE").collect()
+    assert(perm.length == 3 && perm.count(_.isNullAt(1)) == 1)
+    // DROPMALFORMED: bad row skipped entirely. (collect, not count —
+    // count() prunes every column, so no cell is ever parsed and
+    // nothing is detected as malformed.)
+    assert(read("DROPMALFORMED").collect().length == 2)
+    // FAILFAST: first bad row aborts the scan.
+    intercept[org.apache.spark.SparkException] { read("FAILFAST").collect() }
+  }
+
+  test("rate streaming source produces monotonically timestamped rows") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .writeStream.format("memory").queryName("rate_smoke")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("rate_smoke")
+    assert(rows.count() > 0, "rate source should emit rows")
+    assert(rows.columns.toSet == Set("timestamp", "value"))
+  }
+
   test("JSON-lines round-trip preserves rows (schema re-applied on read)") {
     val dir = java.nio.file.Files.createTempDirectory("json_rt").toString
     val src = Tables.customer(spark, sfDir)
