@@ -72,13 +72,48 @@ object Media {
       |  count(DISTINCT shard_bucket) AS shards_used
       |FROM env GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** Deterministic frame sampling: up to 8 evenly-strided frame indices
+    * per video — the metadata half of frame extraction (pixel decode is
+    * the multimodal stub). Downstream decode tasks fetch ONLY the
+    * sampled offsets, so a 100 TB video corpus reads kilobytes of frame
+    * metadata per asset instead of the payload. Pure per-row flatMap —
+    * generated stride sequence, no shuffle before the output sort.
+    */
+  val mediaFrames: Q = (spark, dir) =>
+    mediaEnvelope(spark, dir)
+      .filter(col("media_type") === "video")
+      .withColumn("stride", greatest(lit(1L), expr("n_frames div 8")))
+      .withColumn("frame_idx", explode(expr("slice(sequence(1L, n_frames, stride), 1, 8)")))
+      .select(
+        col("media_id"), col("n_frames"), col("frame_idx"),
+        graft.queries.Det.r4(col("frame_idx").cast("double") / col("n_frames").cast("double"))
+          .as("position_ratio"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val mediaFramesSql: String =
+    s"""WITH env AS (
+       |  SELECT doc_id AS media_id,
+       |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       |    CAST(n_chars % 24 + 1 AS BIGINT) AS n_frames
+       |  FROM documents),
+       |v AS (
+       |  SELECT media_id, n_frames,
+       |    greatest(1, n_frames // 8) AS stride
+       |  FROM env WHERE media_type = 'video')
+       |SELECT media_id, n_frames,
+       |  unnest(generate_series(1, n_frames, stride)[1:8]) AS frame_idx,
+       |  ${graft.queries.Det.sqlR4("CAST(unnest(generate_series(1, n_frames, stride)[1:8]) AS DOUBLE) / CAST(n_frames AS DOUBLE)")} AS position_ratio
+       |FROM v ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_media_envelope" -> mediaEnvelope,
-    "q_media_rollup" -> mediaRollup
+    "q_media_rollup" -> mediaRollup,
+    "q_media_frames" -> mediaFrames
   )
 
   val oracles: Map[String, String] = Map(
     "q_media_envelope" -> mediaEnvelopeSql,
-    "q_media_rollup" -> mediaRollupSql
+    "q_media_rollup" -> mediaRollupSql,
+    "q_media_frames" -> mediaFramesSql
   )
 }
