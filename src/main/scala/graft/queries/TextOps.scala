@@ -346,6 +346,33 @@ object TextOps {
        |GROUP BY chunk_hash HAVING count(*) > 1
        |ORDER BY chunk_hash""".stripMargin
 
+  /** Corpus-mixture report: per (lang, source) document and token
+    * counts with each cell's share of total tokens — the data-mixture
+    * table a training run is configured against. One aggregation plus
+    * an unpartitioned window over the ~|langs|×|sources| cells (bounded
+    * post-agg table, same rationale as the daily moving averages).
+    */
+  val corpusMix: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("token_share",
+        r6(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(w).cast("double")))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val corpusMixSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY lang, source)
+       |SELECT lang, source, n_docs, total_tokens,
+       |  ${sqlR6("CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)")} AS token_share
+       |FROM per ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
@@ -353,7 +380,8 @@ object TextOps {
     "q_text_bm25" -> textBm25,
     "q_text_chunks" -> textChunks,
     "q_text_contamination" -> textContamination,
-    "q_text_chunk_dedup" -> textChunkDedup
+    "q_text_chunk_dedup" -> textChunkDedup,
+    "q_corpus_mix" -> corpusMix
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,6 +391,7 @@ object TextOps {
     "q_text_bm25" -> textBm25Sql,
     "q_text_chunks" -> textChunksSql,
     "q_text_contamination" -> textContaminationSql,
-    "q_text_chunk_dedup" -> textChunkDedupSql
+    "q_text_chunk_dedup" -> textChunkDedupSql,
+    "q_corpus_mix" -> corpusMixSql
   )
 }

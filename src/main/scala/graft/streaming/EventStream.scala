@@ -237,8 +237,10 @@ object EventStream {
     * id + an idempotent write at the destination.
     */
   def runDedupToParquet(spark: SparkSession, sourceDir: String, outDir: String,
-                        maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+                        maxFilesPerTrigger: Option[Int] = None,
+                        checkpointDir: Option[String] = None): Unit = {
+    val checkpoint = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("dedup_ckpt").toString)
     val q = dedupStream(spark, sourceDir, maxFilesPerTrigger).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outDir)

@@ -228,6 +228,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == expected)
   }
 
+  test("checkpoint recovery: restart resumes without reprocessing or re-admitting dups") {
+    import java.nio.file.Files
+    val watched = Files.createTempDirectory("ckpt_src")
+    val out = Files.createTempDirectory("ckpt_out").toString
+    val ckpt = Files.createTempDirectory("ckpt_meta").toString
+    // Phase 1: three events land in parquet through the deduped stream.
+    stageFile(watched, "a", mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:02:00"),
+      (3L, "2024-01-01 10:04:00"))), 0)
+    EventStream.runDedupToParquet(spark, watched.toString, out,
+      checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(out).count() == 3)
+    // Phase 2: the query RESTARTS from the same checkpoint; the new batch
+    // re-sends event 2 (must stay dropped — dedup state lives in the
+    // checkpoint) and adds event 4. Batch 0 must not be reprocessed.
+    stageFile(watched, "b", mkEvents(Seq(
+      (2L, "2024-01-01 10:05:00"), (4L, "2024-01-01 10:30:00"))), 10)
+    EventStream.runDedupToParquet(spark, watched.toString, out,
+      checkpointDir = Some(ckpt))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 4, s"expected 3 old + 1 new rows, got ${rows.collect().toSeq}")
+    assert(rows.filter(col("event_id") === 2L).count() == 1,
+      "checkpointed dedup state must survive the restart")
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val sessions = EventStream.runSessionize(spark, sourceDir, "sess_test")
     // Closed sessions emitted by the stream + one open session per user
