@@ -159,15 +159,76 @@ object Temporal {
        |FROM spine s LEFT JOIN daily d ON s.day = d.day
        |ORDER BY s.day""".stripMargin
 
+  /** SCD2 dimension merge — the classic warehouse-maintenance operator:
+    * a staging snapshot (deterministically derived: the ~1/4 of
+    * customers whose md5(custkey) starts with 0-3 get a new balance and
+    * segment) merges into the current dimension as history — changed
+    * keys emit a CLOSED old row (valid_to = as-of) plus an open new row;
+    * unchanged keys pass through open. Three branches, each a broadcast
+    * or map-side filter over one scan of the dimension + one of staging;
+    * at 100 TB the same plan runs as a MERGE into a partitioned table.
+    * valid_to is null on open rows by design (sort keys are the non-null
+    * custkey + valid_from).
+    */
+  val scd2Merge: Q = (spark, dir) => {
+    val cur = customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val staged = cur
+      .filter(expr("instr('0123', substr(md5(CAST(c_custkey AS STRING)), 1, 1)) > 0"))
+      .select(col("c_custkey"), col("c_name"),
+        lit("MACHINERY").as("c_mktsegment"),
+        Det.r2(col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+    val changedKeys = staged.select(col("c_custkey").as("k"))
+    val openFrom = lit("2000-01-01").cast("date")
+    val asOf = lit(graft.Tables.AsOf).cast("date")
+    val unchanged = cur.join(changedKeys, cur("c_custkey") === col("k"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        openFrom.as("valid_from"), lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    val closedOld = cur.join(changedKeys, cur("c_custkey") === col("k"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        openFrom.as("valid_from"), asOf.as("valid_to"), lit(false).as("is_current"))
+    val openNew = staged
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        asOf.as("valid_from"), lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    unchanged.unionByName(closedOld).unionByName(openNew)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val scd2MergeSql: String =
+    """WITH cur AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+      |staged AS (
+      |  SELECT c_custkey, c_name, 'MACHINERY' AS c_mktsegment,
+      |    floor((c_acctbal + 100.0) * 1e2 + 0.5) / 1e2 AS c_acctbal
+      |  FROM cur
+      |  WHERE instr('0123', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) > 0)
+      |SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+      |  DATE '2000-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |  true AS is_current
+      |FROM cur c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM staged)
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+      |  DATE '2000-01-01', DATE '2002-01-01', false
+      |FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM staged)
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_acctbal,
+      |  DATE '2002-01-01', CAST(NULL AS DATE), true
+      |FROM staged s
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
-    "q_date_spine" -> dateSpine
+    "q_date_spine" -> dateSpine,
+    "q_scd2_merge" -> scd2Merge
   )
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
-    "q_date_spine" -> dateSpineSql
+    "q_date_spine" -> dateSpineSql,
+    "q_scd2_merge" -> scd2MergeSql
   )
 }
