@@ -201,12 +201,56 @@ object Events {
       |LEFT JOIN pu ON su.user_id = pu.user_id
       |ORDER BY su.user_id""".stripMargin
 
+  /** Cohort retention matrix: users grouped by first-activity week
+    * (cohort), counted per (cohort, weeks-since) activity cell, with the
+    * retention rate against the cohort's size — the other
+    * product-analytics staple next to the funnel. Two aggregations (first
+    * activity per user, then cell counts) plus a broadcast join back on
+    * the cohort key; at scale both shuffle on user/cohort keys only.
+    */
+  val eventsCohort: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(col("user_id"), weekofyear(col("ts")).as("wk"), year(col("ts")).as("yr"))
+      .withColumn("abs_week", (col("yr") * 53 + col("wk")).cast("long"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("abs_week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(countDistinct(col("user_id")).as("cohort_size"))
+    ev.join(cohorts, "user_id")
+      .withColumn("weeks_since", (col("abs_week") - col("cohort_week")).cast("long"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("active_users"), col("cohort_size"),
+        r4(col("active_users").cast("double") / col("cohort_size").cast("double")).as("retention"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  val eventsCohortSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CAST(year(ts) * 53 + weekofyear(ts) AS BIGINT) AS abs_week
+       |  FROM events),
+       |cohorts AS (
+       |  SELECT user_id, min(abs_week) AS cohort_week FROM ev GROUP BY user_id),
+       |sizes AS (
+       |  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+       |  FROM cohorts GROUP BY cohort_week),
+       |cells AS (
+       |  SELECT c.cohort_week, e.abs_week - c.cohort_week AS weeks_since,
+       |    count(DISTINCT e.user_id) AS active_users
+       |  FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+       |  GROUP BY 1, 2)
+       |SELECT cells.cohort_week, weeks_since, active_users, s.cohort_size,
+       |  ${sqlR4("CAST(active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)")} AS retention
+       |FROM cells JOIN sizes s ON cells.cohort_week = s.cohort_week
+       |ORDER BY cells.cohort_week, weeks_since""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_events_json" -> eventsJson,
     "q_events_tumbling" -> eventsTumbling,
     "q_events_sliding" -> eventsSliding,
     "q_events_session" -> eventsSession,
-    "q_events_funnel" -> eventsFunnel
+    "q_events_funnel" -> eventsFunnel,
+    "q_events_cohort" -> eventsCohort
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,6 +258,7 @@ object Events {
     "q_events_tumbling" -> eventsTumblingSql,
     "q_events_sliding" -> eventsSlidingSql,
     "q_events_session" -> eventsSessionSql,
-    "q_events_funnel" -> eventsFunnelSql
+    "q_events_funnel" -> eventsFunnelSql,
+    "q_events_cohort" -> eventsCohortSql
   )
 }
