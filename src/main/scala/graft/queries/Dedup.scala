@@ -98,12 +98,15 @@ object Dedup {
     // self-join sides (a 24x blowup without it).
     // Memoized (not a fresh pin per call): q_dedup_groups re-runs this
     // whole pipeline for its edge list, and the bench runs each query
-    // n times — every caller reads one signature cache.
+    // n times — every caller reads one signature cache. The signature
+    // kernel is the native minhash_sig expression (functions.MinHashSig)
+    // — value-identical to the SQL fold `aggregate(shingles,
+    // array_repeat('g', 12), (acc, s) -> zip_with(acc, sequence(0, 11),
+    // (m, j) -> least(m, md5(j || ':' || s))))` that the DuckDB oracle
+    // still states, but one tight loop instead of a per-shingle
+    // 12-array allocation.
     val sig = Det.memo(spark, s"dedup.sig:$dir") {
-      sh.withColumn("sig", expr(
-        """aggregate(shingles, array_repeat('g', 12),
-          |  (acc, s) -> zip_with(acc, sequence(0, 11),
-          |    (m, j) -> least(m, md5(concat(CAST(j AS STRING), ':', s)))))""".stripMargin))
+      sh.withColumn("sig", expr("minhash_sig(shingles)"))
         .select(col("doc_id"), col("sig"))
     }
       .withColumn("bands", expr(
@@ -200,22 +203,15 @@ object Dedup {
     * pair with Hamming ≤ 3 must agree on a full byte); verified Hamming ≤ 3.
     */
   val dedupSimHash: Q = (spark, dir) => {
-    // Pins: md5s is referenced by all 32 bit-folds, and simhash by the
-    // output + 4 band extractions + both self-join sides — without the
-    // exchanges each reference would re-inline the full upstream HOF chain.
-    val md5s = Det.memo(spark, s"dedup.md5s:$dir") {
-      sharedShingles(spark, dir)
-        .withColumn("md5s", expr("transform(shingles, s -> md5(s))"))
-        .select(col("doc_id"), col("md5s"))
-    }
+    // The fingerprint kernel is the native simhash32 expression
+    // (functions.SimHash32): one md5 per shingle and one pass over its
+    // 32 hex digits, replacing the 32×|shingles| interpreted instr/substr
+    // fold — same bit-majority rule, and the DuckDB oracle still states
+    // (and gates) the fold form. Memoized: simhash is read by the output
+    // + 4 band extractions + both self-join sides.
     val fp = Det.memo(spark, s"dedup.fp:$dir") {
-      md5s
-        .withColumn("simhash", expr(
-          """aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc +
-            |  IF(aggregate(md5s, CAST(0 AS BIGINT), (a2, h) ->
-            |       a2 + IF(instr('0123456789abcdef', substr(h, i, 1)) >= 9,
-            |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-            |     shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))""".stripMargin))
+      sharedShingles(spark, dir)
+        .withColumn("simhash", expr("simhash32(shingles)"))
         .select(col("doc_id"), col("simhash"))
     }
     val banded = fp.select(col("doc_id"), col("simhash"),
