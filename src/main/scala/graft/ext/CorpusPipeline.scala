@@ -88,11 +88,9 @@ object CorpusPipeline {
           |                                i -> concat_ws(' ', slice(toks, i, 3))))
           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .select(col("doc_id"), col("shingles"))
-    val sig = graft.queries.Det.pin(sh.withColumn("sig", expr(
-      """aggregate(shingles, array_repeat('g', 12),
-        |  (acc, s) -> zip_with(acc, sequence(0, 11),
-        |    (m, j) -> least(m, md5(concat(CAST(j AS STRING), ':', s)))))""".stripMargin))
-      .select(col("doc_id"), col("sig")))
+    val sig = graft.queries.Det.pin(
+      sh.withColumn("sig", expr("minhash_sig(shingles)"))
+        .select(col("doc_id"), col("sig")))
       .withColumn("bands", expr(
         "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"))
     val exploded = sig.select(col("doc_id"), explode(col("bands")).as("band"))
