@@ -360,12 +360,39 @@ object Dedup {
        |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
        |FROM final ORDER BY doc_id""".stripMargin
 
+  /** Keep-policy over the dedup groups — the last stage of the dedup
+    * pipeline: within every near-dup component keep exactly one document,
+    * the highest quality-scored (doc_id as the deterministic tiebreak —
+    * the score is r4-rounded, so ties are real and must break stably).
+    * Composes connected components with the text-quality gate; the window
+    * runs per group (tiny partitions), one shuffle on group_id.
+    */
+  val dedupKeep: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val groups = dedupGroups(spark, dir).select(col("doc_id"), col("group_id"))
+    val quality = TextOps.textStats(spark, dir).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    groups.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("group_id"), col("quality_score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepSql: String =
+    s"""SELECT g.doc_id, g.group_id, q.quality_score,
+       |  row_number() OVER (PARTITION BY g.group_id
+       |                     ORDER BY q.quality_score DESC, g.doc_id) = 1 AS keep
+       |FROM ($dedupGroupsSql) g JOIN (${TextOps.textStatsSql}) q ON g.doc_id = q.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinHash,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> dedupSimHash,
-    "q_dedup_groups" -> dedupGroups
+    "q_dedup_groups" -> dedupGroups,
+    "q_dedup_keep" -> dedupKeep
   )
 
   val oracles: Map[String, String] = Map(
@@ -373,6 +400,7 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_simhash" -> dedupSimHashSql,
-    "q_dedup_groups" -> dedupGroupsSql
+    "q_dedup_groups" -> dedupGroupsSql,
+    "q_dedup_keep" -> dedupKeepSql
   )
 }
