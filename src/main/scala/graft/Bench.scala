@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   *     overridable via SPARK_GRAFT_BENCH_DETAIL) for offline analysis; the
   *     stdout line stays compact (3-decimal secs) so the driver's tail
   *     buffer keeps it intact.
+  *   - Cache interference guard (r3 defect: the dedup family's memos +
+  *     checkpoint RDDs starved every query sorting after them, up to 5×):
+  *     pins are released at each FAMILY boundary (q_dedup_* → q_embed_*)
+  *     by default, so no query pays for a prior family's residue and
+  *     per-query numbers are attributable. SPARK_GRAFT_BENCH_ISOLATE=
+  *     query releases before every query (fully cold caches), =none
+  *     restores the r3 whole-sweep behavior. The output reports
+  *     per-family subtotals (sum of per-query mins) under "families".
   */
 object Bench {
 
@@ -52,9 +60,18 @@ object Bench {
     try SparkEntry.queries("q_agg_customer")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // family = "q_dedup" of "q_dedup_minhash": the unit that shares memos.
+    def family(name: String): String = name.split("_").take(2).mkString("_")
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "family")
+
     // name -> (per-run seconds, first error message or null)
+    var prevFamily: String = null
     val detail: Seq[(String, Seq[Double], String)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (isolate == "query" ||
+            (isolate == "family" && prevFamily != null && family(name) != prevFamily))
+          graft.queries.Det.releasePins(spark)
+        prevFamily = family(name)
         var err: String = null
         val runs = (1 to n).map { _ =>
           val t0 = System.nanoTime()
@@ -83,9 +100,12 @@ object Bench {
     val errs = detail.collect { case (name, _, err) if err != null =>
       s""""$name":"${jsonEscape(err.take(160))}""""
     }.mkString("{", ",", "}")
+    val fams = ok.groupBy(t => family(t._1)).toSeq.sortBy(_._1).map { case (f, qsInFam) =>
+      s""""$f":${fmt(qsInFam.map(_._2.min).sum)}"""
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
     val totalMean = ok.map(t => t._2.sum / t._2.size).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"isolate":"$isolate","errors":$errs,"families":$fams,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

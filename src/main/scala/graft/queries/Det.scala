@@ -80,7 +80,23 @@ object Det {
   private val memoRegistry = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Drop entries owned by STOPPED sessions — a consumer that never
+    * calls releasePins must not leak its session (and every pinned plan)
+    * for the JVM lifetime. Swept on every pin/memo; the registries' keys
+    * otherwise hold strong references.
+    */
+  private def sweepStopped(): Unit = {
+    memoRegistry.keys.filter(_._1.sparkContext.isStopped).foreach(memoRegistry.remove)
+    pinRegistry.keys.filter(_.sparkContext.isStopped).foreach(pinRegistry.remove)
+  }
+
+  /** Registry entry count for `spark` (test hook: eviction is observable). */
+  private[graft] def registeredCount(spark: org.apache.spark.sql.SparkSession): Int =
+    pinRegistry.get(spark).map(_.synchronized(pinRegistry(spark).size)).getOrElse(0) +
+      memoRegistry.keys.count(_._1 eq spark)
+
   def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    sweepStopped()
     val buf = pinRegistry.getOrElseUpdate(df.sparkSession,
       scala.collection.mutable.ArrayBuffer.empty)
     buf.synchronized { buf += df }

@@ -44,6 +44,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("native text-hash kernels stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // r3 gap: MinHashSig/SimHash32 were CodegenFallback, breaking the
+    // enclosing stage out of codegen for every dedup-pipeline scan. The
+    // projection computing them must now print as a `*(n)`-starred
+    // (codegen'd) node.
+    val df = Tables.documents(spark, sfDir)
+      .withColumn("sh", split(col("text"), " "))
+      .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"), expr("simhash32(sh)").as("fp"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("minhash_sig"))
+      .getOrElse(fail(s"no minhash_sig node in plan:\n$plan"))
+    assert(line.trim.startsWith("*("), s"text-hash projection left codegen:\n$plan")
+  }
+
   test("partition filters prune a partitioned layout at plan time") {
     import org.apache.spark.sql.functions._
     // Hive-style partition layout on the high-cardinality-scan side: at

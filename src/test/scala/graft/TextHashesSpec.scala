@@ -33,6 +33,19 @@ class TextHashesSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("null array elements are skipped, not NPE'd (ADVICE r3)") {
+    // A null shingle carries no signal: the signature must equal the one
+    // computed over the non-null elements alone (MinHash: exactly the SQL
+    // fold's least-null semantics).
+    val row = spark.sql(
+      """SELECT minhash_sig(array('a b c', CAST(NULL AS STRING), 'd e f')) AS sig_n,
+        |       minhash_sig(array('a b c', 'd e f')) AS sig,
+        |       simhash32(array('a b c', CAST(NULL AS STRING), 'd e f')) AS fp_n,
+        |       simhash32(array('a b c', 'd e f')) AS fp""".stripMargin).collect()(0)
+    assert(row.getSeq[String](0) == row.getSeq[String](1))
+    assert(row.getLong(2) == row.getLong(3))
+  }
+
   test("simhash32 equals the SQL fold formulation (incl. empty array)") {
     val mismatches = shingled
       .withColumn("native", expr("simhash32(shingles)"))
