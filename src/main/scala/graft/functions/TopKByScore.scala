@@ -41,3 +41,41 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
+
+/** One scored term flowing into the per-document top-k (BM25 keyword
+  * extraction): tf/df ride along so the output needs no join back.
+  */
+case class TermScored(term: String, tf: Double, df: Double, score: Double)
+
+/** Exact top-k terms by (score DESC, term ASC) — same bounded-buffer
+  * two-stage shape as [[TopKByScore]], for STRING-keyed candidates. The
+  * window-rank formulation it replaces in q_text_bm25 shuffles every
+  * (doc, term) row to sort per doc; here partial aggregation caps the
+  * shuffle at k rows per (partition, doc) — the difference between
+  * shipping every term of every probed document and shipping 3, once the
+  * probe set is a corpus and not 50 docs. Total comparator (term is
+  * unique per doc) → deterministic under any partitioning → still
+  * oracle-comparable against the window-rank SQL.
+  */
+class TopKTerms(k: Int) extends Aggregator[TermScored, Seq[TermScored], Seq[TermScored]] {
+
+  private val ord: Ordering[TermScored] =
+    Ordering.by((s: TermScored) => (-s.score, s.term))
+
+  override def zero: Seq[TermScored] = Seq.empty
+
+  override def reduce(buf: Seq[TermScored], a: TermScored): Seq[TermScored] = {
+    if (buf.size >= k && ord.lteq(buf.last, a)) buf
+    else (buf :+ a).sorted(ord).take(k)
+  }
+
+  override def merge(b1: Seq[TermScored], b2: Seq[TermScored]): Seq[TermScored] =
+    (b1 ++ b2).sorted(ord).take(k)
+
+  override def finish(reduction: Seq[TermScored]): Seq[TermScored] = reduction.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[TermScored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermScored]]()
+  override def outputEncoder: Encoder[Seq[TermScored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermScored]]()
+}

@@ -209,9 +209,15 @@ object Events {
     * the cohort key; at scale both shuffle on user/cohort keys only.
     */
   val eventsCohort: Q = (spark, dir) => {
+    // abs_week = weeks since epoch Monday (1970-01-05), via the ISO week
+    // bucket date_trunc('week') — Monday-based in Spark AND DuckDB. The
+    // r3 form (year*53 + weekofyear) mixed the CALENDAR year with the ISO
+    // week number, so Dec 29–31 in ISO week 1 (or Jan 1–3 in week 52/53)
+    // landed ~52 weeks off, skewing year-boundary cohorts (ADVICE r3).
     val ev = events(spark, dir)
-      .select(col("user_id"), weekofyear(col("ts")).as("wk"), year(col("ts")).as("yr"))
-      .withColumn("abs_week", (col("yr") * 53 + col("wk")).cast("long"))
+      .select(col("user_id"),
+        floor(datediff(to_date(date_trunc("week", col("ts"))),
+          to_date(lit("1970-01-05"))) / 7).cast("long").as("abs_week"))
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("abs_week")).as("cohort_week"))
     val sizes = cohorts.groupBy(col("cohort_week")).agg(countDistinct(col("user_id")).as("cohort_size"))
     ev.join(cohorts, "user_id")
@@ -227,7 +233,8 @@ object Events {
   val eventsCohortSql: String =
     s"""WITH ev AS (
        |  SELECT user_id,
-       |    CAST(year(ts) * 53 + weekofyear(ts) AS BIGINT) AS abs_week
+       |    CAST(floor(datediff('day', DATE '1970-01-05',
+       |                        CAST(date_trunc('week', ts) AS DATE)) / 7.0) AS BIGINT) AS abs_week
        |  FROM events),
        |cohorts AS (
        |  SELECT user_id, min(abs_week) AS cohort_week FROM ev GROUP BY user_id),

@@ -172,8 +172,12 @@ object TextOps {
     * b = 0.75 folded as 0.25 + 0.75·dl/avgdl in both texts).
     *
     * Scale shape: tf is one shuffle on (doc, term), df one on term, the
-    * corpus stats are a broadcast scalar, and the final top-k is a
-    * per-doc window over the probe subset only.
+    * corpus stats are a broadcast scalar, and the final top-k is the
+    * bounded TopKTerms aggregator (functions/TopKByScore.scala) — partial
+    * aggregation ships ≤3 rows per (partition, doc) instead of the full
+    * scored term set the r3 window-rank formulation sorted (the oracle
+    * still states the window form; results agree by the total
+    * comparator).
     */
   val textBm25: Q = (spark, dir) => {
     val docs = documents(spark, dir)
@@ -194,14 +198,15 @@ object TextOps {
         ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           ((col("tf") * lit(2.2)) /
             (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val topk = udaf(new graft.functions.TopKTerms(3))
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("term"), col("rank"),
-        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
-        r6(col("score")).as("bm25"))
+      .groupBy(col("doc_id"))
+      .agg(topk(col("term"), col("tf"), col("df"), col("score")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t.term").as("term"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.tf").cast("long").as("tf"), col("t.df").cast("long").as("df"),
+        r6(col("t.score")).as("bm25"))
       .orderBy(col("doc_id"), col("rank"))
   }
 

@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     assert(line.trim.startsWith("*("), s"text-hash projection left codegen:\n$plan")
   }
 
+  test("BM25 top-k aggregates in two stages (partial caps the shuffle)") {
+    // The bounded TopKTerms aggregator must plan as partial + final
+    // aggregation: the shuffle then carries ≤k rows per (partition, doc)
+    // instead of every scored term (r3's window-rank formulation).
+    val plan = planOf("q_text_bm25")
+    assert(plan.contains("partial_topkterms"),
+      s"no partial top-k stage — shuffle ships the full term set:\n$plan")
+    assert(!plan.contains("Window"), s"window-rank formulation crept back:\n$plan")
+  }
+
   test("partition filters prune a partitioned layout at plan time") {
     import org.apache.spark.sql.functions._
     // Hive-style partition layout on the high-cardinality-scan side: at
