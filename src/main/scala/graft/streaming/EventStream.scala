@@ -156,6 +156,95 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming MinHash near-dup detection ----
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  case class BandedDoc(band: String, doc_id: Long, sig: Seq[String])
+  case class BandState(docs: List[(Long, Seq[String])])
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming twin of the batch MinHash near-dup operator
+    * (queries.Dedup.dedupMinHash): each arriving document is shingled,
+    * signed with the same native `minhash_sig` kernel, and banded 4×3;
+    * state lives PER BAND BUCKET (the LSH key), holding the signatures
+    * seen in that bucket. A new arrival is compared only against its own
+    * bucket — the streaming form of "candidates only ever form inside
+    * bands", so per-doc work is O(bucket size), never O(corpus).
+    *
+    * Emits candidate pairs (doc_a < doc_b, signature-estimated Jaccard =
+    * fraction of agreeing minhash values ≥ 0.5) — the streaming stage is
+    * candidate DETECTION; exact-shingle verification and the keep policy
+    * run downstream exactly as in the batch pipeline (StreamingSpec
+    * asserts every batch-verified pair is detected). A pair colliding in
+    * two bands emits twice (at-least-once, from different band keys);
+    * consumers dedupe on (doc_a, doc_b).
+    *
+    * State bounding: each bucket keeps at most `maxDocsPerBand` most
+    * recent signatures (12 md5 hex strings ≈ 400 B each) — the recency
+    * trade-off an unbounded stream forces; a near-dup of a long-evicted
+    * document is the documented residual that the periodic batch
+    * `dedupMinHash` sweep catches (same contract as `dedupStream`'s
+    * watermark residual).
+    */
+  def nearDupPairsStream(spark: SparkSession, sourceDir: String,
+                         maxFilesPerTrigger: Option[Int] = None,
+                         maxDocsPerBand: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val banded = reader.parquet(sourceDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
+          |                                i -> concat_ws(' ', slice(toks, i, 3))))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("sig", expr("minhash_sig(shingles)"))
+      .withColumn("band", explode(expr(
+        "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))")))
+      .select(col("band"), col("doc_id"), col("sig"))
+      .as[BandedDoc]
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BandState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[BandedDoc], state: GroupState[BandState]) =>
+          // Arrival order within a batch is nondeterministic — process in
+          // doc_id order so the pair orientation (earlier id = doc_a) and
+          // the eviction order are stable for a static source.
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          for (d <- sorted) {
+            for ((pid, psig) <- seen if pid != d.doc_id && psig.nonEmpty && d.sig.nonEmpty) {
+              val agree = d.sig.iterator.zip(psig.iterator).count { case (a, b) => a == b }
+              val est = agree.toDouble / d.sig.size
+              if (est >= 0.5)
+                out += NearDupPair(math.min(pid, d.doc_id), math.max(pid, d.doc_id), est)
+            }
+            seen = ((d.doc_id, d.sig) :: seen).take(maxDocsPerBand)
+          }
+          state.update(BandState(seen))
+          out.iterator
+      }
+      .toDF()
+  }
+
+  def runNearDupPairsStream(spark: SparkSession, sourceDir: String, queryName: String,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Stream-stream interval join ----
 
   /** Click→purchase attribution as a stream-stream inner join: purchases

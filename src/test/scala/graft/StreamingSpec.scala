@@ -46,6 +46,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming MinHash near-dup detects every batch-verified pair") {
+    import graft.queries.{Dedup, Det}
+    // Stage the documents table as a bounded stream source.
+    val docsSrc = java.nio.file.Files.createTempDirectory("docs_src").toString
+    Tables.documents(spark, sfDir).repartition(4).write.mode("overwrite").parquet(docsSrc)
+    val streamed = EventStream.runNearDupPairsStream(spark, docsSrc, "neardup_test")
+      .select(col("doc_a"), col("doc_b")).distinct() // band collisions emit at-least-once
+    // Every pair the batch operator verifies at exact Jaccard ≥ 0.8 must
+    // be among the streaming candidates (signature agreement ≥ 0.5 is a
+    // strictly looser net than any-band collision + J ≥ 0.8).
+    val batch = Dedup.queries("q_dedup_minhash")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val missed = batch.exceptAll(streamed).count()
+    assert(missed == 0, s"$missed batch-verified near-dup pairs not detected by the stream")
+    assert(streamed.count() >= batch.count())
+    Det.releasePins(spark)
+  }
+
   /** Rows (event_id, ts-string) → events-schema DataFrame. */
   private def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
