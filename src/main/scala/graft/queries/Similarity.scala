@@ -412,7 +412,57 @@ object Similarity {
        |LEFT JOIN ih ON b.query_id = ih.query_id
        |ORDER BY b.query_id""".stripMargin
 
+  /** Per-label centroid + dispersion over the embedding column — the
+    * cluster-health report behind an IVF index (and the class-separation
+    * sanity check before training on labeled embeddings): component-wise
+    * mean vector per label, its L2 norm, the mean vector norm, and
+    * dispersion = 1 − ‖centroid‖/E‖x‖ (≈1 for isotropic noise, →0 for a
+    * tight cluster).
+    *
+    * Scale shape: posexplode → per-(label, pos) decimal mean is one
+    * shuffle keyed on (label, pos) — 64·|labels| cells regardless of
+    * corpus size — then a |labels|-row rollup; the norm branch reuses the
+    * memoized per-vector norms. No vector ever crosses the wire whole.
+    * Determinism: decimal sums (order-free) + IEEE sqrt/div only.
+    */
+  val embedCentroid: Q = (spark, dir) => {
+    val comp = embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(davg(col("x").cast("double")).as("c"))
+    val cent = comp.groupBy(col("label"))
+      .agg(sqrt(dsum(col("c") * col("c"))).as("centroid_norm"))
+    val vecs = withNorm(spark, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), davg(col("norm")).as("avg_vec_norm"))
+    vecs.join(cent, "label")
+      .select(col("label"), col("n_vecs"),
+        r6(col("avg_vec_norm")).as("avg_vec_norm"),
+        r6(col("centroid_norm")).as("centroid_norm"),
+        r6(lit(1.0) - col("centroid_norm") / col("avg_vec_norm")).as("dispersion"))
+      .orderBy(col("label"))
+  }
+
+  val embedCentroidSql: String =
+    s"""WITH v AS ($duckNorm),
+       |comp AS (
+       |  SELECT label, i AS pos, ${sqlDavg("embedding[i + 1]::DOUBLE")} AS c
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
+       |  GROUP BY label, i),
+       |cent AS (
+       |  SELECT label, sqrt(CAST(sum(CAST(c * c AS DECIMAL(28,8))) AS DOUBLE)) AS centroid_norm
+       |  FROM comp GROUP BY label),
+       |vs AS (
+       |  SELECT label, count(*) AS n_vecs, ${sqlDavg("norm")} AS avg_vec_norm
+       |  FROM v GROUP BY label)
+       |SELECT vs.label, vs.n_vecs,
+       |  ${sqlR6("avg_vec_norm")} AS avg_vec_norm,
+       |  ${sqlR6("centroid_norm")} AS centroid_norm,
+       |  ${sqlR6("1.0 - centroid_norm / avg_vec_norm")} AS dispersion
+       |FROM vs JOIN cent ON vs.label = cent.label
+       |ORDER BY vs.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_embed_centroid" -> embedCentroid,
     "q_ann_recall" -> annRecall,
     "q_knn_ivf" -> knnIvf,
     "q_knn_topk" -> knnTopKAgg,
@@ -422,6 +472,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_centroid" -> embedCentroidSql,
     "q_ann_recall" -> annRecallSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction

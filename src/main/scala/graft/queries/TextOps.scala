@@ -378,7 +378,134 @@ object TextOps {
        |  ${sqlR6("CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE)")} AS token_share
        |FROM per ORDER BY lang, source""".stripMargin
 
+  /** Repetition quality signals (the Gopher-rule family): per document,
+    * the fraction of 2-gram occurrences that are duplicates and the share
+    * of the single most frequent 2-gram — the cheap detectors for
+    * boilerplate / TA-TA-TA degenerate text that token-level stats miss.
+    *
+    * Scale shape: explode 2-grams → count per (doc, gram) → per-doc
+    * rollup — two shuffles keyed on doc_id, both partial-aggregated
+    * map-side; no per-row quadratic HOF (an in-row `filter(grams, g ->
+    * g = x)` max would be O(n²) per document and uncodegenable for long
+    * docs). Thresholds are fixed constants; the raw ratios are exact
+    * integer divisions both engines compute bit-identically.
+    */
+  val textRepetition: Q = (spark, dir) => {
+    val g2 = documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")).as("gram"))
+    g2.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_2grams"),
+        count(lit(1)).as("n_distinct_2grams"),
+        max(col("cnt")).as("top_2gram_count"))
+      .select(
+        col("doc_id"), col("n_2grams"), col("n_distinct_2grams"), col("top_2gram_count"),
+        r6(col("top_2gram_count").cast("double") / col("n_2grams").cast("double"))
+          .as("top_2gram_frac"),
+        r6((col("n_2grams") - col("n_distinct_2grams")).cast("double") / col("n_2grams").cast("double"))
+          .as("dup_2gram_frac"),
+        (col("top_2gram_count").cast("double") / col("n_2grams").cast("double") > 0.20 ||
+          (col("n_2grams") - col("n_distinct_2grams")).cast("double") / col("n_2grams").cast("double") > 0.30)
+          .as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest([array_to_string(toks[i : i + 1], ' ')
+       |                         for i in generate_series(1, len(toks) - 1)]) AS gram
+       |  FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+       |a AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+       |    count(*) AS n_distinct_2grams, CAST(max(cnt) AS BIGINT) AS top_2gram_count
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count,
+       |  ${sqlR6("CAST(top_2gram_count AS DOUBLE) / CAST(n_2grams AS DOUBLE)")} AS top_2gram_frac,
+       |  ${sqlR6("CAST(n_2grams - n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)")} AS dup_2gram_frac,
+       |  (CAST(top_2gram_count AS DOUBLE) / CAST(n_2grams AS DOUBLE) > 0.20 OR
+       |   CAST(n_2grams - n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) > 0.30) AS is_repetitive
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Mixture rebalancing: deterministically hash-sample each source down
+    * to an equal token share of HALF the corpus — the static remix step a
+    * training run applies when the crawl's natural mixture is not the
+    * target mixture. Per-source rate = min(1, target_tokens/source_tokens)
+    * with target = 0.5·total/n_sources; docs are kept by their 256-way
+    * md5 bucket (same hash-stable sampler as q_sample_hash: identical
+    * rows selected in both engines, at any parallelism, and previously
+    * kept docs stay kept when the corpus grows).
+    *
+    * Scale shape: the per-source rate table is |sources| rows → broadcast
+    * join against the corpus; the keep filter is a per-row map fused into
+    * the scan. One final aggregation keyed on source.
+    */
+  val mixResample: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    def digit(pos: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
+    val docs = documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("source_tokens"))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(0.5) * sum(col("source_tokens")).over(w).cast("double") /
+            (count(lit(1)).over(w).cast("double") * col("source_tokens").cast("double"))))
+    // Left join back onto the rate table: a source whose every doc missed
+    // the hash threshold must still appear in the mixture report (kept=0),
+    // not silently vanish.
+    val kept = docs.join(broadcast(rates.select(col("source"), col("rate"))), "source")
+      .filter(col("bucket").cast("double") < col("rate") * lit(256.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .withColumn("achieved_share",
+        r6(col("kept_tokens").cast("double") / sum(col("kept_tokens")).over(w).cast("double")))
+      .select(col("source"), col("source_tokens"), r6(col("rate")).as("sample_rate"),
+        col("kept_docs"), col("kept_tokens"), col("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  val mixResampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+       |         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens,
+       |    least(1.0,
+       |      0.5 * CAST(sum(CAST(sum(n_tokens) AS BIGINT)) OVER () AS DOUBLE) /
+       |        (CAST(count(*) OVER () AS DOUBLE) * CAST(sum(n_tokens) AS DOUBLE))) AS rate
+       |  FROM d GROUP BY source),
+       |k AS (
+       |  SELECT d.source, count(*) AS kept_docs, CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM d JOIN r ON d.source = r.source
+       |  WHERE CAST(d.bucket AS DOUBLE) < r.rate * 256.0
+       |  GROUP BY d.source),
+       |j AS (
+       |  SELECT r.source, r.source_tokens, r.rate,
+       |    coalesce(k.kept_docs, 0) AS kept_docs, coalesce(k.kept_tokens, 0) AS kept_tokens
+       |  FROM r LEFT JOIN k ON r.source = k.source)
+       |SELECT source, source_tokens, ${sqlR6("rate")} AS sample_rate,
+       |  kept_docs, kept_tokens,
+       |  ${sqlR6("CAST(kept_tokens AS DOUBLE) / CAST(sum(kept_tokens) OVER () AS DOUBLE)")} AS achieved_share
+       |FROM j ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> textRepetition,
+    "q_mix_resample" -> mixResample,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_fingerprint" -> textFingerprint,
@@ -390,6 +517,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" -> textRepetitionSql,
+    "q_mix_resample" -> mixResampleSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,

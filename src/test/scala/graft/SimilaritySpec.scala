@@ -22,4 +22,19 @@ class SimilaritySpec extends SparkSpec {
     val b5 = Similarity.embedNearDupBlocked(5)(spark, sfDir).collect().toSeq
     assert(auto == b5)
   }
+
+  test("centroid report: label partition is exhaustive and Jensen-bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.queries("q_embed_centroid")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSet ==
+      emb.select("label").distinct().collect().map(_.getInt(0)).toSet)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    rows.foreach { r =>
+      val (cn, avg) = (r.getAs[Double]("centroid_norm"), r.getAs[Double]("avg_vec_norm"))
+      // ‖E x‖ ≤ E‖x‖ (Jensen) ⇒ dispersion ∈ [0, 1]; rounding slack 1e-6.
+      assert(cn >= 0.0 && cn <= avg + 1e-6)
+      val d = r.getAs[Double]("dispersion")
+      assert(d >= -1e-6 && d <= 1.0 + 1e-6)
+    }
+  }
 }

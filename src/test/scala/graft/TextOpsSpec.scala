@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextOps
+
+/** Golden-value and invariant tests for the corpus-quality operators
+  * added in round 4: Gopher-style repetition signals and deterministic
+  * mixture resampling.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Writes a literal documents table into a temp sf-dir so the (spark,
+    * dir) query surface is exercised end to end, scan included.
+    */
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetition signals: hand-computed goldens; degenerate doc flagged") {
+    val dir = docsDir(Seq(
+      // 2-grams: "a b","b a","a b","b a","a b" → n=5, distinct=2, top=3.
+      (1L, "a b a b a b", "en", "s0", 11L),
+      // 9 distinct 2-grams → top_frac 1/9 < 0.20, dup_frac 0 → clean.
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en", "s0", 29L),
+      // Single token → no 2-grams → filtered out entirely.
+      (3L, "solo", "en", "s0", 4L)))
+    val r = TextOps.textRepetition(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_2grams") == 5L)
+    assert(d1.getAs[Long]("n_distinct_2grams") == 2L)
+    assert(d1.getAs[Long]("top_2gram_count") == 3L)
+    assert(d1.getAs[Double]("top_2gram_frac") == 0.6)
+    assert(d1.getAs[Double]("dup_2gram_frac") == 0.6)
+    assert(d1.getAs[Boolean]("is_repetitive"))
+    val d2 = r(1)
+    assert(d2.getAs[Long]("n_2grams") == 9L)
+    assert(d2.getAs[Long]("n_distinct_2grams") == 9L)
+    assert(d2.getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(!d2.getAs[Boolean]("is_repetitive"))
+  }
+
+  test("mix resample: under-target source keeps everything, rates capped at 1") {
+    // s0 holds 10 of 50 tokens (< the 12.5-token equal share of half the
+    // corpus) → rate 1.0, everything kept; s1 holds 40 → rate 12.5/40.
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "en", "s0", 19L),
+      (2L, Seq.fill(10)("x").mkString(" "), "en", "s1", 19L),
+      (3L, Seq.fill(10)("y").mkString(" "), "en", "s1", 19L),
+      (4L, Seq.fill(10)("z").mkString(" "), "en", "s1", 19L),
+      (5L, Seq.fill(10)("v").mkString(" "), "en", "s1", 19L)))
+    val r = TextOps.mixResample(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val s0 = r("s0")
+    assert(s0.getAs[Long]("source_tokens") == 10L)
+    assert(s0.getAs[Double]("sample_rate") == 1.0)
+    assert(s0.getAs[Long]("kept_docs") == 1L && s0.getAs[Long]("kept_tokens") == 10L)
+    val s1 = r("s1")
+    assert(s1.getAs[Double]("sample_rate") == 0.3125) // 0.5·50/(2·40)
+    assert(s1.getAs[Long]("kept_tokens") == 10L * s1.getAs[Long]("kept_docs"))
+    assert(s1.getAs[Long]("kept_docs") <= 4L)
+  }
+
+  test("mix resample on the harness corpus: deterministic, shares sum to 1") {
+    val dir = "/root/testdata/sf0.001"
+    val a = TextOps.mixResample(spark, dir).collect().toSeq
+    val b = TextOps.mixResample(spark, dir).collect().toSeq
+    assert(a == b, "hash sampling must be run-to-run deterministic")
+    assert(a.nonEmpty)
+    a.foreach { row =>
+      assert(row.getAs[Long]("kept_tokens") <= row.getAs[Long]("source_tokens"))
+      val rate = row.getAs[Double]("sample_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    val shareSum = a.map(_.getAs[Double]("achieved_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+  }
+}
