@@ -307,16 +307,17 @@ object Dedup {
     }
 
   /** Durable-checkpoint variant — the shape a real 1000-executor run
-    * needs: per-round labels checkpoint to PARQUET (two alternating paths
-    * under `checkpointDir`), so a lost executor replays from storage
-    * instead of failing the job the way executor-local checkpoint blocks
-    * would. Intra-round temps stay cached WITH lineage (recomputable from
-    * the cached edge list + the parquet-backed labels). Same fixpoint,
-    * same labels — DedupGroupsSpec asserts agreement with the local
-    * variant.
+    * needs: the symmetrized edge list AND per-round labels checkpoint to
+    * PARQUET (labels on two alternating paths under `checkpointDir`), so
+    * a lost executor replays every fixpoint input from storage instead of
+    * failing the job the way executor-local checkpoint blocks (or a
+    * cached edge list with lineage into the upstream near-dup pipeline)
+    * would. Intra-round temps stay cached WITH lineage — recomputable
+    * from the parquet-backed edges + labels alone. Same fixpoint, same
+    * labels — DedupGroupsSpec asserts agreement with the local variant.
     */
   def connectedComponentsDurable(edges: DataFrame, checkpointDir: String): (DataFrame, Int) =
-    withRightSizedShuffle(edges) { sym =>
+    withRightSizedShuffle(edges, edgeDir = Some(checkpointDir)) { sym =>
       val spark = edges.sparkSession
       ccLoop(sym,
         stageLabels = (df, round) => {
@@ -348,7 +349,7 @@ object Dedup {
     * concurrent UNRELATED queries during a CC fixpoint would plan them at
     * the reduced width.)
     */
-  private def withRightSizedShuffle(edges: DataFrame)
+  private def withRightSizedShuffle(edges: DataFrame, edgeDir: Option[String] = None)
       (body: DataFrame => (DataFrame, Int)): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val sym0 = edges.select(col("src"), col("dst"))
@@ -357,9 +358,21 @@ object Dedup {
     // no per-round union of label frames (unioning the labels table with
     // a join over it trips Union constraint rewriting on shared attribute
     // ids, and a second plan branch would double the per-round work).
-    val symRaw = sym0.union(sym0.select(col("src").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    val nEdges = symRaw.count() // materializes the cache
+    val symRaw0 = sym0.union(sym0.select(col("src").as("src"), col("src").as("dst")))
+      .distinct()
+    // Edge staging: cached in-memory for the local variant; written to
+    // parquet for the durable one, so the ~rounds re-reads per fixpoint
+    // have NO lineage into the (possibly huge) upstream pair pipeline.
+    val (symRaw, releaseEdges): (DataFrame, () => Unit) = edgeDir match {
+      case Some(d) =>
+        val path = s"$d/edges"
+        symRaw0.write.mode("overwrite").parquet(path)
+        (spark.read.parquet(path), () => ())
+      case None =>
+        val cached = symRaw0.cache()
+        (cached, () => { cached.unpersist(blocking = false); () })
+    }
+    val nEdges = symRaw.count() // materializes the cache (no-op on parquet)
     val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 65536L + 1L).toInt))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -370,7 +383,7 @@ object Dedup {
       body(symRaw.coalesce(nPart))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      symRaw.unpersist(blocking = false)
+      releaseEdges()
     }
   }
 

@@ -503,7 +503,59 @@ object TextOps {
        |  ${sqlR6("CAST(kept_tokens AS DOUBLE) / CAST(sum(kept_tokens) OVER () AS DOUBLE)")} AS achieved_share
        |FROM j ORDER BY source""".stripMargin
 
+  /** Vocabulary coverage: the top-50 tokens by corpus frequency with each
+    * token's share and the cumulative share of all token occurrences —
+    * the Zipf report that seeds a BPE vocabulary and sizes OOV handling.
+    *
+    * Scale shape: one shuffle keyed on token for the counts, then the
+    * top-50 goes through `orderBy(...).limit(50)` — Spark plans
+    * TakeOrderedAndProject (per-partition bounded heaps + driver merge of
+    * 50-row tops), NOT a full sort of the vocabulary — and the window
+    * runs over the 50 surviving rows with the corpus totals broadcast as
+    * a scalar. A trillion-token corpus pays one count shuffle, nothing
+    * vocabulary-sized ever sorts globally or crosses to the driver.
+    */
+  val vocabCoverage: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val rows = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val counts = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total_tokens"), count(lit(1)).as("vocab_size"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(50)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(rows))
+      .select(col("rank"), col("token"), col("cnt").as("occurrences"),
+        col("vocab_size"),
+        r6(col("cnt").cast("double") / col("total_tokens").cast("double")).as("share"),
+        r6(col("cum").cast("double") / col("total_tokens").cast("double")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens, count(*) AS vocab_size FROM c),
+       |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50),
+       |r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       |    token, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM top)
+       |SELECT rank, token, cnt AS occurrences, t.vocab_size,
+       |  ${sqlR6("CAST(cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE)")} AS share,
+       |  ${sqlR6("CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE)")} AS cum_share
+       |FROM r CROSS JOIN t ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_coverage" -> vocabCoverage,
     "q_text_repetition" -> textRepetition,
     "q_mix_resample" -> mixResample,
     "q_text_stats" -> textStats,
@@ -517,6 +569,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_mix_resample" -> mixResampleSql,
     "q_text_stats" -> textStatsSql,

@@ -45,8 +45,11 @@ class DedupGroupsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(lbls(_) == 1L))
     assert(Seq(10L, 11L).forall(lbls(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(lbls(_) == 20L))
-    // Labels really live on durable storage (the 100 TB recovery story).
+    // Labels AND the symmetrized edge list really live on durable
+    // storage (the 100 TB recovery story: every fixpoint input replays
+    // from parquet, with no lineage into the upstream pair pipeline).
     assert(new java.io.File(s"$dir/labels_${rounds % 2}").exists())
+    assert(new java.io.File(s"$dir/edges").exists())
   }
 
   test("fixpoint at volume: 10^5 edges — chain + star + many small components") {

@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window-rank formulation crept back:\n$plan")
   }
 
+  test("vocab top-50 plans a bounded TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition bounded top-k for the vocabulary limit:\n$plan")
+  }
+
   test("partition filters prune a partitioned layout at plan time") {
     import org.apache.spark.sql.functions._
     // Hive-style partition layout on the high-cardinality-scan side: at
