@@ -493,7 +493,90 @@ object Dedup {
        |FROM ($dedupGroupsSql) g JOIN (${TextOps.textStatsSql}) q ON g.doc_id = q.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  /** PageRank centrality over the near-dup pair graph (5 fixed
+    * iterations, damping 0.85): within a duplication cluster the
+    * highest-rank document is the hub the most near-copies point at — a
+    * centrality-based canonical pick that complements dedupKeep's
+    * quality-based one (and the classic iterative-numeric workload an
+    * analytics engine must run distributed).
+    *
+    * Each iteration is one equi-join of the edge list with the rank
+    * table plus one aggregation keyed on the destination node — the same
+    * shuffle shape as a CC round, so the 100 TB story (per-round durable
+    * checkpointing, right-sized shuffles) carries over verbatim from
+    * `connectedComponentsDurable`. Five rounds of chained plan are fine
+    * un-checkpointed (lineage depth ~15 nodes; the ~20-round Catalyst
+    * analysis blowup the CC scaladoc documents is far away).
+    *
+    * Determinism: per-node contribution sums go through decimal
+    * (order-free across any partitioning); everything else is scalar
+    * IEEE mul/div/add both engines compute bit-identically. The rational
+    * damping constants (0.85, 0.15) never touch libm.
+    */
+  /** The rank fixpoint itself, over a symmetrized duplicate-free edge
+    * list: returns (doc, degree double, rank double), unrounded.
+    * Separated from the query so specs can plant non-clique topologies
+    * (the harness corpus's near-dup components are cliques, where every
+    * node provably converges to exactly 1/|V| — a correct but
+    * assertion-free answer).
+    */
+  def pagerank(sym: DataFrame, iters: Int = 5): DataFrame = {
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    val stats = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(stats))
+      .select(col("src").as("doc"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, ranks("doc") === deg("src"))
+        .select(col("doc"), (col("rank") / col("deg")).as("c"))
+      ranks = sym.join(contrib, sym("src") === contrib("doc"))
+        .groupBy(sym("dst").as("doc"))
+        .agg(dsum(col("c")).as("sm"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc"), (lit(0.15) / col("n_nodes") + lit(0.85) * col("sm")).as("rank"))
+    }
+    ranks.join(deg, ranks("doc") === deg("src"))
+      .select(col("doc"), col("deg"), col("rank"))
+  }
+
+  val graphPagerank: Q = (spark, dir) => {
+    // Symmetrized, deduped edge list (pairs are distinct with a < b, so
+    // the union of both directions is already duplicate-free). Memoized:
+    // the rank loop reads it 5× and the MinHash pipeline must not rerun.
+    val sym = Det.memo(spark, s"dedup.sym:$dir") {
+      val pairs = dedupMinHash(spark, dir).select(col("doc_a"), col("doc_b"))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    }
+    pagerank(sym)
+      .select(col("doc").as("doc_id"), col("deg").cast("long").as("degree"),
+        r6(col("rank")).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def prIter(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (
+       |  SELECT s.dst AS doc, ${sqlDsum("r.rank / d.deg")} AS sm
+       |  FROM sym s JOIN $prev r ON s.src = r.doc JOIN deg d ON s.src = d.src
+       |  GROUP BY s.dst),
+       |r$i AS (SELECT doc, 0.15 / n + 0.85 * sm AS rank FROM c$i, st)""".stripMargin
+  }
+
+  val graphPagerankSql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($dedupMinHashSql)),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |r0 AS (SELECT src AS doc, 1.0 / n AS rank FROM deg, st),
+       |${(1 to 5).map(prIter).mkString(",\n")}
+       |SELECT r5.doc AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       |  ${sqlR6("r5.rank")} AS pagerank
+       |FROM r5 JOIN deg d ON r5.doc = d.src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> graphPagerank,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinHash,
     "q_dedup_ngram" -> dedupNgram,
@@ -503,6 +586,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_graph_pagerank" -> graphPagerankSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_ngram" -> dedupNgramSql,

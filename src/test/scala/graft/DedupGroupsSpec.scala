@@ -52,6 +52,39 @@ class DedupGroupsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/edges").exists())
   }
 
+  test("pagerank: hub of a planted star out-ranks leaves, mass conserved") {
+    import spark.implicits._
+    // Star 1—{2,3,4}: hub degree 3, leaves degree 1. Hand iteration 1
+    // from uniform 1/4: hub ← 0.15/4 + 0.85·(3·0.25) = 0.675.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val r1 = Dedup.pagerank(sym, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // Tolerance: contribution sums pass through DECIMAL(28,8) (order-free
+    // determinism), so each is quantized to 5e-9 — e.g. 0.25/3 reaches
+    // the hub as 0.08333333 exactly, not 0.08333… repeating.
+    assert(math.abs(r1(1L) - 0.675) < 1e-7)
+    assert(math.abs(r1(2L) - (0.0375 + 0.85 * 0.25 / 3.0)) < 1e-7)
+    val r5 = Dedup.pagerank(sym, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(r5.values.sum - 1.0) < 1e-6, s"mass ${r5.values.sum}")
+    assert(r5(1L) > r5(2L) && r5(2L) == r5(3L) && r5(3L) == r5(4L))
+  }
+
+  test("pagerank on the harness near-dup graph: cliques rank uniformly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Dedup.queries("q_graph_pagerank")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "expected a near-dup graph at sf0.001")
+    // Every near-dup component is a clique ⇒ each node receives exactly
+    // its own rank back ⇒ the fixpoint is uniform 1/|V| — verifying the
+    // implementation reproduces the closed-form answer, r6-rounded.
+    val n = rows.length.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pagerank") - 1.0 / n) < 5e-7)
+    }
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("fixpoint at volume: 10^5 edges — chain + star + many small components") {
     // The r3 gap: nothing stressed the fixpoint past ~50 edges. Planted
     // shape: a 10k-vertex chain (diameter 10k — the pointer-jumping
