@@ -575,7 +575,93 @@ object Dedup {
        |  ${sqlR6("r5.rank")} AS pagerank
        |FROM r5 JOIN deg d ON r5.doc = d.src ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup — the production shape at 100 TB, where a new
+    * crawl increment is deduped AGAINST the standing corpus without ever
+    * re-pairing the corpus with itself: existing docs (source index < 10
+    * here) contribute only their LSH band keys; candidates form where a
+    * NEW doc collides with an OLD doc, or two NEW docs collide with the
+    * earlier-id one as the survivor. Verified with exact Jaccard ≥ 0.8,
+    * then each new doc reports the smallest doc it duplicates (or
+    * survives as unique).
+    *
+    * Scale shape: the standing corpus's signatures are a staged table
+    * (here the session memo) — the increment is signed, banded, and
+    * bucket-joined; old×old pairs never form, so incremental cost is
+    * O(increment) + collisions, not O(corpus²).
+    */
+  val dedupIncremental: Q = (spark, dir) => {
+    val sh = sharedShingles(spark, dir)
+    val banded = Det.memo(spark, s"dedup.sig:$dir") {
+      sh.withColumn("sig", expr("minhash_sig(shingles)"))
+        .select(col("doc_id"), col("sig"))
+    }
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"))
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+    val srcIdx = documents(spark, dir)
+      .select(col("doc_id"), (expr("CAST(substr(source, 4) AS INT)") < 10).as("is_old"))
+    val ex = banded.join(srcIdx, "doc_id")
+    val oldB = ex.filter(col("is_old")).select(col("doc_id").as("other"), col("band"))
+    val newB = ex.filter(!col("is_old")).select(col("doc_id"), col("band"))
+    val candOld = newB.join(oldB, "band").select(col("doc_id"), col("other"))
+    val candNew = newB.as("a")
+      .join(newB.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+    val cand = candOld.union(candNew).distinct()
+    val sa = sh.select(col("doc_id"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("o2"), col("shingles").as("sh_b"))
+    val dups = cand
+      .join(sa, "doc_id")
+      .join(sb, cand("other") === sb("o2"))
+      .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+      .filter(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.8)
+      .groupBy(col("doc_id")).agg(min(col("other")).as("dup_of"))
+    srcIdx.filter(!col("is_old")).select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.as("is_new_unique"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH sh AS ($duckShingles),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    [list_aggregate(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')
+       |     for j in generate_series(0, 11)] AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id,
+       |    unnest([md5(CAST(k AS VARCHAR) || '|' || sig[3*k+1] || '|' || sig[3*k+2] || '|' || sig[3*k+3])
+       |            for k in generate_series(0, 3)]) AS band
+       |  FROM sig),
+       |srcidx AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS INT) < 10 AS is_old FROM documents),
+       |ex AS (SELECT b.doc_id, b.band, s.is_old FROM banded b JOIN srcidx s USING (doc_id)),
+       |oldb AS (SELECT doc_id AS other, band FROM ex WHERE is_old),
+       |newb AS (SELECT doc_id, band FROM ex WHERE NOT is_old),
+       |cand AS (
+       |  SELECT DISTINCT doc_id, other FROM (
+       |    SELECT n.doc_id, o.other FROM newb n JOIN oldb o USING (band)
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id AS other
+       |    FROM newb a JOIN newb b ON a.band = b.band AND a.doc_id > b.doc_id)),
+       |v AS (
+       |  SELECT c.doc_id, c.other,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter,
+       |    len(x.shingles) AS na, len(y.shingles) AS nb
+       |  FROM cand c JOIN sh x ON c.doc_id = x.doc_id JOIN sh y ON c.other = y.doc_id),
+       |dups AS (
+       |  SELECT doc_id, min(other) AS dup_of FROM v
+       |  WHERE inter / (na + nb - inter) >= 0.8 GROUP BY doc_id)
+       |SELECT s.doc_id, d.dup_of, d.dup_of IS NULL AS is_new_unique
+       |FROM srcidx s LEFT JOIN dups d USING (doc_id)
+       |WHERE NOT s.is_old ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> dedupIncremental,
     "q_graph_pagerank" -> graphPagerank,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinHash,
@@ -586,6 +672,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,

@@ -554,7 +554,69 @@ object TextOps {
        |  ${sqlR6("CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE)")} AS cum_share
        |FROM r CROSS JOIN t ORDER BY rank""".stripMargin
 
+  /** Absolute-threshold quality gate (the C4/Gopher rule family): each
+    * document passes or fails four independent gates — token-count
+    * bounds, mean-token-length bounds, minimum stopword count, minimum
+    * distinct-token ratio — with the failed gate names logged as a
+    * reason string (the audit trail a filtering run ships with its drop
+    * decisions). Pure per-row map over the corpus: no shuffle before the
+    * output sort, every threshold a fixed constant, every ratio an exact
+    * IEEE division — bit-identical across engines by construction.
+    */
+  val qualityGate: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("gate_len", col("n_tokens") >= 30 && col("n_tokens") <= 10000)
+      .withColumn("gate_tok_len", col("avg_tok_len") >= 2.0 && col("avg_tok_len") <= 12.0)
+      .withColumn("gate_stop", col("n_stop") >= 2)
+      .withColumn("gate_uniq", col("uniq_ratio") >= 0.2)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        col("gate_len"), col("gate_tok_len"), col("gate_stop"), col("gate_uniq"),
+        (col("gate_len") && col("gate_tok_len") && col("gate_stop") && col("gate_uniq"))
+          .as("keep"),
+        concat_ws(",",
+          when(!col("gate_len"), lit("len")),
+          when(!col("gate_tok_len"), lit("tok_len")),
+          when(!col("gate_stop"), lit("stop")),
+          when(!col("gate_uniq"), lit("uniq"))).as("drop_reasons"))
+      .orderBy(col("doc_id"))
+
+  val qualityGateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_tok_len,
+      |    CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, n_tokens,
+      |    n_tokens >= 30 AND n_tokens <= 10000 AS gate_len,
+      |    avg_tok_len >= 2.0 AND avg_tok_len <= 12.0 AS gate_tok_len,
+      |    n_stop >= 2 AS gate_stop,
+      |    uniq_ratio >= 0.2 AS gate_uniq
+      |  FROM m)
+      |SELECT doc_id, n_tokens, gate_len, gate_tok_len, gate_stop, gate_uniq,
+      |  gate_len AND gate_tok_len AND gate_stop AND gate_uniq AS keep,
+      |  concat_ws(',',
+      |    CASE WHEN NOT gate_len THEN 'len' END,
+      |    CASE WHEN NOT gate_tok_len THEN 'tok_len' END,
+      |    CASE WHEN NOT gate_stop THEN 'stop' END,
+      |    CASE WHEN NOT gate_uniq THEN 'uniq' END) AS drop_reasons
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_quality_gate" -> qualityGate,
     "q_vocab_coverage" -> vocabCoverage,
     "q_text_repetition" -> textRepetition,
     "q_mix_resample" -> mixResample,
@@ -569,6 +631,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quality_gate" -> qualityGateSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_mix_resample" -> mixResampleSql,

@@ -52,6 +52,33 @@ class DedupGroupsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/edges").exists())
   }
 
+  test("incremental dedup: new-vs-old and new-vs-new, old never re-paired") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six seven"
+    val t3 = "red green blue yellow purple orange"
+    Seq(
+      (1L, t1, "en", "src0", t1.length.toLong),   // standing corpus
+      (2L, t1, "en", "src1", t1.length.toLong),   // old dup of old — must NOT appear
+      (101L, t1, "en", "src15", t1.length.toLong), // new, dups old doc 1
+      (102L, t2, "en", "src15", t2.length.toLong), // new, unique
+      (103L, t3, "en", "src16", t3.length.toLong), // new, survivor of 103/104
+      (104L, t3, "en", "src16", t3.length.toLong)) // new, dups earlier new 103
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.queries("q_dedup_incremental")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))
+      .toMap
+    // Only the increment is reported — old docs never re-pair.
+    assert(rows.keySet == Set(101L, 102L, 103L, 104L))
+    assert(rows(101L) == (Some(1L), false)) // min match: old doc 1, not old doc 2
+    assert(rows(102L) == (None, true))
+    assert(rows(103L) == (None, true))     // earlier id survives its new-new pair
+    assert(rows(104L) == (Some(103L), false))
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("pagerank: hub of a planted star out-ranks leaves, mass conserved") {
     import spark.implicits._
     // Star 1—{2,3,4}: hub degree 3, leaves degree 1. Hand iteration 1

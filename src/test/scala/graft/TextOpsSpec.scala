@@ -65,6 +65,25 @@ class TextOpsSpec extends SparkSpec {
     assert(s1.getAs[Long]("kept_docs") <= 4L)
   }
 
+  test("quality gate: each gate trips independently, reasons logged") {
+    val longDoc = (Seq.fill(20)("the of and to in a") :+ "tail").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, longDoc, "en", "s0", longDoc.length.toLong), // 121 toks, stopword-heavy → fails uniq only
+      (2L, "too short doc", "en", "s0", 13L),           // fails len (+stop: 0 stopwords)
+      (3L, ("x " * 40).trim, "en", "s0", 79L)))          // 40 toks but 1-char tokens, no stops, 1 distinct
+    val r = graft.queries.TextOps.qualityGate(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r(1L).getAs[Boolean]("gate_uniq") && r(1L).getAs[Boolean]("gate_len")
+      && r(1L).getAs[Boolean]("gate_stop") && !r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[String]("drop_reasons") == "uniq")
+    assert(!r(2L).getAs[Boolean]("gate_len") && !r(2L).getAs[Boolean]("gate_stop"))
+    assert(r(2L).getAs[String]("drop_reasons") == "len,stop")
+    val d3 = r(3L)
+    assert(d3.getAs[Boolean]("gate_len") && !d3.getAs[Boolean]("gate_tok_len")
+      && !d3.getAs[Boolean]("gate_stop") && !d3.getAs[Boolean]("gate_uniq"))
+    assert(d3.getAs[String]("drop_reasons") == "tok_len,stop,uniq")
+  }
+
   test("mix resample on the harness corpus: deterministic, shares sum to 1") {
     val dir = "/root/testdata/sf0.001"
     val a = TextOps.mixResample(spark, dir).collect().toSeq
