@@ -547,7 +547,24 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     }
-    pagerank(sym)
+    // Same scheduling medicine as the CC fixpoint (invariants 3-4): the
+    // 5 iterations are ~11 shuffles over a tiny rank table, so they run
+    // at edge-count-sized shuffle width (restored after) and the final
+    // ranks MATERIALIZE inside that scope into a session memo — every
+    // later consumer reads one fixpoint instead of re-running the loop.
+    val ranked = Det.memo(spark, s"dedup.pagerank:$dir") {
+      val nEdges = sym.count()
+      val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 65536L + 1L).toInt))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+        val r = pagerank(sym.coalesce(nPart)).cache()
+        r.count() // materialize while the narrowed width is in effect
+        r
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    ranked
       .select(col("doc").as("doc_id"), col("deg").cast("long").as("degree"),
         r6(col("rank")).as("pagerank"))
       .orderBy(col("doc_id"))
