@@ -196,6 +196,58 @@ object Dedup {
        |FROM p WHERE shared / (na + nb - shared) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The production variant of the n-gram ground truth: shingles whose
+    * document frequency exceeds the cap are dropped from the inverted
+    * index BEFORE the postings self-join — the skew guard a 100 TB run
+    * needs, because one boilerplate shingle appearing in 10⁶ documents
+    * would otherwise enumerate 10¹² candidate pairs on a single join
+    * key. Jaccard is still computed over FULL shingle sets for candidate
+    * pairs; capping only prunes which pairs become candidates, so a pair
+    * sharing nothing but boilerplate is (deliberately) missed. The cap
+    * is a fixed constant, making the pruned semantics oracle-able rather
+    * than a scaladoc promise.
+    */
+  val dedupNgramCapped: Q = (spark, dir) => {
+    val cap = 20
+    val ex = Det.memo(spark, s"dedup.postings:$dir") {
+      sharedShingles(spark, dir)
+        .withColumn("n_sh", size(col("shingles")))
+        .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    }
+    val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("shingle"))
+    val capped = ex.join(rare, "shingle")
+    capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .distinct()
+      .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
+      .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")
+      .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+      .withColumn("jac_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), r6(col("jac_raw")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramCappedSql: String =
+    s"""WITH sh AS ($duckShingles),
+       |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 20),
+       |capped AS (SELECT e.* FROM ex e JOIN rare r USING (shingle)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb
+       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT da, db, na, nb,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter
+       |  FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  ${sqlR6("inter / (na + nb - inter)")} AS jaccard
+       |FROM v WHERE inter / (na + nb - inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash near-dup: 32-bit bit-majority fingerprint over 3-token
     * SHINGLE md5s (tokens alone don't discriminate — every doc shares most
     * of the small vocabulary, shingle sets are ~5% Jaccard for random
@@ -683,6 +735,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinHash,
     "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_ngram_capped" -> dedupNgramCapped,
     "q_dedup_simhash" -> dedupSimHash,
     "q_dedup_groups" -> dedupGroups,
     "q_dedup_keep" -> dedupKeep
@@ -694,6 +747,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_ngram_capped" -> dedupNgramCappedSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_dedup_groups" -> dedupGroupsSql,
     "q_dedup_keep" -> dedupKeepSql

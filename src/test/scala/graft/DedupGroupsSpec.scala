@@ -52,6 +52,17 @@ class DedupGroupsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/edges").exists())
   }
 
+  test("df-capped postings prune candidates, never invent pairs") {
+    val sfDir = "/root/testdata/sf0.001"
+    def pairs(q: String) = Dedup.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs("q_dedup_ngram")
+    val capped = pairs("q_dedup_ngram_capped")
+    assert(capped.subsetOf(full),
+      s"capping added pairs: ${capped.diff(full)}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("incremental dedup: new-vs-old and new-vs-new, old never re-paired") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
