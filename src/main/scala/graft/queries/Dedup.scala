@@ -214,14 +214,37 @@ object Dedup {
         .withColumn("n_sh", size(col("shingles")))
         .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     }
-    val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select(col("shingle"))
-    val capped = ex.join(rare, "shingle")
+    // Memoized: the capped postings feed BOTH self-join sides — without
+    // the pin, the df-count aggregation and the prune join re-run per
+    // side (measured 3× the uncapped query; with it, the same cost).
+    val capped = Det.memo(spark, s"dedup.postings_capped:$dir") {
+      val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("shingle"))
+      ex.join(rare, "shingle")
+    }
+    // Per-doc count of CAPPED (rare) shingles: hd = n_sh − n_rare is how
+    // many high-df shingles the doc carries — the most its intersection
+    // with anything can exceed the rare-only shared count.
+    val docRare = capped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rare"), first(col("n_sh")).as("n_all"))
+      .select(col("doc_id"), (col("n_all") - col("n_rare")).as("hd"))
+    // Count shared RARE shingles per pair (aggregation, not pair
+    // materialization — the exact-intersect join runs only on pairs the
+    // upper bound cannot rule out: inter ≤ shared_rare + min(hd_a, hd_b),
+    // and jac = i/(na+nb−i) is increasing in i, so a pair whose BOUND is
+    // < 0.8 provably fails. Exact full-set Jaccard then verifies the
+    // survivors, so emitted pairs are identical to the uncapped ground
+    // truth restricted to candidates sharing ≥1 rare shingle.)
+    val hdA = docRare.select(col("doc_id").as("da"), col("hd").as("hd_a"))
+    val hdB = docRare.select(col("doc_id").as("db"), col("hd").as("hd_b"))
     capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .distinct()
+      .agg(count(lit(1)).cast("double").as("shared_r"))
+      .join(broadcast(hdA), "da").join(broadcast(hdB), "db")
+      .withColumn("ub_i", col("shared_r") + least(col("hd_a"), col("hd_b")).cast("double"))
+      .filter(col("ub_i") / (col("na") + col("nb") - col("ub_i")) >= 0.8)
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
       .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")
       .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
@@ -236,13 +259,21 @@ object Dedup {
        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
        |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 20),
        |capped AS (SELECT e.* FROM ex e JOIN rare r USING (shingle)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb
-       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |docrare AS (
+       |  SELECT doc_id, any_value(n_sh) - count(*) AS hd FROM capped GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb,
+       |    CAST(count(*) AS DOUBLE) AS shared_r
+       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pre AS (
+       |  SELECT p.*, p.shared_r + CAST(least(x.hd, y.hd) AS DOUBLE) AS ub_i
+       |  FROM p JOIN docrare x ON p.da = x.doc_id JOIN docrare y ON p.db = y.doc_id),
        |v AS (
        |  SELECT da, db, na, nb,
        |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter
-       |  FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id)
+       |  FROM pre JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+       |  WHERE ub_i / (na + nb - ub_i) >= 0.8)
        |SELECT da AS doc_a, db AS doc_b,
        |  ${sqlR6("inter / (na + nb - inter)")} AS jaccard
        |FROM v WHERE inter / (na + nb - inter) >= 0.8
