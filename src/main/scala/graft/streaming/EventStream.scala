@@ -67,6 +67,38 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming corpus-mixture monitor ----
+
+  /** Streaming twin of q_corpus_mix's per-(lang, source) cells: as crawl
+    * files land, the running document/token counts per mixture cell
+    * update — the live dashboard a data-ingest pipeline watches to catch
+    * a source flooding the mix before a training snapshot is cut.
+    *
+    * State is one row per (lang, source) cell — bounded by the mixture
+    * dimensionality, not the corpus — so complete-mode re-emission stays
+    * O(cells) forever. The token count is the same split-size expression
+    * as the batch query; StreamingSpec asserts the final table equals
+    * the batch aggregation over the same files.
+    */
+  def mixtureMonitor(spark: SparkSession, sourceDir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  def runMixtureMonitor(spark: SparkSession, sourceDir: String, queryName: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = mixtureMonitor(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Stateful sessionization ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

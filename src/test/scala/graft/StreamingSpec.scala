@@ -16,6 +16,21 @@ class StreamingSpec extends SparkSpec {
     d
   }
 
+  test("streaming mixture monitor converges to the batch mixture report") {
+    val docsDir = java.nio.file.Files.createTempDirectory("docs_src").toString
+    Tables.documents(spark, sfDir).repartition(4).write.mode("overwrite").parquet(docsDir)
+    // 4 files, one per micro-batch: the final complete-mode emission must
+    // equal the batch aggregation over everything that has landed.
+    val streamed = EventStream.runMixtureMonitor(spark, docsDir, "mix_test",
+      maxFilesPerTrigger = Some(1))
+    val batch = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch.select(streamed.columns.map(col).toSeq: _*)).count() == 0)
+  }
+
   test("streaming tumbling window equals batch groupBy(window)") {
     val streamed = EventStream.runWindowed(spark, sourceDir, "win_test")
       .select(col("window_start"), col("event_type"), col("n_events"))
