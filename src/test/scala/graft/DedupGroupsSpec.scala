@@ -109,6 +109,23 @@ class DedupGroupsSpec extends SparkSpec {
     assert(r5(1L) > r5(2L) && r5(2L) == r5(3L) && r5(3L) == r5(4L))
   }
 
+  test("pagerank at volume: 60k-leaf star concentrates rank on the hub") {
+    val star = spark.range(0, 60000)
+      .selectExpr("CAST(100000 AS BIGINT) AS src", "id AS dst")
+    val sym = star.union(star.selectExpr("dst AS src", "src AS dst"))
+    val t0 = System.nanoTime()
+    val ranks = Dedup.pagerank(sym, iters = 5).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val hub = ranks.find(_.getLong(0) == 100000L).get.getDouble(2)
+    val maxLeaf = ranks.filter(_.getLong(0) != 100000L).map(_.getDouble(2)).max
+    // Mass alternates hub↔leaves with damping; after 5 rounds the hub
+    // holds ~0.66 of all rank and each leaf ~5e-6.
+    assert(hub > 0.2, s"hub=$hub")
+    assert(hub > 1000 * maxLeaf, s"hub=$hub maxLeaf=$maxLeaf")
+    assert(math.abs(ranks.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(secs < 120, s"5 rank iterations over 120k edges took $secs s")
+  }
+
   test("pagerank on the harness near-dup graph: cliques rank uniformly") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Dedup.queries("q_graph_pagerank")(spark, sfDir).collect()
