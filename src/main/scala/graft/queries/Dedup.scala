@@ -226,7 +226,7 @@ object Dedup {
     // many high-df shingles the doc carries — the most its intersection
     // with anything can exceed the rare-only shared count.
     val docRare = capped.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_rare"), first(col("n_sh")).as("n_all"))
+      .agg(count(lit(1)).as("n_rare"), max(col("n_sh")).as("n_all"))
       .select(col("doc_id"), (col("n_all") - col("n_rare")).as("hd"))
     // Count shared RARE shingles per pair (aggregation, not pair
     // materialization — the exact-intersect join runs only on pairs the
@@ -260,7 +260,7 @@ object Dedup {
        |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 20),
        |capped AS (SELECT e.* FROM ex e JOIN rare r USING (shingle)),
        |docrare AS (
-       |  SELECT doc_id, any_value(n_sh) - count(*) AS hd FROM capped GROUP BY doc_id),
+       |  SELECT doc_id, max(n_sh) - count(*) AS hd FROM capped GROUP BY doc_id),
        |p AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb,
        |    CAST(count(*) AS DOUBLE) AS shared_r
