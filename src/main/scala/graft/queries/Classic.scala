@@ -128,7 +128,33 @@ object Classic {
       |ORDER BY o.o_totalprice DESC, o.o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** Top-supplier shape (argmax via scalar subquery over an aggregated
+    * CTE): per-supplier revenue over a ship-date window, then the
+    * supplier(s) whose revenue EQUALS the maximum of that same CTE —
+    * the classic "create view revenue…" pattern. The CTE is referenced
+    * twice (detail + scalar max); both engines must evaluate it
+    * consistently, and the revenue equality comparison is exact because
+    * both sides come through the identical decimal-sum/floor-round
+    * pipeline. At scale: one fact shuffle for the aggregate; the scalar
+    * max is a broadcast single row.
+    */
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s
+      |JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sql_top_supplier" -> viaSql(Seq("supplier", "lineitem"), topSupplierSql),
     "q_sql_revenue_forecast" -> viaSql(Seq("lineitem"), revenueForecastSql),
     "q_sql_shipping_priority" -> viaSql(Seq("customer", "orders", "lineitem"), shippingPrioritySql),
     "q_sql_local_volume" -> viaSql(
@@ -139,6 +165,7 @@ object Classic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_top_supplier" -> topSupplierSql,
     "q_sql_revenue_forecast" -> revenueForecastSql,
     "q_sql_shipping_priority" -> shippingPrioritySql,
     "q_sql_local_volume" -> localVolumeSql,
