@@ -251,7 +251,51 @@ object Events {
        |FROM cells JOIN sizes s ON cells.cohort_week = s.cohort_week
        |ORDER BY cells.cohort_week, weeks_since""".stripMargin
 
+  /** Z-score anomaly detection per event type: exact-decimal moments
+    * give each type's mean and sample stddev (the Stats formulation —
+    * order-free, so any partitioning produces identical bits), the
+    * per-type stats broadcast back onto the stream, and events beyond
+    * 3σ are flagged — the monitoring pass an event pipeline runs before
+    * alerting. One fact shuffle for the moments; the scoring join is a
+    * broadcast of |types| rows; sqrt is IEEE-exact.
+    */
+  val eventsAnomaly: Q = (spark, dir) => {
+    val e = events(spark, dir).select(col("event_id"), col("event_type"), col("value"))
+    val st = e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("value")).as("sx"),
+        sum((col("value") * col("value")).cast("decimal(38,8)")).cast("double").as("sxx"))
+      .select(col("event_type"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0))).as("std"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        r4(col("mean")).as("type_mean"), r4(col("z")).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAnomalySql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,8))) AS DOUBLE)"
+    val n = "CAST(count(*) AS DOUBLE)"
+    s"""WITH st AS (
+       |  SELECT event_type, $n AS n, ${m("value")} AS sx, ${m("value * value")} AS sxx
+       |  FROM events GROUP BY event_type),
+       |s2 AS (
+       |  SELECT event_type, sx / n AS mean,
+       |    sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std
+       |  FROM st)
+       |SELECT e.event_id, e.event_type, e.value,
+       |  ${sqlR4("mean")} AS type_mean,
+       |  ${sqlR4("(e.value - mean) / std")} AS zscore
+       |FROM events e JOIN s2 USING (event_type)
+       |WHERE abs((e.value - mean) / std) > 3.0
+       |ORDER BY e.event_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_anomaly" -> eventsAnomaly,
     "q_events_json" -> eventsJson,
     "q_events_tumbling" -> eventsTumbling,
     "q_events_sliding" -> eventsSliding,
@@ -261,6 +305,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_anomaly" -> eventsAnomalySql,
     "q_events_json" -> eventsJsonSql,
     "q_events_tumbling" -> eventsTumblingSql,
     "q_events_sliding" -> eventsSlidingSql,
