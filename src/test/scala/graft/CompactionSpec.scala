@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+
+  test("compaction collapses a many-file layout, preserving every row") {
+    val src = java.nio.file.Files.createTempDirectory("compact_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("compact_dst").toString + "/out"
+    // 64 splits of the docs table = 64 small files (a streaming sink's
+    // worth of micro-batch droppings).
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    val (before, after) = ext.Compaction.compact(spark, src, dst, targetBytes = 256 * 1024)
+    assert(before == 64, s"expected 64 input files, saw $before")
+    assert(after < before, s"no reduction: $before -> $after")
+    // Multiset equality: nothing lost, nothing duplicated, source intact.
+    val a = spark.read.parquet(src)
+    val b = spark.read.parquet(dst)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
