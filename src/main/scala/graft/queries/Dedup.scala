@@ -621,6 +621,51 @@ object Dedup {
       .select(col("doc"), col("deg"), col("rank"))
   }
 
+  /** Convergence-detecting PageRank — the production form of the fixed
+    * 5-iteration verified query: iterate until the max per-node rank
+    * delta drops under `tol`, with the SAME lifecycle discipline as the
+    * CC fixpoint (per-round localCheckpoint to truncate lineage — an
+    * unbounded chained plan blows up Catalyst analysis past ~20 rounds —
+    * and eager release of the superseded round's checkpoint blocks).
+    * Not oracle-able (the round count is data-dependent), so it is
+    * spec-verified: agreement with the fixed-iteration form at the same
+    * round count, and convergence on a planted star.
+    */
+  def pagerankConverged(sym: DataFrame, tol: Double = 1e-4,
+                        maxRounds: Int = 120): (DataFrame, Int) = {
+    // Damped power iteration contracts at 0.85 per round, so reaching
+    // tol takes ≈ ln(tol)/ln(0.85) rounds (1e-4 ≈ 57) regardless of
+    // graph size — pick tol accordingly, rounds are shuffles.
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    val stats = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(stats))
+      .select(col("src").as("doc"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .localCheckpoint()
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (delta > tol && rounds < maxRounds) {
+      val contrib = ranks.join(deg, ranks("doc") === deg("src"))
+        .select(col("doc"), (col("rank") / col("deg")).as("c"))
+      val next = sym.join(contrib, sym("src") === contrib("doc"))
+        .groupBy(sym("dst").as("doc"))
+        .agg(dsum(col("c")).as("sm"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc"), (lit(0.15) / col("n_nodes") + lit(0.85) * col("sm")).as("rank"))
+        .localCheckpoint()
+      delta = next.as("n").join(ranks.as("p"), col("n.doc") === col("p.doc"))
+        .agg(max(abs(col("n.rank") - col("p.rank")))).collect()(0).getDouble(0)
+      freeLocalCheckpoint(ranks)
+      ranks = next
+      rounds += 1
+    }
+    require(delta <= tol,
+      s"pagerank did not converge to $tol in $maxRounds rounds (delta=$delta)")
+    val out = ranks.join(deg, ranks("doc") === deg("src"))
+      .select(col("doc"), col("deg"), col("rank"))
+    (out, rounds)
+  }
+
   val graphPagerank: Q = (spark, dir) => {
     // Symmetrized, deduped edge list (pairs are distinct with a < b, so
     // the union of both directions is already duplicate-free). Memoized:

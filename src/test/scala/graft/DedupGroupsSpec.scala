@@ -109,6 +109,23 @@ class DedupGroupsSpec extends SparkSpec {
     assert(r5(1L) > r5(2L) && r5(2L) == r5(3L) && r5(3L) == r5(4L))
   }
 
+  test("converged pagerank agrees with the fixed-iteration form at equal rounds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("src", "dst")
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val (converged, rounds) = Dedup.pagerankConverged(sym, tol = 1e-4)
+    assert(rounds > 1 && rounds < 120, s"rounds=$rounds")
+    val a = converged.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = Dedup.pagerank(sym, iters = rounds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet)
+    // Same expressions, same round count — checkpointing must not change
+    // a single bit.
+    a.foreach { case (k, v) => assert(v == b(k), s"node $k: $v vs ${b(k)}") }
+    assert(math.abs(a.values.sum - 1.0) < 1e-6)
+    assert(a(1L) > a(2L)) // star hub still dominates at convergence
+  }
+
   test("pagerank at volume: 60k-leaf star concentrates rank on the hub") {
     val star = spark.range(0, 60000)
       .selectExpr("CAST(100000 AS BIGINT) AS src", "id AS dst")
