@@ -274,6 +274,74 @@ object TextOps {
       |  md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_hash
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Sequence packing — the concatenate-then-split step that turns a
+    * cleaned corpus into fixed-length training sequences: within each
+    * `source` shard, documents ordered by doc_id form one token stream
+    * that is cut every 256 tokens. Output is one row per (source,
+    * sequence): how many documents land in it, how full it is, and how
+    * many documents straddle a cut (the packing-efficiency /
+    * attention-mask-complexity metrics a pre-training data pipeline
+    * reports).
+    *
+    * Shape: a per-shard running sum (window cumsum on the shard sort
+    * key) gives each document its [start, end) offset in the stream; a
+    * range-explode fans each document to the ⌈n/B⌉(+1) sequences it
+    * overlaps; a hash aggregate folds per-sequence stats. One shuffle
+    * for the window, one for the agg — no driver involvement, and at
+    * 100 TB the `source` partition key becomes (source, file-shard) so
+    * every window sort stays bounded by shard size. All arithmetic is
+    * integer; fill_ratio divides by a power of two, so cross-engine
+    * hashes are exact.
+    */
+  val packSequences: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 256
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(start_off div $B, (end_off - 1) div $B)")))
+      .withColumn("contrib",
+        least(col("end_off"), (col("seq_id") + 1) * B) -
+          greatest(col("start_off"), col("seq_id") * B))
+      .groupBy(col("source"), col("seq_id").cast("long").as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("contrib")).as("seq_tokens"),
+        sum(when(col("contrib") < col("n_tokens"), 1L).otherwise(0L)).as("n_straddle"),
+        min(col("doc_id")).cast("long").as("first_doc"))
+      .withColumn("fill_ratio", col("seq_tokens").cast("double") / B)
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, source, n_tokens, end_off, end_off - n_tokens AS start_off,
+      |    unnest(generate_series((end_off - n_tokens) // 256, (end_off - 1) // 256)) AS seq_id
+      |  FROM o),
+      |c AS (
+      |  SELECT source, seq_id, doc_id, n_tokens,
+      |    least(end_off, (seq_id + 1) * 256) - greatest(start_off, seq_id * 256) AS contrib
+      |  FROM e)
+      |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(contrib) AS BIGINT) AS seq_tokens,
+      |  CAST(sum(CASE WHEN contrib < n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(sum(contrib) AS DOUBLE) / 256 AS fill_ratio
+      |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
   /** Benchmark-contamination check: per training document, the fraction
     * of its distinct 8-grams that appear anywhere in the benchmark set
     * (here: doc_id < 20 standing in for an eval suite) — the
@@ -625,6 +693,7 @@ object TextOps {
     "q_text_fingerprint" -> textFingerprint,
     "q_text_bm25" -> textBm25,
     "q_text_chunks" -> textChunks,
+    "q_pack_sequences" -> packSequences,
     "q_text_contamination" -> textContamination,
     "q_text_chunk_dedup" -> textChunkDedup,
     "q_corpus_mix" -> corpusMix
@@ -640,6 +709,7 @@ object TextOps {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_chunks" -> textChunksSql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_text_contamination" -> textContaminationSql,
     "q_text_chunk_dedup" -> textChunkDedupSql,
     "q_corpus_mix" -> corpusMixSql

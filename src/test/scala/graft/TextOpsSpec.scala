@@ -98,4 +98,57 @@ class TextOpsSpec extends SparkSpec {
     val shareSum = a.map(_.getAs[Double]("achieved_share")).sum
     assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
   }
+
+  test("sequence packing: hand-computed goldens on a two-shard stream") {
+    // s0 stream: doc1 (300 toks) + doc2 (100) + doc3 (200) = 600 tokens
+    //   → seqs 0..2 of [256, 256, 88]. doc1 spans seq 0-1 (straddles),
+    //   doc2 sits inside seq 1, doc3 spans seq 1-2 (straddles).
+    // s1 stream: doc4 (10 toks) → one partial seq of 10.
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(300)("a").mkString(" "), "en", "s0", 0L),
+      (2L, Seq.fill(100)("b").mkString(" "), "en", "s0", 0L),
+      (3L, Seq.fill(200)("c").mkString(" "), "en", "s0", 0L),
+      (4L, Seq.fill(10)("d").mkString(" "), "en", "s1", 0L)))
+    val r = TextOps.packSequences(spark, dir).collect()
+    assert(r.length == 4)
+    val bySeq = r.map(x => (x.getAs[String]("source"), x.getAs[Long]("seq_id")) -> x).toMap
+    val s00 = bySeq(("s0", 0L))
+    assert(s00.getAs[Long]("n_docs") == 1L)       // doc1 only
+    assert(s00.getAs[Long]("seq_tokens") == 256L)
+    assert(s00.getAs[Long]("n_straddle") == 1L)   // doc1 continues into seq 1
+    assert(s00.getAs[Long]("first_doc") == 1L)
+    val s01 = bySeq(("s0", 1L))
+    assert(s01.getAs[Long]("n_docs") == 3L)       // doc1 tail, doc2 whole, doc3 head
+    assert(s01.getAs[Long]("seq_tokens") == 256L)
+    assert(s01.getAs[Long]("n_straddle") == 2L)   // doc1 and doc3 cross cuts
+    val s02 = bySeq(("s0", 2L))
+    assert(s02.getAs[Long]("n_docs") == 1L)
+    assert(s02.getAs[Long]("seq_tokens") == 88L)  // 600 - 512
+    assert(s02.getAs[Double]("fill_ratio") == 88.0 / 256)
+    val s10 = bySeq(("s1", 0L))
+    assert(s10.getAs[Long]("n_docs") == 1L)
+    assert(s10.getAs[Long]("seq_tokens") == 10L)
+    assert(s10.getAs[Long]("n_straddle") == 0L)
+  }
+
+  test("sequence packing conserves tokens and fills all but the last sequence") {
+    val dir = "/root/testdata/sf0.001"
+    val r = TextOps.packSequences(spark, dir).collect()
+    assert(r.nonEmpty)
+    val perSource = r.groupBy(_.getAs[String]("source"))
+    val totals = TextOps.textStats(spark, dir)
+      .groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("t")).toMap
+    perSource.foreach { case (src, seqs) =>
+      val sorted = seqs.sortBy(_.getAs[Long]("seq_id"))
+      // Contiguous ids from 0, every sequence full except possibly the last.
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq == sorted.indices.map(_.toLong))
+      sorted.init.foreach(s => assert(s.getAs[Long]("seq_tokens") == 256L))
+      assert(sorted.last.getAs[Long]("seq_tokens") <= 256L)
+      // Token conservation: packed tokens == corpus tokens for the shard.
+      assert(sorted.map(_.getAs[Long]("seq_tokens")).sum == totals(src))
+      sorted.foreach(s =>
+        assert(s.getAs[Long]("n_straddle") <= s.getAs[Long]("n_docs")))
+    }
+  }
 }
