@@ -461,7 +461,62 @@ object Similarity {
        |FROM vs JOIN cent ON vs.label = cent.label
        |ORDER BY vs.label""".stripMargin
 
+  /** Per-vector symmetric int8 quantization report — the compression
+    * step a serving/training pipeline applies before shipping embeddings
+    * (4× smaller than float32): scale = max|x|/127, q = ⌊x/scale + ½⌋ ∈
+    * [−127, 127], and the row reports the scale, the worst
+    * reconstruction error, and how many components saturate at ±127.
+    *
+    * Scale shape: a pure per-row map over the corpus (array min/max +
+    * one transform) — zero shuffles before the output sort, trivially
+    * 100 TB-parallel. Determinism: quantization uses the Det floor-round
+    * trick (`floor(x/scale + 0.5)` — only exactly-rounded IEEE ops, no
+    * engine `round()` semantics), so Spark and DuckDB produce identical
+    * bits; outputs additionally pass through r6.
+    */
+  val embedQuantize: Q = (spark, dir) =>
+    embeddings(spark, dir)
+      .withColumn("vmin", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("vmax", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .withColumn("amax", greatest(abs(col("vmin")), abs(col("vmax"))))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .withColumn("max_abs_err", expr(
+        "CASE WHEN amax = 0.0D THEN 0.0D ELSE array_max(transform(embedding, " +
+          "x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5D) * scale))) END"))
+      .withColumn("n_sat", expr(
+        "CASE WHEN amax = 0.0D THEN 0L ELSE CAST(size(filter(embedding, " +
+          "x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5D)) = 127.0D)) AS BIGINT) END"))
+      .select(
+        col("vec_id").cast("long").as("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        r6(col("vmin")).as("vmin"), r6(col("vmax")).as("vmax"),
+        r6(col("scale")).as("scale"), col("n_sat"),
+        r6(col("max_abs_err")).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(len(embedding) AS BIGINT) AS dim,
+       |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT *, greatest(abs(vmin), abs(vmax)) AS amax,
+       |    greatest(abs(vmin), abs(vmax)) / 127.0 AS scale
+       |  FROM b)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, label, dim,
+       |  ${sqlR6("vmin")} AS vmin, ${sqlR6("vmax")} AS vmax,
+       |  ${sqlR6("scale")} AS scale,
+       |  CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(list_filter(embedding,
+       |         x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5)) = 127.0)) AS BIGINT) END AS n_sat,
+       |  ${sqlR6("CASE WHEN amax = 0 THEN 0.0 ELSE list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))) END")} AS max_abs_err
+       |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_embed_centroid" -> embedCentroid,
     "q_ann_recall" -> annRecall,
     "q_knn_ivf" -> knnIvf,
@@ -472,6 +527,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" -> embedQuantizeSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_ann_recall" -> annRecallSql,
     "q_knn_ivf" -> knnIvfSql,

@@ -23,6 +23,41 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == b5)
   }
 
+  test("int8 quantization: hand goldens, zero-vector guard, error bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f, 0.0f), 1),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.queries("q_embed_quantize")(spark, dir).collect()
+    assert(r.length == 2)
+    val v0 = r(0)
+    assert(v0.getAs[Long]("dim") == 4L)
+    assert(v0.getAs[Double]("vmin") == -2.0 && v0.getAs[Double]("vmax") == 1.0)
+    assert(v0.getAs[Double]("scale") == 0.015748) // r6(2/127)
+    assert(v0.getAs[Long]("n_sat") == 1L)         // only the -2 component hits ±127
+    assert(v0.getAs[Double]("max_abs_err") <= v0.getAs[Double]("scale") / 2 + 1e-6)
+    val v1 = r(1) // all-zero vector: scale 0 must not divide
+    assert(v1.getAs[Double]("scale") == 0.0)
+    assert(v1.getAs[Long]("n_sat") == 0L)
+    assert(v1.getAs[Double]("max_abs_err") == 0.0)
+  }
+
+  test("int8 quantization on the harness corpus: bound holds, max element saturates") {
+    val rows = Similarity.queries("q_embed_quantize")(spark, sfDir).collect()
+    assert(rows.length == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("vmax"))
+      // Quantization error is bounded by half a step; the max-|x| component
+      // always quantizes to ±127, so every nonzero vector saturates once.
+      assert(r.getAs[Double]("max_abs_err") <= r.getAs[Double]("scale") / 2 + 1e-6)
+      assert(r.getAs[Long]("n_sat") >= 1L)
+    }
+  }
+
   test("centroid report: label partition is exhaustive and Jensen-bounded") {
     val emb = Tables.embeddings(spark, sfDir)
     val rows = Similarity.queries("q_embed_centroid")(spark, sfDir).collect()
