@@ -515,7 +515,52 @@ object Similarity {
         "x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))) END")} AS max_abs_err
        |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Cluster-stratified diversity selection — the curation step that
+    * keeps a corpus semantically broad while shrinking it: join each
+    * document to its embedding's cluster (`label` = the IVF cell), give
+    * every cluster a proportional budget of ⌈n/4⌉ slots, and keep its
+    * highest-quality documents (token count, doc_id tiebreak). Unlike a
+    * global top-k, no cluster is ever starved, so rare topics survive
+    * the cut — the property diversity-aware selection exists for.
+    *
+    * Scale shape: one equi-join on the id (both sides shuffle-partition
+    * on it; at 100 TB the embedding store is bucketed by vec_id so the
+    * join is co-located), then one window over `label` — bounded by
+    * cluster size, not corpus size. All-integer math → hash-exact.
+    */
+  val selectDiverse: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cells = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val wRank = Window.partitionBy(col("label"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val wCell = Window.partitionBy(col("label"))
+    docs.join(cells, docs("doc_id") === cells("vec_id"))
+      .withColumn("quality_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(wCell))
+      .filter(col("quality_rank") <= expr("(n_cell + 3) div 4"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("label"),
+        col("quality_rank"), col("n_tokens"), col("n_cell"))
+      .orderBy(col("label"), col("quality_rank"))
+  }
+
+  val selectDiverseSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |j AS (
+      |  SELECT d.doc_id, e.label, d.n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY e.label
+      |      ORDER BY d.n_tokens DESC, d.doc_id) AS BIGINT) AS quality_rank,
+      |    CAST(count(*) OVER (PARTITION BY e.label) AS BIGINT) AS n_cell
+      |  FROM d JOIN embeddings e ON d.doc_id = e.vec_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, label, quality_rank, n_tokens, n_cell
+      |FROM j WHERE quality_rank <= (n_cell + 3) // 4
+      |ORDER BY label, quality_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_select_diverse" -> selectDiverse,
     "q_embed_quantize" -> embedQuantize,
     "q_embed_centroid" -> embedCentroid,
     "q_ann_recall" -> annRecall,
@@ -527,6 +572,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_select_diverse" -> selectDiverseSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_ann_recall" -> annRecallSql,

@@ -58,6 +58,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("diversity selection: every cluster keeps exactly its proportional budget") {
+    val rows = Similarity.queries("q_select_diverse")(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    val cellSizes = emb.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    // No cluster starved: all labels appear, each with budget ⌈n/4⌉.
+    assert(byLabel.keySet == cellSizes.keySet)
+    byLabel.foreach { case (label, kept) =>
+      val budget = (cellSizes(label) + 3) / 4
+      assert(kept.length == budget, s"label $label: ${kept.length} != $budget")
+      val sorted = kept.sortBy(_.getAs[Long]("quality_rank"))
+      assert(sorted.map(_.getAs[Long]("quality_rank")).toSeq ==
+        (1L to budget).toSeq)
+      // Quality-ordered: token counts never increase down the ranking.
+      val toks = sorted.map(_.getAs[Long]("n_tokens")).toSeq
+      assert(toks == toks.sorted.reverse)
+      assert(sorted.forall(_.getAs[Long]("n_cell") == cellSizes(label)))
+    }
+  }
+
   test("centroid report: label partition is exhaustive and Jensen-bounded") {
     val emb = Tables.embeddings(spark, sfDir)
     val rows = Similarity.queries("q_embed_centroid")(spark, sfDir).collect()
