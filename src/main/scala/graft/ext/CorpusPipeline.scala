@@ -13,15 +13,20 @@ import org.apache.spark.sql.functions._
   *   3. near dedup    — MinHash/LSH bucket join, keeps min-id per pair
   *                      cluster (union-find-free greedy: drop any doc
   *                      that has a near-dup with a smaller id);
-  *   4. partition + write — cleaned corpus parquet partitioned by lang,
-  *                      plus a per-stage survival report.
+  *   4. sequence packing — the surviving stream concatenated per source
+  *                      and cut into 256-token training sequences
+  *                      (TextOps.packSequencesOver);
+  *   5. partition + write — cleaned corpus parquet partitioned by lang,
+  *                      the packed-sequence manifest, and a per-stage
+  *                      survival report.
   *
   * Usage: runMain graft.ext.CorpusPipeline [sfDir] [outDir]
   */
 object CorpusPipeline {
 
   final case class StageCounts(input: Long, afterQuality: Long,
-                               afterExact: Long, afterNear: Long)
+                               afterExact: Long, afterNear: Long,
+                               sequences: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
           minQuality: Double = 0.5, jaccardThreshold: Double = 0.8): StageCounts = {
@@ -64,12 +69,18 @@ object CorpusPipeline {
     val near = exact.join(losers, Seq("doc_id"), "left_anti")
     val nNear = near.count()
 
-    // 4. write partitioned by lang + report
+    // 4. pack the cleaned stream into fixed-budget training sequences
+    val seqs = graft.queries.TextOps.packSequencesOver(near, 256)
+    seqs.write.mode("overwrite").parquet(s"$outDir/sequences")
+    val nSeqs = spark.read.parquet(s"$outDir/sequences").count()
+
+    // 5. write partitioned by lang + report
     near.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nExact, nNear)
+    val report = StageCounts(input, nQuality, nExact, nNear, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
-      ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear))
+      ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
+      ("training_sequences", report.sequences))
       .toDF("stage", "docs")
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$outDir/report")
     report
@@ -124,7 +135,7 @@ object CorpusPipeline {
     try {
       val r = run(spark, sfDir, outDir)
       println(s"[corpus] input=${r.input} quality=${r.afterQuality} " +
-        s"exact=${r.afterExact} near=${r.afterNear} -> $outDir")
+        s"exact=${r.afterExact} near=${r.afterNear} sequences=${r.sequences} -> $outDir")
     } finally spark.stop()
   }
 }

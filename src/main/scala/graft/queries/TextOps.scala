@@ -293,11 +293,16 @@ object TextOps {
     * integer; fill_ratio divides by a power of two, so cross-engine
     * hashes are exact.
     */
-  val packSequences: Q = (spark, dir) => {
+  val packSequences: Q = (spark, dir) =>
+    packSequencesOver(documents(spark, dir), 256)
+
+  /** Parameterized packing core: any frame with (doc_id, source, text)
+    * — e.g. a cleaned pipeline stage — packed at the given budget.
+    */
+  def packSequencesOver(docs: DataFrame, B: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = 256
     val w = Window.partitionBy("source").orderBy("doc_id")
-    documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("end_off", sum(col("n_tokens")).over(w))
@@ -316,6 +321,7 @@ object TextOps {
       .withColumn("fill_ratio", col("seq_tokens").cast("double") / B)
       .orderBy(col("source"), col("seq_id"))
   }
+
 
   val packSequencesSql: String =
     """WITH t AS (

@@ -36,6 +36,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(remaining == 0)
   }
 
+  test("packed sequences conserve the cleaned corpus token stream") {
+    val clean = spark.read.parquet(s"$outDir/corpus_clean")
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    assert(seqs.count() == report.sequences && report.sequences > 0)
+    // Token conservation: packed tokens == cleaned-corpus tokens.
+    val corpusToks = clean
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    val packedToks = seqs.select(sum(col("seq_tokens"))).head.getLong(0)
+    assert(packedToks == corpusToks)
+    // Every sequence holds at most the 256-token budget.
+    assert(seqs.filter(col("seq_tokens") > 256).count() == 0)
+  }
+
   test("lang partitioning materialized on disk") {
     val dirs = new java.io.File(s"$outDir/corpus_clean").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
