@@ -76,6 +76,27 @@ class PlanSpec extends SparkSpec {
       s"expected per-partition bounded top-k for the vocabulary limit:\n$plan")
   }
 
+  test("sequence packing reuses the window's partitioning for the aggregate") {
+    // The groupBy(source, seq_id) after the per-source window must NOT
+    // add a shuffle: it is co-partitioned with the window's hash
+    // exchange on source. Expected exchanges: window input + output
+    // sort — exactly two. A third means Catalyst stopped recognizing
+    // the co-partitioning and the operator shuffles the exploded
+    // (doc × sequence) fan-out at full volume.
+    val plan = planOf("q_pack_sequences")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"packing plans $exchanges exchanges (want 2):\n$plan")
+  }
+
+  test("diversity selection broadcasts the doc side and shares one cluster sort") {
+    val plan = planOf("q_select_diverse")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"doc/embedding join stopped broadcasting:\n$plan")
+    // Both windows (rank + cell count) run off the same label sort.
+    val sorts = "Sort ".r.findAllIn(plan).length
+    assert(sorts <= 2, s"windows re-sort per function ($sorts sorts):\n$plan")
+  }
+
   test("partition filters prune a partitioned layout at plan time") {
     import org.apache.spark.sql.functions._
     // Hive-style partition layout on the high-cardinality-scan side: at

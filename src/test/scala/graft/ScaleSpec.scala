@@ -97,4 +97,27 @@ class ScaleSpec extends SparkSpec {
     val exact = o.stat.approxQuantile("o_totalprice", Array(0.5), 0.0)(0)
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("sequence packing at volume: 100k docs, tokens conserved, all sequences full") {
+    // ~6.7M tokens across 8 source shards — the window-cumsum +
+    // range-explode shape must hold well past the harness corpus size
+    // (each shard's stream is ~840k tokens ≈ 3.3k sequences).
+    val docs = spark.range(100000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(8))).as("source"),
+      expr("concat_ws(' ', array_repeat('w', CAST(pmod(id, 120) + 8 AS INT)))").as("text"))
+    val packed = graft.queries.TextOps.packSequencesOver(docs, 256).collect()
+    val expectedTokens = (0L until 100000L).map(i => (i % 120) + 8).sum
+    val packedTokens = packed.map(_.getAs[Long]("seq_tokens")).sum
+    assert(packedTokens == expectedTokens,
+      s"token conservation broke: $packedTokens != $expectedTokens")
+    val bySource = packed.groupBy(_.getAs[String]("source"))
+    assert(bySource.size == 8)
+    bySource.values.foreach { seqs =>
+      val sorted = seqs.sortBy(_.getAs[Long]("seq_id"))
+      assert(sorted.init.forall(_.getAs[Long]("seq_tokens") == 256L))
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq ==
+        sorted.indices.map(_.toLong))
+    }
+  }
 }
