@@ -277,6 +277,83 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming sequence packing ----
+
+  case class DocTok(doc_id: Long, source: String, n_tokens: Long)
+  case class PackState(offset: Long, openDocs: Long, openStraddle: Long,
+                       openFirstDoc: Long)
+  case class SeqOut(source: String, seq_id: Long, n_docs: Long,
+                    seq_tokens: Long, n_straddle: Long, first_doc: Long)
+
+  /** Streaming twin of `TextOps.packSequencesOver`: per source, the doc
+    * stream is one concatenated token stream cut every `budget` tokens,
+    * and a sequence row is EMITTED THE MOMENT it fills — the continuous
+    * form of concatenate-then-split packing (training sequences leave
+    * for the trainer while the corpus is still arriving).
+    *
+    * State per source is O(1): the stream offset plus the open (partial)
+    * sequence's doc/straddle/first-doc counters — nothing grows with the
+    * stream. The open tail is the documented residual (same contract as
+    * `sessionize`'s open session): it is emitted only when the stream
+    * ends, which a bounded demo reaches and an unbounded one never does.
+    * Within a batch, docs process in doc_id order, so on an
+    * id-ordered source the emitted rows equal the batch operator's
+    * full-sequence rows exactly (StreamingSpec proves it cross-batch).
+    */
+  def packStream(spark: SparkSession, sourceDir: String,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 budget: Long = 256L): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[DocTok]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, SeqOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, docs: Iterator[DocTok], state: GroupState[PackState]) =>
+          val sorted = docs.toSeq.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SeqOut]
+          var st = state.getOption.getOrElse(PackState(0L, 0L, 0L, -1L))
+          for (d <- sorted) {
+            val start = st.offset
+            val end = start + d.n_tokens
+            var s = start / budget
+            while (s <= (end - 1) / budget) {
+              val contrib = math.min(end, (s + 1) * budget) -
+                math.max(start, s * budget)
+              val straddles = if (contrib < d.n_tokens) 1L else 0L
+              val first = if (st.openFirstDoc < 0) d.doc_id else st.openFirstDoc
+              if (end >= (s + 1) * budget) {
+                // This doc fills sequence s to its boundary — emit it.
+                out += SeqOut(source, s, st.openDocs + 1, budget,
+                  st.openStraddle + straddles, first)
+                st = PackState(st.offset, 0L, 0L, -1L)
+              } else {
+                st = PackState(st.offset, st.openDocs + 1,
+                  st.openStraddle + straddles, first)
+              }
+              s += 1
+            }
+            st = st.copy(offset = end)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  def runPackStream(spark: SparkSession, sourceDir: String, queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = packStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Stream-stream interval join ----
 
   /** Click→purchase attribution as a stream-stream inner join: purchases

@@ -198,6 +198,35 @@ class StreamingSpec extends SparkSpec {
       "the re-sent event_id must appear exactly once")
   }
 
+  test("streaming packer emits exactly the batch operator's full sequences, cross-batch") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, Int, String)]) =
+      rows.map { case (id, n, src) =>
+        (id, Seq.fill(n)("w").mkString(" "), "en", src, 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val watched = Files.createTempDirectory("pack_src")
+    // Batch 1 leaves s0 mid-sequence (400 of 512 tokens) and s1 barely
+    // started (10 tokens); batch 2 must close both from carried state.
+    val batch1 = Seq((1L, 300, "s0"), (2L, 100, "s0"), (4L, 10, "s1"))
+    val batch2 = Seq((3L, 200, "s0"), (5L, 300, "s1"))
+    stageFile(watched, "a", mkDocs(batch1), 0)
+    stageFile(watched, "b", mkDocs(batch2), 10)
+    val streamed = EventStream.runPackStream(
+      spark, watched.toString, "pack_stream_test", maxFilesPerTrigger = Some(1))
+      .select("source", "seq_id", "n_docs", "seq_tokens", "n_straddle", "first_doc")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.TextOps
+      .packSequencesOver(mkDocs(batch1 ++ batch2), 256)
+      .filter(col("seq_tokens") === 256) // the open tail stays in stream state
+      .select("source", "seq_id", "n_docs", "seq_tokens", "n_straddle", "first_doc")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed $streamed != batch $batch")
+    // The s0 sequence closed by batch 2 spans both micro-batches.
+    assert(streamed.exists(r => r == Seq("s0", 1L, 3L, 256L, 2L, 1L)))
+  }
+
   test("stream-stream interval join equals the batch join") {
     val streamed = EventStream.runClickPurchaseJoin(spark, sourceDir, "attrib_test")
     val ev = Tables.events(spark, sfDir)
