@@ -461,6 +461,69 @@ object Similarity {
        |FROM vs JOIN cent ON vs.label = cent.label
        |ORDER BY vs.label""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * probe vector, the 5 most cosine-similar vectors of a DIFFERENT
+    * label (the negatives a triplet loss learns the most from), plus
+    * the triplet margin against the probe's nearest same-label positive
+    * (margin ≤ 0 ⇒ a negative outranks every positive — the hardest
+    * cases, and exactly what curriculum mining surfaces first).
+    *
+    * Scale shape: identical to q_knn_brute — the probe set broadcasts,
+    * the corpus streams through one scan (at 100 TB the probe side is
+    * the thing that is small, never the corpus), and the positive
+    * branch reuses the same scored frame; the margin join is per-probe
+    * tiny. Determinism: one IEEE subtraction of two identically-derived
+    * doubles, then r6 — engine-identical.
+    */
+  val hardNegatives: Q = (spark, dir) => {
+    val v = withNorm(spark, dir)
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val scored = v.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw",
+        expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("vec_id"))
+    val negs = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cosine_raw").as("pos_raw"))
+    negs.join(pos, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("q_label"), r6(col("cosine_raw")).as("cosine"),
+        r6(col("pos_raw") - col("cosine_raw")).as("margin"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH v AS ($duckNorm),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, label AS q_label
+       |      FROM v WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, q.q_label, v.vec_id, v.label,
+       |    ${duckDot("q.q_emb", "v.embedding")} / (q.q_norm * v.norm) AS cosine_raw
+       |  FROM v, q WHERE v.vec_id <> q.query_id),
+       |negs AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_raw DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored WHERE label <> q_label),
+       |pos AS (
+       |  SELECT query_id, cosine_raw AS pos_raw FROM (
+       |    SELECT query_id, cosine_raw, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_raw DESC, vec_id) AS rn
+       |    FROM scored WHERE label = q_label) WHERE rn = 1)
+       |SELECT n.query_id, n.rank, n.vec_id AS neighbor_id, n.label AS neighbor_label,
+       |  n.q_label, ${sqlR6("n.cosine_raw")} AS cosine,
+       |  ${sqlR6("p.pos_raw - n.cosine_raw")} AS margin
+       |FROM negs n LEFT JOIN pos p ON n.query_id = p.query_id
+       |WHERE n.rank <= 5 ORDER BY n.query_id, n.rank""".stripMargin
+
   /** Per-vector symmetric int8 quantization report — the compression
     * step a serving/training pipeline applies before shipping embeddings
     * (4× smaller than float32): scale = max|x|/127, q = ⌊x/scale + ½⌋ ∈
@@ -560,6 +623,7 @@ object Similarity {
       |ORDER BY label, quality_rank""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_hard_negatives" -> hardNegatives,
     "q_select_diverse" -> selectDiverse,
     "q_embed_quantize" -> embedQuantize,
     "q_embed_centroid" -> embedCentroid,
@@ -572,6 +636,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" -> hardNegativesSql,
     "q_select_diverse" -> selectDiverseSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_embed_centroid" -> embedCentroidSql,

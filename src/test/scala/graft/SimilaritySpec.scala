@@ -58,6 +58,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: cross-label only, margin consistent with the knn ranking") {
+    val negs = Similarity.queries("q_hard_negatives")(spark, sfDir).collect()
+    assert(negs.length == 50) // 10 probes × 5 negatives
+    val byQuery = negs.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      // Every mined negative must truly be a different class.
+      sorted.foreach(r =>
+        assert(r.getAs[Int]("neighbor_label") != r.getAs[Int]("q_label")))
+      // Harder negatives (higher cosine) come first ⇒ margins ascend.
+      val margins = sorted.map(_.getAs[Double]("margin")).toSeq
+      assert(margins == margins.sorted)
+    }
+    // Cross-check against q_knn_brute: a rank-1 negative with positive
+    // margin means the probe's nearest overall neighbor shares its label.
+    val brute = Similarity.queries("q_knn_brute")(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("neighbor_label")).toMap
+    negs.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      if (r.getAs[Double]("margin") > 0)
+        assert(brute(qid) == r.getAs[Int]("q_label"),
+          s"probe $qid: positive margin but overall-NN label ${brute(qid)} != query label")
+    }
+  }
+
   test("diversity selection: every cluster keeps exactly its proportional budget") {
     val rows = Similarity.queries("q_select_diverse")(spark, sfDir).collect()
     val emb = Tables.embeddings(spark, sfDir)
