@@ -131,6 +131,36 @@ class TextOpsSpec extends SparkSpec {
     assert(s10.getAs[Long]("n_straddle") == 0L)
   }
 
+  test("sequence packing invariants hold on seeded random corpora (property)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val nDocs = 50 + rng.nextInt(150)
+      val docs = (0 until nDocs).map { i =>
+        val n = 1 + rng.nextInt(600) // 1..600 tokens, crossing budgets often
+        (i.toLong, Seq.fill(n)("w").mkString(" "), "en", s"s${rng.nextInt(4)}", 0L)
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val packed = TextOps.packSequencesOver(df, 256).collect()
+      val tokensBySource = docs.groupBy(_._4)
+        .map { case (s, ds) => s -> ds.map(_._2.split(" ").length.toLong).sum }
+      packed.groupBy(_.getAs[String]("source")).foreach { case (src, seqs) =>
+        val sorted = seqs.sortBy(_.getAs[Long]("seq_id"))
+        assert(sorted.map(_.getAs[Long]("seq_id")).toSeq ==
+          sorted.indices.map(_.toLong), s"trial $trial/$src: ids not contiguous")
+        sorted.init.foreach(s => assert(s.getAs[Long]("seq_tokens") == 256L,
+          s"trial $trial/$src: non-final sequence not full"))
+        assert(sorted.map(_.getAs[Long]("seq_tokens")).sum == tokensBySource(src),
+          s"trial $trial/$src: tokens not conserved")
+        sorted.foreach { s =>
+          assert(s.getAs[Long]("n_straddle") <= s.getAs[Long]("n_docs"))
+          assert(s.getAs[Long]("n_docs") >= 1L)
+        }
+      }
+      assert(packed.map(_.getAs[String]("source")).toSet == tokensBySource.keySet)
+    }
+  }
+
   test("sequence packing conserves tokens and fills all but the last sequence") {
     val dir = "/root/testdata/sf0.001"
     val r = TextOps.packSequences(spark, dir).collect()
