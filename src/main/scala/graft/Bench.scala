@@ -41,10 +41,23 @@ object Bench {
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Block-store memory in use (MB) across all block managers — the
+    * per-run storage trace that attributes cache-pressure regressions
+    * (r4 defect 1: three dedup queries got slower on warmer runs with no
+    * attribution). Driver-side O(1) status call, not a data path.
+    */
+  private def storageUsedMb(spark: SparkSession): Long = {
+    val st = spark.sparkContext.getExecutorMemoryStatus
+    st.values.map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
+    // Local-iteration filter: run only queries whose name starts with the
+    // given prefix (e.g. ONLY=q_dedup). Never set by the driver.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,40 +77,45 @@ object Bench {
     def family(name: String): String = name.split("_").take(2).mkString("_")
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "family")
 
-    // name -> (per-run seconds, first error message or null)
+    // name -> (per-run seconds, per-run storage-used MB, first error or null)
     var prevFamily: String = null
-    val detail: Seq[(String, Seq[Double], String)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.startsWith) }
+    val detail: Seq[(String, Seq[Double], Seq[Long], String)] =
+      sweep.map { case (name, fn) =>
         if (isolate == "query" ||
             (isolate == "family" && prevFamily != null && family(name) != prevFamily))
           graft.queries.Det.releasePins(spark)
         prevFamily = family(name)
         var err: String = null
-        val runs = (1 to n).map { _ =>
+        val timed = (1 to n).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => if (err == null) err = e.toString }
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, storageUsedMb(spark))
         }
-        (name, runs, err)
+        // Release memos whose last in-family consumer this query was —
+        // within a family the memos otherwise accumulate for the family's
+        // whole tail (r4 defect 1: by q_dedup_ngram_capped six pinned
+        // tables compete for the storage pool and warmer runs get SLOWER).
+        // INTRA_RELEASE=0 restores the r4 behavior for A/B attribution.
+        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_INTRA_RELEASE", "1") != "0")
+          graft.queries.Det.releaseAfter(spark, name)
+        (name, timed.map(_._1), timed.map(_._2), err)
       }
     graft.queries.Det.releasePins(spark) // pins live only for the sweep
 
-    val detailJson = detail.map { case (name, runs, err) =>
+    val detailJson = detail.map { case (name, runs, mbs, err) =>
       val errJs = if (err == null) "null" else "\"" + jsonEscape(err) + "\""
-      s""""$name":{"runs":[${runs.map(fmt).mkString(",")}],"err":$errJs}"""
+      s""""$name":{"runs":[${runs.map(fmt).mkString(",")}],"storage_mb":[${mbs.mkString(",")}],"err":$errJs}"""
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detailJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
-    val ok = detail.filter(_._3 == null)
-    val qs = detail.map { case (name, runs, err) =>
-      val v = if (err == null) fmt(runs.min) else "-1"
-      s""""$name":$v"""
-    }.mkString("{", ",", "}")
-    val errs = detail.collect { case (name, _, err) if err != null =>
+    val ok = detail.filter(_._4 == null)
+    val errs = detail.collect { case (name, _, _, err) if err != null =>
       s""""$name":"${jsonEscape(err.take(160))}""""
     }.mkString("{", ",", "}")
     val fams = ok.groupBy(t => family(t._1)).toSeq.sortBy(_._1).map { case (f, qsInFam) =>
@@ -105,7 +123,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
     val totalMean = ok.map(t => t._2.sum / t._2.size).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"isolate":"$isolate","errors":$errs,"families":$fams,"queries":$qs,"sf":"$sfDir"}""")
+    // The stdout line stays SHORT (r3+r4 defect: with the 97-entry
+    // per-query map inline, the driver's tail buffer truncated the head
+    // and `parsed` came back null two rounds running). Per-query numbers
+    // live exclusively in BENCH_DETAIL.json; stdout carries the totals
+    // and per-family subtotals only (~25 families ≈ 600 bytes).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"n_queries":${detail.size},"isolate":"$isolate","errors":$errs,"families":$fams,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,6 +79,11 @@ object Det {
            scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]]
   private val memoRegistry = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  // memo key -> the query name after which the memo is dead (its last
+  // in-family consumer, declared AT the memo site so the topology lives
+  // next to the code it describes). Consulted by releaseAfter.
+  private val lastConsumer = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
 
   /** Drop entries owned by STOPPED sessions — a consumer that never
     * calls releasePins must not leak its session (and every pinned plan)
@@ -87,6 +92,7 @@ object Det {
     */
   private def sweepStopped(): Unit = {
     memoRegistry.keys.filter(_._1.sparkContext.isStopped).foreach(memoRegistry.remove)
+    lastConsumer.keys.filter(_._1.sparkContext.isStopped).foreach(lastConsumer.remove)
     pinRegistry.keys.filter(_.sparkContext.isStopped).foreach(pinRegistry.remove)
   }
 
@@ -108,10 +114,32 @@ object Det {
     * of a staged intermediate table at 100 TB. Assumes the underlying
     * source is immutable for the session: a rewrite of the parquet under
     * the same path would serve stale data until `releasePins`.
+    *
+    * `releaseAfterQuery` declares the memo's LAST in-family consumer (a
+    * `SparkEntry.queries` name): once the bench finishes that query it
+    * calls `releaseAfter`, which frees the memo so the family's tail
+    * doesn't pay storage pressure for a table nothing will read again
+    * (r4 defect 1: six dedup memos accumulated across the family and the
+    * warmest runs got the slowest). Queries outside the bench (Verify,
+    * specs) never call releaseAfter, so for them it's inert.
     */
-  def memo(spark: org.apache.spark.sql.SparkSession, key: String)
-          (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def memo(spark: org.apache.spark.sql.SparkSession, key: String,
+           releaseAfterQuery: Option[String] = None)
+          (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    releaseAfterQuery.foreach(q => lastConsumer.put((spark, key), q))
     memoRegistry.getOrElseUpdate((spark, key), pin(build))
+  }
+
+  /** Release every memo whose declared last consumer is `queryName`
+    * (unpersist + evict, so a later out-of-order reuse re-pins fresh).
+    */
+  def releaseAfter(spark: org.apache.spark.sql.SparkSession, queryName: String): Unit =
+    lastConsumer.collect {
+      case (k @ (s, _), q) if (s eq spark) && q == queryName => k
+    }.foreach { k =>
+      lastConsumer.remove(k)
+      memoRegistry.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   /** Unpersist every pin owned by `spark` and evict its memo entries.
     * Memo eviction matters: an unpersisted-but-memoized DataFrame would
@@ -120,6 +148,7 @@ object Det {
     */
   def releasePins(spark: org.apache.spark.sql.SparkSession): Unit = {
     memoRegistry.keys.filter(_._1 eq spark).foreach(memoRegistry.remove)
+    lastConsumer.keys.filter(_._1 eq spark).foreach(lastConsumer.remove)
     pinRegistry.remove(spark).foreach { buf =>
       buf.synchronized { buf.foreach(_.unpersist(blocking = false)); buf.clear() }
     }
