@@ -2,20 +2,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},...}`.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line
+  * `{"metric":"total","value":N,"unit":"sec",...,"errors":{...},
+  * "families":{family:sec,...}}` — totals, per-family subtotals, and any
+  * per-query errors. Per-query numbers (every individual run time +
+  * block-store storage_mb + first error) live exclusively in
+  * BENCH_DETAIL.json (path overridable via SPARK_GRAFT_BENCH_DETAIL).
   *
   * Honesty rules:
-  *   - Each query runs SPARK_GRAFT_BENCH_N times (default 3); the reported
-  *     per-query number is the MIN (warm steady-state), `value` is the sum
-  *     of mins, and `value_mean` the sum of means, so run-to-run noise is
+  *   - Each query runs SPARK_GRAFT_BENCH_N times (default 3); the per-query
+  *     number is the MIN (warm steady-state), `value` is the sum of mins,
+  *     and `value_mean` the sum of means, so run-to-run noise is
   *     distinguishable from real regressions.
-  *   - A failing query is NOT silently recorded as a fast time: it reports
-  *     sec = -1 and an entry in the top-level `errors` map.
-  *   - Every individual run time goes to BENCH_DETAIL.json (path
-  *     overridable via SPARK_GRAFT_BENCH_DETAIL) for offline analysis; the
-  *     stdout line stays compact (3-decimal secs) so the driver's tail
-  *     buffer keeps it intact.
+  *   - A failing query is NOT silently recorded as a fast time: it gets an
+  *     entry in the stdout `errors` map and a non-null `err` in the detail
+  *     file (its runs still report wall-clock of the failed attempts).
+  *   - The stdout line is ALSO written verbatim to SPARK_GRAFT_BENCH_LINE
+  *     (default BENCH_LINE.json) and printed LAST — after spark.stop(), so
+  *     no executor/cleaner log line lands after or inside it (r3-r5
+  *     defect: the driver's stdout parse came back null three rounds
+  *     running; the file is the parse-proof fallback).
   *   - Cache interference guard (r3 defect: the dedup family's memos +
   *     checkpoint RDDs starved every query sorting after them, up to 5×):
   *     pins are released at each FAMILY boundary (q_dedup_* → q_embed_*)
@@ -128,7 +134,16 @@ object Bench {
     // and `parsed` came back null two rounds running). Per-query numbers
     // live exclusively in BENCH_DETAIL.json; stdout carries the totals
     // and per-family subtotals only (~25 families ≈ 600 bytes).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"n_queries":${detail.size},"isolate":"$isolate","errors":$errs,"families":$fams,"sf":"$sfDir"}""")
-    spark.stop()
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"n_queries":${detail.size},"isolate":"$isolate","errors":$errs,"families":$fams,"sf":"$sfDir"}"""
+    // File twin first (survives any stdout mangling), then the line as
+    // the LAST thing on stdout — after spark.stop(), so no stop-time
+    // executor/cleaner logging can interleave with or follow it.
+    val linePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE", "BENCH_LINE.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(linePath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] line write failed: $e") }
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
+    println(line)
   }
 }

@@ -19,13 +19,28 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compaction {
 
-  /** Parquet data files under `dir` (ignores _SUCCESS/_metadata/CRCs). */
-  def dataFiles(dir: String): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f)
-      else Seq.empty
-    walk(new java.io.File(dir))
+  /** Parquet data files under `dir` as (path, length), via the Hadoop
+    * FileSystem API — the same abstraction the parquet scan itself uses,
+    * so HDFS/S3A/file: URIs all resolve (a java.io.File walk sees only
+    * the local filesystem: it NPEs on a missing path and silently sizes
+    * everything 0 on any remote scheme). A missing directory is an empty
+    * listing, not an error — compaction of a not-yet-written sink dir is
+    * a no-op, not a crash.
+    */
+  def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val it = fs.listFiles(path, /* recursive = */ true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += ((st.getPath.toString, st.getLen))
+      }
+      buf.toSeq
+    }
   }
 
   /** Rewrite `inDir` into `outDir` with ≈⌈totalBytes/targetBytes⌉ files.
@@ -33,12 +48,12 @@ object Compaction {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val before = dataFiles(inDir)
-    val totalBytes = before.map(_.length()).sum
+    val before = dataFiles(spark, inDir)
+    val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(nFiles) // round-robin: even file sizes, no skew by key
       .write.mode(SaveMode.Overwrite).parquet(outDir)
-    (before.size, dataFiles(outDir).size)
+    (before.size, dataFiles(spark, outDir).size)
   }
 }

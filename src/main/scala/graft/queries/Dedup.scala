@@ -47,7 +47,11 @@ object Dedup {
     * Lifecycle (and the stale-on-rewrite caveat) via Det.memo/releasePins.
     */
   private def sharedShingles(spark: SparkSession, dir: String): DataFrame =
-    Det.memo(spark, s"dedup.shingles:$dir") {
+    // Two families build this: q_dedup_* (last in-family consumer
+    // q_dedup_simhash) and q_graph_pagerank's MinHash rebuild — release
+    // after whichever finishes, so neither family's tail carries it.
+    Det.memoMulti(spark, s"dedup.shingles:$dir",
+        Set("q_dedup_simhash", "q_graph_pagerank")) {
       withShingles(documents(spark, dir)).select(col("doc_id"), col("shingles"))
     }
 
@@ -480,9 +484,13 @@ object Dedup {
       // coalesce (no shuffle) so the per-round join reads nPart staged
       // splits, not 32 near-empty ones.
       val (labels, rounds) = body(fx, symRaw.coalesce(nPart))
-      // Rebase into the caller's session. `ccLoop` returns labels staged
-      // via localCheckpoint/parquet, so `.rdd` is a materialized handle —
-      // no lineage back into the fixpoint rounds.
+      // Rebase into the caller's session — no lineage back into the
+      // fixpoint rounds either way. Local path: `.rdd` is the final
+      // localCheckpoint RDD, a materialized block-store handle (freed by
+      // Det.unpersistDeep when the owning memo is released). Durable
+      // path: `ccLoop` returned fx.read.parquet(...), so `.rdd` stays a
+      // LAZY scan — checkpointDir/labels_{rounds%2} must outlive the
+      // returned frame's last consumer.
       (parent.createDataFrame(labels.rdd, labels.schema), rounds)
     } finally releaseEdges()
   }
@@ -687,7 +695,7 @@ object Dedup {
     // Symmetrized, deduped edge list (pairs are distinct with a < b, so
     // the union of both directions is already duplicate-free). Memoized:
     // the rank loop reads it 5× and the MinHash pipeline must not rerun.
-    val sym = Det.memo(spark, s"dedup.sym:$dir") {
+    val sym = Det.memo(spark, s"dedup.sym:$dir", Some("q_graph_pagerank")) {
       val pairs = dedupMinHash(spark, dir).select(col("doc_a"), col("doc_b"))
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -753,7 +761,26 @@ object Dedup {
     * bucket-joined; old×old pairs never form, so incremental cost is
     * O(increment) + collisions, not O(corpus²).
     */
-  val dedupIncremental: Q = (spark, dir) => {
+  /** The harness's standing-corpus predicate: sources indexed < 10 are
+    * "old". `try_cast` (NULL on malformed input, in Spark AND DuckDB's
+    * TRY_CAST twin) instead of a bare CAST: under ANSI mode Spark's CAST
+    * throws where DuckDB's errors differently — a latent engine
+    * divergence on any data outside the harness naming convention. A
+    * NULL index is neither old nor new (both filters drop it) — the
+    * conservative reading for an unparseable source id.
+    */
+  private val harnessIsOld: org.apache.spark.sql.Column =
+    expr("try_cast(substr(source, 4) AS INT)") < 10
+
+  val dedupIncremental: Q = (spark, dir) =>
+    dedupIncrementalOver(spark, dir, harnessIsOld)
+
+  /** Incremental dedup core, parameterized by the old/new split — the
+    * caller says which rows form the standing corpus (a date bound, a
+    * crawl-id set, a snapshot flag), not a hardcoded naming convention.
+    */
+  def dedupIncrementalOver(spark: SparkSession, dir: String,
+                           isOld: org.apache.spark.sql.Column): DataFrame = {
     val sh = sharedShingles(spark, dir)
     val banded = Det.memo(spark, s"dedup.sig:$dir", Some("q_dedup_minhash")) {
       sh.withColumn("sig", expr("minhash_sig(shingles)"))
@@ -763,7 +790,7 @@ object Dedup {
         "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"))
       .select(col("doc_id"), explode(col("bands")).as("band"))
     val srcIdx = documents(spark, dir)
-      .select(col("doc_id"), (expr("CAST(substr(source, 4) AS INT)") < 10).as("is_old"))
+      .select(col("doc_id"), isOld.as("is_old"))
     val ex = banded.join(srcIdx, "doc_id")
     val oldB = ex.filter(col("is_old")).select(col("doc_id").as("other"), col("band"))
     val newB = ex.filter(!col("is_old")).select(col("doc_id"), col("band"))
@@ -802,7 +829,7 @@ object Dedup {
        |            for k in generate_series(0, 3)]) AS band
        |  FROM sig),
        |srcidx AS (
-       |  SELECT doc_id, CAST(substr(source, 4) AS INT) < 10 AS is_old FROM documents),
+       |  SELECT doc_id, TRY_CAST(substr(source, 4) AS INT) < 10 AS is_old FROM documents),
        |ex AS (SELECT b.doc_id, b.band, s.is_old FROM banded b JOIN srcidx s USING (doc_id)),
        |oldb AS (SELECT doc_id AS other, band FROM ex WHERE is_old),
        |newb AS (SELECT doc_id, band FROM ex WHERE NOT is_old),

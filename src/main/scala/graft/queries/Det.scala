@@ -79,11 +79,16 @@ object Det {
            scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]]
   private val memoRegistry = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  // memo key -> the query name after which the memo is dead (its last
-  // in-family consumer, declared AT the memo site so the topology lives
-  // next to the code it describes). Consulted by releaseAfter.
+  // memo key -> the query names after which the memo is dead. A memo
+  // shared across bench families (sim.norm feeds q_ann/q_embed/q_hard/
+  // q_knn) has a different last in-family consumer per family, so the
+  // declaration is a SET: the memo is released when ANY of them finishes
+  // (each family's own tail stops paying storage for it; a later family
+  // that needs it re-pins fresh). Declared AT the memo site so the
+  // topology lives next to the code it describes; consulted by
+  // releaseAfter.
   private val lastConsumer = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), String]
+    .empty[(org.apache.spark.sql.SparkSession, String), Set[String]]
 
   /** Drop entries owned by STOPPED sessions — a consumer that never
     * calls releasePins must not leak its session (and every pinned plan)
@@ -125,20 +130,56 @@ object Det {
     */
   def memo(spark: org.apache.spark.sql.SparkSession, key: String,
            releaseAfterQuery: Option[String] = None)
-          (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    releaseAfterQuery.foreach(q => lastConsumer.put((spark, key), q))
+          (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    memoMulti(spark, key, releaseAfterQuery.toSet)(build)
+
+  /** Memo whose last in-family consumer differs per bench family: released
+    * as soon as ANY of `releaseAfterAnyOf` finishes.
+    */
+  def memoMulti(spark: org.apache.spark.sql.SparkSession, key: String,
+                releaseAfterAnyOf: Set[String])
+               (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (releaseAfterAnyOf.nonEmpty) {
+      // Last-writer-wins is fine when every site agrees; two sites
+      // declaring DIFFERENT consumers for one key would make release
+      // timing depend on call order — surface that instead of hiding it.
+      val prev = lastConsumer.put((spark, key), releaseAfterAnyOf)
+      prev.filter(_ != releaseAfterAnyOf).foreach { p =>
+        System.err.println(
+          s"[Det] memo '$key' re-registered with releaseAfter=$releaseAfterAnyOf (was $p)")
+      }
+    }
     memoRegistry.getOrElseUpdate((spark, key), pin(build))
   }
 
-  /** Release every memo whose declared last consumer is `queryName`
+  /** Unpersist a released frame AND any persisted RDD a LogicalRDD in its
+    * plan wraps. Memos of fixpoint results are rebased over a
+    * localCheckpoint RDD (Dedup.withRightSizedShuffle / graphPagerank):
+    * unpersisting only the InMemoryRelation leaves the checkpoint blocks
+    * on the block store until ContextCleaner GC — exactly the lingering
+    * storage pressure the eager-release discipline exists to prevent.
+    * After this, the frame is DEAD (a localCheckpoint RDD cannot be
+    * recomputed) — callers only release after the declared last consumer.
+    */
+  private def unpersistDeep(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+        if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** Release every memo whose declared last consumers include `queryName`
     * (unpersist + evict, so a later out-of-order reuse re-pins fresh).
     */
   def releaseAfter(spark: org.apache.spark.sql.SparkSession, queryName: String): Unit =
     lastConsumer.collect {
-      case (k @ (s, _), q) if (s eq spark) && q == queryName => k
+      case (k @ (s, _), qs) if (s eq spark) && qs.contains(queryName) => k
     }.foreach { k =>
       lastConsumer.remove(k)
-      memoRegistry.remove(k).foreach(_.unpersist(blocking = false))
+      memoRegistry.remove(k).foreach(unpersistDeep)
     }
 
   /** Unpersist every pin owned by `spark` and evict its memo entries.
@@ -150,7 +191,7 @@ object Det {
     memoRegistry.keys.filter(_._1 eq spark).foreach(memoRegistry.remove)
     lastConsumer.keys.filter(_._1 eq spark).foreach(lastConsumer.remove)
     pinRegistry.remove(spark).foreach { buf =>
-      buf.synchronized { buf.foreach(_.unpersist(blocking = false)); buf.clear() }
+      buf.synchronized { buf.foreach(unpersistDeep); buf.clear() }
     }
   }
 

@@ -259,15 +259,29 @@ object Events {
     * alerting. One fact shuffle for the moments; the scoring join is a
     * broadcast of |types| rows; sqrt is IEEE-exact.
     */
-  val eventsAnomaly: Q = (spark, dir) => {
-    val e = events(spark, dir).select(col("event_id"), col("event_type"), col("value"))
+  val eventsAnomaly: Q = (spark, dir) =>
+    anomalyOver(events(spark, dir).select(col("event_id"), col("event_type"), col("value")))
+
+  /** The z-score core over any (event_id, event_type, value) frame.
+    * Degenerate groups are excluded EXPLICITLY — a single-event type has
+    * no sample stddev and a zero-variance type gives std = 0, so z would
+    * be NULL/±Inf/NaN, whose filter behavior is engine-dependent (Spark
+    * drops NaN compares, other engines may error or keep ±Inf). The
+    * `n > 1` guard runs before the sqrt and the `std > 0` guard before
+    * the division, on BOTH the Spark and oracle sides, so the semantics
+    * are pinned rather than inherited from an engine's NaN rules
+    * (EventsAnomalySpec plants both degenerate shapes).
+    */
+  def anomalyOver(e: DataFrame): DataFrame = {
     val st = e.groupBy(col("event_type"))
       .agg(
         count(lit(1)).cast("double").as("n"),
         dsum(col("value")).as("sx"),
         sum((col("value") * col("value")).cast("decimal(38,8)")).cast("double").as("sxx"))
+      .filter(col("n") > 1.0)
       .select(col("event_type"), (col("sx") / col("n")).as("mean"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0))).as("std"))
+      .filter(col("std") > 0.0)
     e.join(broadcast(st), "event_type")
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) > 3.0)
@@ -285,12 +299,12 @@ object Events {
        |s2 AS (
        |  SELECT event_type, sx / n AS mean,
        |    sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std
-       |  FROM st)
+       |  FROM st WHERE n > 1)
        |SELECT e.event_id, e.event_type, e.value,
        |  ${sqlR4("mean")} AS type_mean,
        |  ${sqlR4("(e.value - mean) / std")} AS zscore
        |FROM events e JOIN s2 USING (event_type)
-       |WHERE abs((e.value - mean) / std) > 3.0
+       |WHERE std > 0 AND abs((e.value - mean) / std) > 3.0
        |ORDER BY e.event_id""".stripMargin
   }
 

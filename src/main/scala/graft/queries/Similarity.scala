@@ -46,7 +46,12 @@ object Similarity {
     * of the same norm scan.
     */
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
-    Det.memo(spark, s"sim.norm:$dir") {
+    // Four bench families build this; each family's last in-family
+    // consumer releases it (q_embed_quantize / q_select_diverse never
+    // read it, so holding it through their runs is pure storage
+    // pressure). A later family re-pins fresh.
+    Det.memoMulti(spark, s"sim.norm:$dir",
+        Set("q_ann_recall", "q_embed_neardup", "q_hard_negatives", "q_knn_topk")) {
       embeddings(spark, dir)
         .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
     }
@@ -130,7 +135,8 @@ object Similarity {
   val knnLsh: Q = (spark, dir) => {
     // Memoized like the norm scan: q_ann_recall embeds this pipeline as a
     // subplan and must reuse the same sketch cache, not pin a second copy.
-    val v = Det.memo(spark, s"sim.sketch:$dir") {
+    val v = Det.memoMulti(spark, s"sim.sketch:$dir",
+        Set("q_ann_recall", "q_knn_lsh")) {
       withNorm(spark, dir).withColumn("sketch", expr(sketchExpr))
     }
     val banded = v.select(col("vec_id"), col("label"), col("embedding"), col("norm"),

@@ -210,13 +210,17 @@ object EventStream {
     * bucket — the streaming form of "candidates only ever form inside
     * bands", so per-doc work is O(bucket size), never O(corpus).
     *
-    * Emits candidate pairs (doc_a < doc_b, signature-estimated Jaccard =
-    * fraction of agreeing minhash values ≥ 0.5) — the streaming stage is
-    * candidate DETECTION; exact-shingle verification and the keep policy
-    * run downstream exactly as in the batch pipeline (StreamingSpec
-    * asserts every batch-verified pair is detected). A pair colliding in
-    * two bands emits twice (at-least-once, from different band keys);
-    * consumers dedupe on (doc_a, doc_b).
+    * Emits EVERY band collision as a candidate pair (doc_a < doc_b),
+    * annotated with the signature-estimated Jaccard (fraction of agreeing
+    * minhash values) for downstream prioritization — the streaming stage
+    * is candidate DETECTION; exact-shingle verification and the keep
+    * policy run downstream exactly as in the batch pipeline. Emitting on
+    * collision (not on an estimate threshold) makes the containment
+    * STRUCTURAL: the batch operator's candidates are by definition band
+    * collisions, so — short of bucket eviction — every batch-verified
+    * pair is detected regardless of corpus (StreamingSpec asserts it).
+    * A pair colliding in two bands emits twice (at-least-once, from
+    * different band keys); consumers dedupe on (doc_a, doc_b).
     *
     * State bounding: each bucket keeps at most `maxDocsPerBand` most
     * recent signatures (12 md5 hex strings ≈ 400 B each) — the recency
@@ -257,8 +261,7 @@ object EventStream {
             for ((pid, psig) <- seen if pid != d.doc_id && psig.nonEmpty && d.sig.nonEmpty) {
               val agree = d.sig.iterator.zip(psig.iterator).count { case (a, b) => a == b }
               val est = agree.toDouble / d.sig.size
-              if (est >= 0.5)
-                out += NearDupPair(math.min(pid, d.doc_id), math.max(pid, d.doc_id), est)
+              out += NearDupPair(math.min(pid, d.doc_id), math.max(pid, d.doc_id), est)
             }
             seen = ((d.doc_id, d.sig) :: seen).take(maxDocsPerBand)
           }

@@ -20,4 +20,19 @@ class CompactionSpec extends SparkSpec {
     assert(a.count() == b.count())
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("dataFiles on a missing path is an empty listing, not a crash") {
+    // The java.io.File walk NPE'd here; the Hadoop FS walk must not.
+    val missing = java.nio.file.Files.createTempDirectory("compact_missing").toString + "/nope"
+    assert(ext.Compaction.dataFiles(spark, missing).isEmpty)
+  }
+
+  test("dataFiles resolves an explicit file: URI (non-default scheme path)") {
+    val src = java.nio.file.Files.createTempDirectory("compact_uri").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val files = ext.Compaction.dataFiles(spark, s"file://$src")
+    assert(files.size == 2, s"expected 2 files, saw ${files.size}")
+    assert(files.forall(_._2 > 0), "every data file must report its real length")
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Events
+
+/** Degenerate-group semantics of the z-score anomaly core: a
+  * single-event type has no sample stddev and a constant-valued type has
+  * std = 0 — both must be EXCLUDED by the explicit n > 1 / std > 0
+  * guards, never scored through a NULL/±Inf/NaN division whose filter
+  * behavior differs by engine (VERDICT r5 "what's wrong" #6).
+  */
+class EventsAnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("event_id", "event_type", "value")
+
+  test("a single-event type produces no rows (no NULL-std scoring)") {
+    // A healthy sibling group with one planted outlier, so the query
+    // returns SOMETHING and proves only the degenerate group was excluded
+    // (an accidentally-empty result would also "pass"). The group needs
+    // n ≳ 30: a lone outlier inflates its own std, capping max |z| at
+    // (n−1)/√n — 2.85 for n=10, which never clears the 3σ gate.
+    val healthy = (2L to 30L).map(i => (i, "busy", (i % 2).toDouble)) :+
+      ((31L, "busy", 1000.0))
+    val out = Events.anomalyOver(frame((1L, "lonely", 42.0) +: healthy))
+    val types = out.select("event_type").distinct().as[String].collect().toSet
+    assert(!types.contains("lonely"), "single-event group must be excluded")
+    assert(out.filter(col("event_id") === 31L).count() == 1,
+      "the planted outlier in the healthy group must still be flagged")
+  }
+
+  test("a zero-variance type produces no rows (no divide-by-zero z)") {
+    val out = Events.anomalyOver(frame(Seq(
+      (1L, "flat", 7.0), (2L, "flat", 7.0), (3L, "flat", 7.0))))
+    assert(out.count() == 0, "constant-valued group must be excluded, not Inf/NaN-scored")
+  }
+}

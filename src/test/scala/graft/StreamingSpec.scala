@@ -68,9 +68,11 @@ class StreamingSpec extends SparkSpec {
     Tables.documents(spark, sfDir).repartition(4).write.mode("overwrite").parquet(docsSrc)
     val streamed = EventStream.runNearDupPairsStream(spark, docsSrc, "neardup_test")
       .select(col("doc_a"), col("doc_b")).distinct() // band collisions emit at-least-once
-    // Every pair the batch operator verifies at exact Jaccard ≥ 0.8 must
-    // be among the streaming candidates (signature agreement ≥ 0.5 is a
-    // strictly looser net than any-band collision + J ≥ 0.8).
+    // STRUCTURAL containment, not a corpus property: the batch operator's
+    // candidate set is exactly the band-collision pairs, and the stream
+    // emits every band collision (no estimate threshold), so any
+    // batch-verified pair is necessarily detected unless its bucket
+    // evicted (maxDocsPerBand default far exceeds this corpus's buckets).
     val batch = Dedup.queries("q_dedup_minhash")(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
     val missed = batch.exceptAll(streamed).count()
