@@ -49,6 +49,7 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val before = dataFiles(spark, inDir)
+    if (before.isEmpty) return (0, 0) // not-yet-written sink dir: no-op, not a PATH_NOT_FOUND crash
     val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

@@ -159,39 +159,73 @@ object Det {
     * on the block store until ContextCleaner GC — exactly the lingering
     * storage pressure the eager-release discipline exists to prevent.
     * After this, the frame is DEAD (a localCheckpoint RDD cannot be
-    * recomputed) — callers only release after the declared last consumer.
+    * recomputed) — so an RDD still reachable from ANOTHER registered
+    * memo's or pin's plan is skipped (`sharedProtect`): releasing one
+    * memo must never irrecoverably break a sibling that happens to share
+    * a checkpoint-backed LogicalRDD. The shared RDD is then freed when
+    * its LAST owner is released, because by then it is in nobody's
+    * protect set.
     */
-  private def unpersistDeep(df: org.apache.spark.sql.DataFrame): Unit = {
+  private def unpersistDeep(df: org.apache.spark.sql.DataFrame,
+                            sharedProtect: Set[Int] = Set.empty): Unit = {
     df.unpersist(blocking = false)
     df.queryExecution.logical.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD
-        if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+          !sharedProtect.contains(lr.rdd.id) =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
   }
 
+  /** RDD ids of every LogicalRDD reachable from the plans of the still-
+    * registered memos and pins of `spark` — the protect set for a deep
+    * unpersist.
+    */
+  private def liveLogicalRddIds(spark: org.apache.spark.sql.SparkSession): Set[Int] = {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    val fromMemos = memoRegistry.collect {
+      case ((s, _), df) if s eq spark => ids(df)
+    }.flatten
+    val fromPins = pinRegistry.get(spark).toSeq.flatMap { buf =>
+      buf.synchronized { buf.flatMap(ids).toList }
+    }
+    (fromMemos ++ fromPins).toSet
+  }
+
   /** Release every memo whose declared last consumers include `queryName`
     * (unpersist + evict, so a later out-of-order reuse re-pins fresh).
     */
-  def releaseAfter(spark: org.apache.spark.sql.SparkSession, queryName: String): Unit =
-    lastConsumer.collect {
+  def releaseAfter(spark: org.apache.spark.sql.SparkSession, queryName: String): Unit = {
+    val released = lastConsumer.collect {
       case (k @ (s, _), qs) if (s eq spark) && qs.contains(queryName) => k
-    }.foreach { k =>
+    }.flatMap { k =>
       lastConsumer.remove(k)
-      memoRegistry.remove(k).foreach(unpersistDeep)
+      memoRegistry.remove(k)
     }
+    if (released.nonEmpty) {
+      // Protect set computed AFTER eviction: only survivors protect.
+      val protectIds = liveLogicalRddIds(spark)
+      released.foreach(unpersistDeep(_, protectIds))
+    }
+  }
 
   /** Unpersist every pin owned by `spark` and evict its memo entries.
     * Memo eviction matters: an unpersisted-but-memoized DataFrame would
     * silently recompute its HOF chain per consumer on reuse (the exact
     * blowup pin exists to prevent) — evicting forces a fresh pin instead.
+    * Everything goes at once, so no protect set applies.
     */
   def releasePins(spark: org.apache.spark.sql.SparkSession): Unit = {
-    memoRegistry.keys.filter(_._1 eq spark).foreach(memoRegistry.remove)
+    val memos = memoRegistry.keys.filter(_._1 eq spark).toList
+      .flatMap(memoRegistry.remove)
     lastConsumer.keys.filter(_._1 eq spark).foreach(lastConsumer.remove)
+    memos.foreach(unpersistDeep(_))
     pinRegistry.remove(spark).foreach { buf =>
-      buf.synchronized { buf.foreach(unpersistDeep); buf.clear() }
+      buf.synchronized { buf.foreach(unpersistDeep(_)); buf.clear() }
     }
   }
 

@@ -264,13 +264,17 @@ object Events {
 
   /** The z-score core over any (event_id, event_type, value) frame.
     * Degenerate groups are excluded EXPLICITLY — a single-event type has
-    * no sample stddev and a zero-variance type gives std = 0, so z would
-    * be NULL/±Inf/NaN, whose filter behavior is engine-dependent (Spark
-    * drops NaN compares, other engines may error or keep ±Inf). The
-    * `n > 1` guard runs before the sqrt and the `std > 0` guard before
-    * the division, on BOTH the Spark and oracle sides, so the semantics
-    * are pinned rather than inherited from an engine's NaN rules
-    * (EventsAnomalySpec plants both degenerate shapes).
+    * no sample stddev and a zero-or-negative-variance type (sxx is
+    * decimal-rounded while sx*sx/n is raw double, so a near-constant
+    * group can land epsilon-negative) gives std = 0 or NaN, so z would
+    * be NULL/±Inf/NaN, whose filter behavior is engine-dependent (both
+    * Spark and DuckDB order NaN ABOVE every number, so a `std > 0`
+    * post-sqrt guard would PASS a NaN std). The `n > 1` guard runs
+    * before the sqrt and the variance guard `m2 > 0` runs BEFORE the
+    * sqrt (not after), on BOTH the Spark and oracle sides, so no NaN is
+    * ever produced and the semantics are pinned rather than inherited
+    * from an engine's NaN rules (EventsAnomalySpec plants all three
+    * degenerate shapes, including a non-representable constant 0.1).
     */
   def anomalyOver(e: DataFrame): DataFrame = {
     val st = e.groupBy(col("event_type"))
@@ -279,9 +283,10 @@ object Events {
         dsum(col("value")).as("sx"),
         sum((col("value") * col("value")).cast("decimal(38,8)")).cast("double").as("sxx"))
       .filter(col("n") > 1.0)
+      .withColumn("m2", col("sxx") - col("sx") * col("sx") / col("n"))
+      .filter(col("m2") > 0.0)
       .select(col("event_type"), (col("sx") / col("n")).as("mean"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0))).as("std"))
-      .filter(col("std") > 0.0)
+        sqrt(col("m2") / (col("n") - lit(1.0))).as("std"))
     e.join(broadcast(st), "event_type")
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) > 3.0)
@@ -299,12 +304,12 @@ object Events {
        |s2 AS (
        |  SELECT event_type, sx / n AS mean,
        |    sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std
-       |  FROM st WHERE n > 1)
+       |  FROM st WHERE n > 1 AND (sxx - sx * sx / n) > 0)
        |SELECT e.event_id, e.event_type, e.value,
        |  ${sqlR4("mean")} AS type_mean,
        |  ${sqlR4("(e.value - mean) / std")} AS zscore
        |FROM events e JOIN s2 USING (event_type)
-       |WHERE std > 0 AND abs((e.value - mean) / std) > 3.0
+       |WHERE abs((e.value - mean) / std) > 3.0
        |ORDER BY e.event_id""".stripMargin
   }
 

@@ -446,7 +446,8 @@ object TextOps {
       |  FROM (
       |    SELECT word,
       |      list_reduce(
-      |        list_prepend(regexp_replace(word, '(.)', '[\1]', 'g'), (SELECT rl FROM rules)),
+      |        list_prepend(regexp_replace(word, '(.)', '[\1]', 'g'),
+      |                     COALESCE((SELECT rl FROM rules), [])),
       |        (acc, r) -> replace(acc, split_part(r, '=', 1), split_part(r, '=', 2))) AS reduced
       |    FROM wcount)),
       |t AS (

@@ -27,6 +27,14 @@ class CompactionSpec extends SparkSpec {
     assert(ext.Compaction.dataFiles(spark, missing).isEmpty)
   }
 
+  test("compact on a missing/not-yet-written dir is a (0, 0) no-op") {
+    // dataFiles alone being missing-safe is not enough: compact used to
+    // fall through to spark.read.parquet(inDir) → PATH_NOT_FOUND
+    // (ADVICE r6 #2).
+    val base = java.nio.file.Files.createTempDirectory("compact_noop").toString
+    assert(ext.Compaction.compact(spark, base + "/nope", base + "/out") == ((0, 0)))
+  }
+
   test("dataFiles resolves an explicit file: URI (non-default scheme path)") {
     val src = java.nio.file.Files.createTempDirectory("compact_uri").toString
     Tables.documents(spark, "/root/testdata/sf0.001")

