@@ -236,13 +236,21 @@ object Dedup {
     // but costing only a predicate — no second memo competing for
     // storage, and the cache's hash(shingle) partitioning flows through
     // the filter into the self-join below.
-    val capped = sharedPostings(spark, dir).filter(col("df") <= cap)
-    // Per-doc count of CAPPED (rare) shingles: hd = n_sh − n_rare is how
-    // many high-df shingles the doc carries — the most its intersection
-    // with anything can exceed the rare-only shared count.
-    val docRare = capped.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_rare"), max(col("n_sh")).as("n_all"))
-      .select(col("doc_id"), (col("n_all") - col("n_rare")).as("hd"))
+    val post = sharedPostings(spark, dir)
+    val capped = post.filter(col("df") <= cap)
+    // hd = how many HIGH-df shingles each doc carries — the most its
+    // true intersection with anything can exceed the rare-only shared
+    // count. Built from the df > cap side of the postings cache, NOT
+    // from a full-corpus aggregation (r6 VERDICT #5: the old
+    // all-docs docRare agg fed two broadcast sides, so the whole
+    // postings cache re-aggregated twice per run and the capped variant
+    // cost 1.8× the uncapped ground truth on an UNSKEWED corpus). The
+    // df > cap postings are the skew itself: empty when no shingle
+    // exceeds the cap — the adaptive bypass falls out structurally (two
+    // near-free empty broadcasts, ub_i = shared_r exactly, survivors =
+    // the true pairs) with no driver-side scalar or plan switch.
+    val hdTab = post.filter(col("df") > cap)
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("hd"))
     // Count shared RARE shingles per pair (aggregation, not pair
     // materialization — the exact-intersect join runs only on pairs the
     // upper bound cannot rule out: inter ≤ shared_rare + min(hd_a, hd_b),
@@ -250,15 +258,17 @@ object Dedup {
     // < 0.8 provably fails. Exact full-set Jaccard then verifies the
     // survivors, so emitted pairs are identical to the uncapped ground
     // truth restricted to candidates sharing ≥1 rare shingle.)
-    val hdA = docRare.select(col("doc_id").as("da"), col("hd").as("hd_a"))
-    val hdB = docRare.select(col("doc_id").as("db"), col("hd").as("hd_b"))
+    val hdA = hdTab.select(col("doc_id").as("da"), col("hd").as("hd_a"))
+    val hdB = hdTab.select(col("doc_id").as("db"), col("hd").as("hd_b"))
     capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).cast("double").as("shared_r"))
-      .join(broadcast(hdA), "da").join(broadcast(hdB), "db")
-      .withColumn("ub_i", col("shared_r") + least(col("hd_a"), col("hd_b")).cast("double"))
+      .join(broadcast(hdA), Seq("da"), "left_outer")
+      .join(broadcast(hdB), Seq("db"), "left_outer")
+      .withColumn("ub_i", col("shared_r") +
+        least(coalesce(col("hd_a"), lit(0.0)), coalesce(col("hd_b"), lit(0.0))))
       .filter(col("ub_i") / (col("na") + col("nb") - col("ub_i")) >= 0.8)
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
       .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")

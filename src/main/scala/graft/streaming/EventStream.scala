@@ -280,6 +280,117 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming incremental dedup groups ----
+
+  /** Standing near-dup GROUP LABELS maintained per micro-batch — the
+    * composition of the streaming candidate detector
+    * (`nearDupPairsStream`) with the durable connected-components
+    * fixpoint (`Dedup.connectedComponentsDurable`): as documents arrive,
+    * band-collision candidates are exact-verified (full-shingle Jaccard
+    * ≥ 0.8, the same gate as the batch `dedupMinHash`) and the standing
+    * component labels update, so "which group is this doc a duplicate
+    * of" is answerable while the corpus is still arriving.
+    *
+    * Incrementality: each batch's fixpoint runs over (previous labels AS
+    * edges) ∪ (this batch's verified pairs) — NOT the accumulated edge
+    * log. A component's (doc → min-label) star is its contraction, and
+    * components over a contracted graph plus new edges have the same
+    * min-labels as over the original graph (min is associative and the
+    * star preserves connectivity), so per-batch cost is O(|labeled docs|
+    * + |new edges|) and old×old pairs are never re-joined — the same
+    * contract as `Dedup.dedupIncrementalOver`. StreamingSpec asserts the
+    * stream-maintained labels equal batch `dedupGroups` labels on the
+    * same corpus, cross-batch.
+    *
+    * Durability: verified edges append to `workDir/edges` (the audit log
+    * recovery can rebuild labels from), standing labels live in
+    * `workDir/labels` (overwritten per batch AFTER the fixpoint staged
+    * its inputs to `workDir/cc`, so the read of the previous labels is
+    * fully consumed before the overwrite), and source offsets checkpoint
+    * under `workDir/stream_ckpt` so a restart resumes without
+    * reprocessing. The per-batch frames here are tiny (candidates only),
+    * so re-evaluating `verified` for its append + fixpoint input costs
+    * nothing material; the corpus is touched only by the verification
+    * join, which reads just the candidate doc_ids (broadcast semi-join
+    * into the scan). Bucket-eviction residuals inherit
+    * `nearDupPairsStream`'s contract: the periodic batch sweep catches
+    * a near-dup of a long-evicted document.
+    */
+  def dedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
+                        maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val updateLabels: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      val cand = batch.select(col("doc_a"), col("doc_b")).distinct()
+      val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // Exact verification against the corpus-so-far (batch read of the
+      // same files the stream tails): identical shingle definition and
+      // threshold to the batch pipeline, so a band collision that is not
+      // a true near-dup never becomes an edge.
+      val sh = s.read.parquet(sourceDir)
+        .join(broadcast(ids), "doc_id")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          """CASE WHEN size(toks) >= 3
+            |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
+            |                                i -> concat_ws(' ', slice(toks, i, 3))))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .select(col("doc_id"), col("shingles"))
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+        .filter(col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.8)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      if (!verified.isEmpty) {
+        verified.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$workDir/edges")
+        val labelsPath = new org.apache.hadoop.fs.Path(s"$workDir/labels")
+        val fs = labelsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prevEdges =
+          if (fs.exists(labelsPath))
+            s.read.parquet(labelsPath.toString)
+              .select(col("doc").as("src"), col("lbl").as("dst"))
+          else null
+        val ccInput = if (prevEdges == null) verified else prevEdges.union(verified)
+        val (labels, _) =
+          graft.queries.Dedup.connectedComponentsDurable(ccInput, s"$workDir/cc")
+        labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(labelsPath.toString)
+      }
+    }
+    nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .option("checkpointLocation", s"$workDir/stream_ckpt")
+      .outputMode(OutputMode.Append())
+      .foreachBatch(updateLabels)
+      .start()
+  }
+
+  /** The stream-maintained labels in the batch `dedupGroups` shape
+    * (doc_id, group_id, group_size), read from the standing label
+    * parquet. Empty-schema-safe only once at least one batch verified an
+    * edge — callers gate on the dir existing (as the spec does).
+    */
+  def streamedGroups(spark: SparkSession, workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$workDir/labels")
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
+      .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Run the incremental-group stream to completion against a static
+    * source dir and return the final standing labels.
+    */
+  def runDedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = dedupGroupsStream(spark, sourceDir, workDir, maxFilesPerTrigger)
+    q.processAllAvailable(); q.stop()
+    streamedGroups(spark, workDir)
+  }
+
   // ---- Streaming sequence packing ----
 
   case class DocTok(doc_id: Long, source: String, n_tokens: Long)

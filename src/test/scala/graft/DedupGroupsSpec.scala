@@ -63,6 +63,42 @@ class DedupGroupsSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("planted skew: boilerplate-only pairs pruned, true dups with boilerplate survive via the hd bound") {
+    // The sf0.001/sf0.01 corpora are unskewed (max df ≤ 9), so on them
+    // the hd table is empty and the capped path degenerates to the
+    // ground-truth plan (the r6 #5 adaptive bypass). This fixture is the
+    // skew case that path exists for: a 12-token boilerplate sentence in
+    // 27 docs puts its internal shingles over the df=20 cap.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val boiler = "zebra yak xray walrus vulture toad snake rhino quail panda otter newt"
+    val tail = "alpha beta gamma delta epsilon"
+    val docs =
+      // 25 docs that ARE the boilerplate: every pair has true Jaccard
+      // 1.0 but shares no rare shingle — the documented deliberate miss.
+      (1L to 25L).map(i => (i, boiler)) ++
+        // Identical twins carrying boilerplate + a unique tail: their
+        // rare-only shared count (5) bounds Jaccard at 0.2, so ONLY the
+        // hd addback (10 high-df shingles each) lets the upper bound
+        // pass and the exact verify recover jac = 1.0.
+        Seq((100L, s"$boiler $tail"), (101L, s"$boiler $tail"))
+    docs.map { case (id, t) => (id, t, "en", s"src${id % 4}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val capped = Dedup.queries("q_dedup_ngram_capped")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((100L, 101L)),
+      s"expected only the rare-sharing twin pair, got ${capped.keySet}")
+    assert(capped((100L, 101L)) == 1.0, "exact verify must score the full shingle sets")
+    // The uncapped ground truth sees all 300 boiler pairs too — the
+    // capped variant's miss is the skew guard working, not a bug.
+    val full = Dedup.queries("q_dedup_ngram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 301 && full.contains((100L, 101L)),
+      s"ground truth should hold 300 boiler pairs + the twins, got ${full.size}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("incremental dedup: new-vs-old and new-vs-new, old never re-paired") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
@@ -162,6 +198,18 @@ class DedupGroupsSpec extends SparkSpec {
     // shape: a 10k-vertex chain (diameter 10k — the pointer-jumping
     // stress), a 60k-leaf star (one huge shallow component — the skew
     // stress), 15k disjoint pairs (label-table width) ≈ 10^5 edges.
+    // Machine calibration: the same fixpoint machinery (scheduler,
+    // codegen-per-round, checkpoint staging) on a 300-edge chain. The
+    // volume budget scales off this instead of a wall-clock constant —
+    // an absolute 90s bound flaked 1.3–3.3× on an externally-slowed
+    // host with IDENTICAL code (r7; same noise class as the r6 driver
+    // bench contamination). A real scheduling-overhead regression
+    // inflates the big run far more than the 300-edge one (more rounds,
+    // more tasks per round), so the ratio keeps the regression signal.
+    val cal0 = System.nanoTime()
+    Dedup.connectedComponents(
+      spark.range(0, 299).selectExpr("id AS src", "id + 1 AS dst"))._1.count()
+    val calibSecs = (System.nanoTime() - cal0) / 1e9
     val chain = spark.range(0, 9999).selectExpr("id AS src", "id + 1 AS dst")
     val star = spark.range(0, 60000)
       .selectExpr("CAST(100000 AS BIGINT) AS src", "id + 100001 AS dst")
@@ -180,7 +228,10 @@ class DedupGroupsSpec extends SparkSpec {
     assert(byLabel.count(_._1 >= 200000L) == 15000 &&
       byLabel.filter(_._1 >= 200000L).values.forall(_ == 2L),
       "15k disjoint pairs keep distinct labels")
-    assert(secs < 90, s"volume fixpoint took ${secs}s — scheduling overhead regression")
+    val budget = math.max(90.0, 10.0 * calibSecs)
+    assert(secs < budget,
+      s"volume fixpoint took ${secs}s vs budget ${budget}s " +
+        s"(calibration ${calibSecs}s) — scheduling overhead regression")
     labels.unpersist()
   }
 }

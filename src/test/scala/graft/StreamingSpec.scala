@@ -81,6 +81,29 @@ class StreamingSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("streaming incremental dedup groups equal batch dedupGroups, cross-batch") {
+    import graft.queries.{Dedup, Det}
+    val docsSrc = java.nio.file.Files.createTempDirectory("docs_groups_src").toString
+    Tables.documents(spark, sfDir).repartition(4).write.mode("overwrite").parquet(docsSrc)
+    val workDir = java.nio.file.Files.createTempDirectory("groups_work").toString
+    // maxFilesPerTrigger=1 → 4 micro-batches: the standing labels must be
+    // maintained INCREMENTALLY (each batch's fixpoint sees only the
+    // previous labels as contraction edges + that batch's verified
+    // pairs), including merges when a later batch's edge bridges two
+    // already-labeled components. Equivalence is structural: the stream
+    // detects every band collision the batch operator forms (containment
+    // test above), applies the identical exact-Jaccard gate, and
+    // component min-labels are invariant under contraction.
+    val streamed = EventStream.runDedupGroupsStream(spark, docsSrc, workDir,
+      maxFilesPerTrigger = Some(1))
+    val batch = Dedup.queries("q_dedup_groups")(spark, sfDir)
+    assert(streamed.count() == batch.count(),
+      s"stream holds ${streamed.count()} labeled docs, batch ${batch.count()}")
+    assert(streamed.exceptAll(batch.select(streamed.columns.map(col).toSeq: _*)).count() == 0,
+      "stream-maintained labels diverge from the batch dedupGroups labels")
+    Det.releasePins(spark)
+  }
+
   /** Rows (event_id, ts-string) → events-schema DataFrame. */
   private def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
