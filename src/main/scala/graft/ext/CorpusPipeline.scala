@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * 100 TB ingest would run them, cheapest-first so each stage shrinks the
   * data the next one sees:
   *
+  *   0. PII scrub     — per-row regexp map (TextOps.scrubPii), before
+  *                      any hash/shingle derivation can embed PII;
   *   1. quality gate  — per-row map, no shuffle, drops low-quality docs;
   *   2. exact dedup   — one shuffle on the normalized content hash;
   *   3. near dedup    — MinHash/LSH bucket join, keeps min-id per pair
@@ -30,7 +32,15 @@ object CorpusPipeline {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
           minQuality: Double = 0.5, jaccardThreshold: Double = 0.8): StageCounts = {
+    // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
+    // and packed sequences never embed an email/phone/id/IP (the order a
+    // compliant pipeline requires: scrubbing after dedup would leave PII
+    // in the dedup keys and the dropped-duplicate audit trail). Per-row
+    // regexp chain, no shuffle; oracle-verified as q_pii_scrub, planted
+    // shapes covered by PiiScrubSpec (the harness corpus itself carries
+    // no PII, so here it is a verified no-op).
     val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("text", graft.queries.TextOps.scrubPii(col("text")))
     val input = docs.count()
 
     // 1. quality gate (same scoring as q_text_stats)

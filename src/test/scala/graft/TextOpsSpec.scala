@@ -181,4 +181,23 @@ class TextOpsSpec extends SparkSpec {
         assert(s.getAs[Long]("n_straddle") <= s.getAs[Long]("n_docs")))
     }
   }
+
+  test("multi-level BPE: a round-2 merge consumes a round-1 merged piece (golden)") {
+    import spark.implicits._
+    // Vocabulary of one word, 'the'. Round 1 counts char bigrams
+    // (t,h) and (h,e) equally; the lexicographic tie-break learns
+    // [h][e]→[he] first, whose application consumes the h, so [t][h]
+    // never fires and round 1 ends at [t][he]. Round 2's pair count then
+    // sees the MERGED piece pair (t,he) — the recursion the one-level
+    // table cannot express — and learns [t][he]→[the]: one token.
+    val wcount = Seq(("the", 5L)).toDF("word", "wcnt")
+    val rules = TextOps.bpeLearnRules(wcount, rounds = 2, perRound = 4)
+    val ruleList = rules.selectExpr("explode(rules) AS m")
+      .selectExpr("m.pat", "m.rep").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(ruleList.contains("[t][he]" -> "[the]"),
+      s"round 2 must merge the round-1 piece; learned ${ruleList.mkString(", ")}")
+    val reduced = TextOps.bpeReduce(wcount, rules).select("reduced").as[String].head()
+    assert(reduced == "[the]", s"expected full collapse to one piece, got $reduced")
+  }
 }
