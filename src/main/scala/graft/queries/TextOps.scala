@@ -389,11 +389,25 @@ object TextOps {
     * its usual window + aggregate. No vocabulary-sized sort, nothing on
     * the driver.
     */
+  /** ONE pinned vocabulary table (word, wcnt) shared by both BPE packers
+    * and every learning round inside packBpe2 — without it the corpus
+    * explode + word shuffle re-runs once per learning round (5× for the
+    * 4-round packer). Vocabulary-sized (the Zipf asymmetry), so the pin
+    * is tiny; released when the last BPE consumer in the bench family
+    * finishes.
+    */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"pack.wcount:$dir", Set("q_pack_bpe2")) {
+      documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    }
+
   val packBpe: Q = (spark, dir) => {
     val words = documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("word"))
-    val wcount = words.groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val wcount = wordCounts(spark, dir)
     val bigrams = wcount
       .select(col("wcnt"), explode(expr(
         """CASE WHEN length(word) >= 2
@@ -486,19 +500,22 @@ object TextOps {
     * application order is round-major: exactly the order the rules were
     * learned, as real BPE requires.
     *
-    * The whole learning loop is ONE lazy plan — each round's reduction
-    * is a broadcast of the one-row rules frame folded over the distinct
-    * words, and the new round's counts aggregate those reductions; no
-    * driver-side collect anywhere, so learning scales with |vocabulary|,
-    * not corpus size. Returns the one-row rules frame (array of
-    * (rank, pat, rep) structs in application order).
+    * Each round is ONE flat vocabulary aggregation (over the pinned
+    * `pack.wcount` memo), and the round's ≤ `perRound` winning merges
+    * COLLECT to the driver: the merge table is the trained MODEL
+    * ARTIFACT (16 short strings), not data — production BPE training
+    * does exactly this before shipping the table to tokenizer workers.
+    * The first, all-lazy formulation instead nested every round's
+    * one-row rules frame inside the next round's plan, re-executing the
+    * whole chain once per round (quadratic re-planning: q_pack_bpe2 was
+    * the most expensive query in the r7 sweep at 3.9 s warm). Returns
+    * the (pattern, replacement) list in application order.
     */
-  def bpeLearnRules(wcount: DataFrame, rounds: Int, perRound: Int): DataFrame = {
-    val spark = wcount.sparkSession
-    var rules = spark.range(1).select(expr(
-      "CAST(array() AS ARRAY<STRUCT<rank:INT,pat:STRING,rep:STRING>>)").as("rules"))
-    for (r <- 1 to rounds) {
-      val pairCnt = bpeReduce(wcount, rules)
+  def bpeLearnRules(wcount: DataFrame, rounds: Int,
+                    perRound: Int): Seq[(String, String)] = {
+    var rules = Vector.empty[(String, String)]
+    for (_ <- 1 to rounds) {
+      val top = bpeReduce(wcount, rules)
         .withColumn("pieces",
           split(expr("substr(reduced, 2, length(reduced) - 2)"), "\\]\\["))
         .filter(size(col("pieces")) >= 2)
@@ -506,31 +523,29 @@ object TextOps {
           "transform(sequence(1, size(pieces) - 1), i -> struct(pieces[i-1] AS a, pieces[i] AS b))")).as("pr"))
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("wcnt")).as("cnt"))
-      val wRank = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("a"), col("b"))
-      val newRules = pairCnt.orderBy(col("cnt").desc, col("a"), col("b")).limit(perRound)
-        .withColumn("rk", row_number().over(wRank))
-        .select(struct((lit(r * 1000) + col("rk")).cast("int").as("rank"),
-          concat(lit("["), col("a"), lit("]["), col("b"), lit("]")).as("pat"),
-          concat(lit("["), col("a"), col("b"), lit("]")).as("rep")).as("m"))
-        .agg(array_sort(collect_list(col("m"))).as("new_rules"))
-      rules = rules.crossJoin(newRules)
-        .select(concat(col("rules"), col("new_rules")).as("rules"))
+        .limit(perRound)
+        .collect()
+      rules ++= top.map(r =>
+        (s"[${r.getString(0)}][${r.getString(1)}]",
+          s"[${r.getString(0)}${r.getString(1)}]"))
     }
     rules
   }
 
   /** Fold an ordered merge table over every distinct word: the word as
     * bracket-wrapped chars, one leftmost-nonoverlapping `replace` per
-    * rule in rank order (the same application engine as `packBpe`, which
-    * makes each replace exact BPE application — see its scaladoc).
+    * rule in learned order (the same application engine as `packBpe`,
+    * which makes each replace exact BPE application — see its scaladoc).
+    * The literal rules compile to a chain of `replace` calls inside
+    * whole-stage codegen — no join, no broadcast, a pure per-row map.
     * Returns (word, wcnt, reduced).
     */
-  def bpeReduce(wcount: DataFrame, rules: DataFrame): DataFrame =
-    wcount.crossJoin(broadcast(rules))
-      .withColumn("wrapped", regexp_replace(col("word"), "(.)", "[$1]"))
-      .withColumn("reduced", expr(
-        "aggregate(rules, wrapped, (acc, m) -> replace(acc, m.pat, m.rep))"))
+  def bpeReduce(wcount: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    wcount.withColumn("reduced",
+      rules.foldLeft(regexp_replace(col("word"), "(.)", "[$1]")) {
+        case (acc, (pat, rep)) => replace(acc, lit(pat), lit(rep))
+      })
       .select(col("word"), col("wcnt"), col("reduced"))
 
   /** Sequence packing on MULTI-LEVEL BPE token counts: 4 learning rounds
@@ -543,7 +558,7 @@ object TextOps {
     val words = documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("word"))
-    val wcount = words.groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val wcount = wordCounts(spark, dir)
     val rules = bpeLearnRules(wcount, rounds = 4, perRound = 4)
     val wtok = bpeReduce(wcount, rules)
       .select(col("word"),

@@ -192,11 +192,8 @@ class TextOpsSpec extends SparkSpec {
     // table cannot express — and learns [t][he]→[the]: one token.
     val wcount = Seq(("the", 5L)).toDF("word", "wcnt")
     val rules = TextOps.bpeLearnRules(wcount, rounds = 2, perRound = 4)
-    val ruleList = rules.selectExpr("explode(rules) AS m")
-      .selectExpr("m.pat", "m.rep").collect()
-      .map(r => r.getString(0) -> r.getString(1))
-    assert(ruleList.contains("[t][he]" -> "[the]"),
-      s"round 2 must merge the round-1 piece; learned ${ruleList.mkString(", ")}")
+    assert(rules.contains("[t][he]" -> "[the]"),
+      s"round 2 must merge the round-1 piece; learned ${rules.mkString(", ")}")
     val reduced = TextOps.bpeReduce(wcount, rules).select("reduced").as[String].head()
     assert(reduced == "[the]", s"expected full collapse to one piece, got $reduced")
   }
