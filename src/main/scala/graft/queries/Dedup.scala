@@ -249,8 +249,13 @@ object Dedup {
     // exceeds the cap — the adaptive bypass falls out structurally (two
     // near-free empty broadcasts, ub_i = shared_r exactly, survivors =
     // the true pairs) with no driver-side scalar or plan switch.
-    val hdTab = post.filter(col("df") > cap)
-      .groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("hd"))
+    // Memoized like the postings themselves (same release consumer):
+    // both broadcast sides read one tiny cached table instead of each
+    // re-aggregating the full postings cache per bench run.
+    val hdTab = Det.memo(spark, s"dedup.hdtab:$dir", Some("q_dedup_ngram_capped")) {
+      post.filter(col("df") > cap)
+        .groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("hd"))
+    }
     // Count shared RARE shingles per pair (aggregation, not pair
     // materialization — the exact-intersect join runs only on pairs the
     // upper bound cannot rule out: inter ≤ shared_rare + min(hd_a, hd_b),
@@ -260,7 +265,7 @@ object Dedup {
     // truth restricted to candidates sharing ≥1 rare shingle.)
     val hdA = hdTab.select(col("doc_id").as("da"), col("hd").as("hd_a"))
     val hdB = hdTab.select(col("doc_id").as("db"), col("hd").as("hd_b"))
-    capped.as("a").join(capped.as("b"),
+    val survivors = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
@@ -270,6 +275,10 @@ object Dedup {
       .withColumn("ub_i", col("shared_r") +
         least(coalesce(col("hd_a"), lit(0.0)), coalesce(col("hd_b"), lit(0.0))))
       .filter(col("ub_i") / (col("na") + col("nb") - col("ub_i")) >= 0.8)
+    // The exact verify streams the cached shingle table past the
+    // broadcast survivors — without the hint the optimizer's post-agg
+    // row estimate plans a shuffle+sort of the shingle arrays instead.
+    broadcast(survivors)
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
       .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")
       .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
