@@ -97,6 +97,35 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 2, s"windows re-sort per function ($sorts sorts):\n$plan")
   }
 
+  test("df-capped dedup verify joins broadcast the survivors (no shingle sort)") {
+    // The optimizer's post-aggregate row estimate used to plan a
+    // shuffle+sort of the shingle-array table for the exact-verify
+    // joins; the explicit broadcast hint pins the cheap shape (r7).
+    val plan = planOf("q_dedup_ngram_capped")
+    val tail = plan.substring(plan.indexOf("array_intersect") max 0)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast verify joins:\n$plan")
+    assert(!tail.contains("SortMergeJoin"),
+      s"exact-verify join must not sort-merge the shingle table:\n$plan")
+    queries.Det.releasePins(spark)
+  }
+
+  test("BPE reduction is a join-free codegen map over the vocabulary") {
+    // The literal merge table compiles to a replace() chain — a learned
+    // rules JOIN here would mean the quadratic lazy formulation came
+    // back (r7: it made q_pack_bpe2 the most expensive query).
+    // A range-derived vocabulary: a local Seq would constant-fold the
+    // whole reduction into a LocalTableScan and prove nothing.
+    val wcount = spark.range(0, 100)
+      .selectExpr("concat('word', CAST(id % 7 AS STRING)) AS word", "1L AS one")
+      .groupBy("word").agg(org.apache.spark.sql.functions.sum("one").as("wcnt"))
+    val rules = queries.TextOps.bpeLearnRules(wcount, rounds = 2, perRound = 2)
+    val df = queries.TextOps.bpeReduce(wcount, rules)
+    df.collect() // codegen wrapping only shows in the FINAL adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"BPE reduce must not join:\n$plan")
+    assert(plan.contains("*("), s"BPE reduce left whole-stage codegen:\n$plan")
+  }
+
   test("partition filters prune a partitioned layout at plan time") {
     import org.apache.spark.sql.functions._
     // Hive-style partition layout on the high-cardinality-scan side: at
