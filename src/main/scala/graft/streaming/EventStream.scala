@@ -369,16 +369,21 @@ object EventStream {
 
   /** The stream-maintained labels in the batch `dedupGroups` shape
     * (doc_id, group_id, group_size), read from the standing label
-    * parquet. Empty-schema-safe only once at least one batch verified an
-    * edge — callers gate on the dir existing (as the spec does).
+    * parquet. A stream that has verified no edge yet has no labels —
+    * that is an EMPTY groups table, not a read error.
     */
   def streamedGroups(spark: SparkSession, workDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.read.parquet(s"$workDir/labels")
-      .withColumn("group_size",
-        count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
-      .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
-      .orderBy(col("doc_id"))
+    val path = new org.apache.hadoop.fs.Path(s"$workDir/labels")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.range(0).selectExpr("id AS doc_id", "id AS group_id", "id AS group_size")
+    else
+      spark.read.parquet(path.toString)
+        .withColumn("group_size",
+          count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
+        .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
+        .orderBy(col("doc_id"))
   }
 
   /** Run the incremental-group stream to completion against a static

@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("dedup groups stream: restart from checkpoint resumes, merges across restarts") {
+    import graft.queries.{Dedup, Det}
+    // Phase 1 processes the even half of the corpus and STOPS; phase 2
+    // starts a NEW query on the same checkpoints after the odd half
+    // lands. The restart must resume from the source offsets (not
+    // re-verify phase-1 edges) and phase-2 edges must merge INTO the
+    // phase-1 standing labels — including components that only connect
+    // through a phase-2 doc. Final labels ≡ batch over the whole corpus.
+    val docs = Tables.documents(spark, sfDir)
+    val watched = java.nio.file.Files.createTempDirectory("docs_groups_restart")
+    val workDir = java.nio.file.Files.createTempDirectory("groups_restart_work").toString
+    stageFile(watched, "evens", docs.filter(col("doc_id") % 2 === 0), 0)
+    EventStream.runDedupGroupsStream(spark, watched.toString, workDir)
+    stageFile(watched, "odds", docs.filter(col("doc_id") % 2 =!= 0), 30)
+    val streamed = EventStream.runDedupGroupsStream(spark, watched.toString, workDir)
+    val batch = Dedup.queries("q_dedup_groups")(spark, sfDir)
+    assert(streamed.count() == batch.count(),
+      s"after restart stream holds ${streamed.count()} labeled docs, batch ${batch.count()}")
+    assert(streamed.exceptAll(batch.select(streamed.columns.map(col).toSeq: _*)).count() == 0,
+      "post-restart labels diverge from the batch dedupGroups labels")
+    Det.releasePins(spark)
+  }
+
   /** Rows (event_id, ts-string) → events-schema DataFrame. */
   private def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
