@@ -308,13 +308,13 @@ object EventStream {
     * its inputs to `workDir/cc`, so the read of the previous labels is
     * fully consumed before the overwrite), and source offsets checkpoint
     * under `workDir/stream_ckpt` so a restart resumes without
-    * reprocessing. The per-batch frames here are tiny (candidates only),
-    * so re-evaluating `verified` for its append + fixpoint input costs
-    * nothing material; the corpus is touched only by the verification
-    * join, which reads just the candidate doc_ids (broadcast semi-join
-    * into the scan). Bucket-eviction residuals inherit
-    * `nearDupPairsStream`'s contract: the periodic batch sweep catches
-    * a near-dup of a long-evicted document.
+    * reprocessing (the restart spec pins cross-restart merges). The
+    * corpus is touched once per batch: the verification join reads just
+    * the candidate doc_ids (broadcast semi-join into the scan) and its
+    * small result is persisted for the batch's three consumers.
+    * Bucket-eviction residuals inherit `nearDupPairsStream`'s contract:
+    * the periodic batch sweep catches a near-dup of a long-evicted
+    * document.
     */
   def dedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
                         maxFilesPerTrigger: Option[Int] = None)
@@ -336,6 +336,11 @@ object EventStream {
             |                                i -> concat_ws(' ', slice(toks, i, 3))))
             |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .select(col("doc_id"), col("shingles"))
+      // Persisted for the batch: `verified` is consumed three times
+      // (emptiness gate, edge-log append, fixpoint input) and its plan
+      // contains the corpus scan of the verification join — without the
+      // pin each consumer would re-read the corpus (3 scans per
+      // micro-batch at 100 TB).
       val verified = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -343,22 +348,25 @@ object EventStream {
         .filter(col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.8)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      if (!verified.isEmpty) {
-        verified.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(s"$workDir/edges")
-        val labelsPath = new org.apache.hadoop.fs.Path(s"$workDir/labels")
-        val fs = labelsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prevEdges =
-          if (fs.exists(labelsPath))
-            s.read.parquet(labelsPath.toString)
-              .select(col("doc").as("src"), col("lbl").as("dst"))
-          else null
-        val ccInput = if (prevEdges == null) verified else prevEdges.union(verified)
-        val (labels, _) =
-          graft.queries.Dedup.connectedComponentsDurable(ccInput, s"$workDir/cc")
-        labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(labelsPath.toString)
-      }
+        .persist()
+      try {
+        if (!verified.isEmpty) {
+          verified.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$workDir/edges")
+          val labelsPath = new org.apache.hadoop.fs.Path(s"$workDir/labels")
+          val fs = labelsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val prevEdges =
+            if (fs.exists(labelsPath))
+              s.read.parquet(labelsPath.toString)
+                .select(col("doc").as("src"), col("lbl").as("dst"))
+            else null
+          val ccInput = if (prevEdges == null) verified else prevEdges.union(verified)
+          val (labels, _) =
+            graft.queries.Dedup.connectedComponentsDurable(ccInput, s"$workDir/cc")
+          labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(labelsPath.toString)
+        }
+      } finally verified.unpersist(blocking = false)
     }
     nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", s"$workDir/stream_ckpt")
