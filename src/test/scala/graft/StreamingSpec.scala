@@ -104,6 +104,41 @@ class StreamingSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("dedup groups stream at volume: 10k docs, 3k planted pairs, half merging cross-batch") {
+    import graft.queries.Det
+    // 3000 identical-text pairs (doc p ↔ doc p+10000) + 4000 unique
+    // docs. Pairs 0..1499 land entirely in batch 1 (intra-batch
+    // detection + first standing labels); pairs 1500..2999 split across
+    // the batches, so batch 2 must merge against 1500 standing labels
+    // while adding 1500 new edges — the incremental shape at a size
+    // where an accidental all-pairs or full-relabel would visibly blow
+    // up. Unique docs must stay unlabeled (groups hold ONLY paired docs).
+    def text(pCol: org.apache.spark.sql.Column) = expr(
+      s"concat_ws(' ', transform(sequence(0, 7), j -> concat('t', CAST(${pCol.toString} AS STRING), 'x', CAST(j AS STRING))))")
+    val pairsA = spark.range(0, 3000).select(col("id").as("doc_id"), text(col("id")).as("text"))
+    val pairsB = spark.range(0, 3000).select((col("id") + 10000).as("doc_id"), text(col("id")).as("text"))
+    val uniques = spark.range(20000, 24000)
+      .select(col("id").as("doc_id"), text(col("id")).as("text"))
+    val watched = java.nio.file.Files.createTempDirectory("docs_groups_volume")
+    val workDir = java.nio.file.Files.createTempDirectory("groups_volume_work").toString
+    def docsOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    stageFile(watched, "batch1",
+      docsOf(pairsA.union(pairsB.filter(col("doc_id") < 11500)).union(uniques.filter(col("doc_id") < 22000))), 0)
+    stageFile(watched, "batch2",
+      docsOf(pairsB.filter(col("doc_id") >= 11500).union(uniques.filter(col("doc_id") >= 22000))), 30)
+    val groups = EventStream.runDedupGroupsStream(spark, watched.toString, workDir,
+      maxFilesPerTrigger = Some(1)).collect()
+    assert(groups.length == 6000, s"expected 6000 labeled docs, got ${groups.length}")
+    assert(groups.forall(_.getAs[Long]("group_size") == 2L), "every planted group has exactly 2 docs")
+    assert(groups.forall { r =>
+      val (doc, grp) = (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))
+      grp == (doc % 10000) && doc < 20000
+    }, "each pair labels to its min id; no unique doc labeled")
+    Det.releasePins(spark)
+  }
+
   test("dedup groups stream: restart from checkpoint resumes, merges across restarts") {
     import graft.queries.{Dedup, Det}
     // Phase 1 processes the even half of the corpus and STOPS; phase 2
