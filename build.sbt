@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g on a 128GiB host. At 8g, r7 sweeps under external load showed
+  // occasional wall+CPU storms on unchanged sub-second queries (40
+  // CPU-seconds on a join that is healthy isolated) — GC-pressure-
+  // shaped, so give the sweep headroom; the host's contention bursts
+  // made a controlled A/B impossible (see NOTES.md r7 environment).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
