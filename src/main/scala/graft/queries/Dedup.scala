@@ -278,6 +278,10 @@ object Dedup {
     // The exact verify streams the cached shingle table past the
     // broadcast survivors — without the hint the optimizer's post-agg
     // row estimate plans a shuffle+sort of the shingle arrays instead.
+    // The hint assumes near-dup survivors are SPARSE (they are, at any
+    // jaccard ≥ 0.8 on a real corpus: the ub prune admits few pairs);
+    // a corpus known to be near-dup-dense should drop the hint — the
+    // semantics don't change, only the join strategy.
     broadcast(survivors)
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
       .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")

@@ -206,10 +206,18 @@ class DedupGroupsSpec extends SparkSpec {
     // bench contamination). A real scheduling-overhead regression
     // inflates the big run far more than the 300-edge one (more rounds,
     // more tasks per round), so the ratio keeps the regression signal.
-    val cal0 = System.nanoTime()
-    Dedup.connectedComponents(
-      spark.range(0, 299).selectExpr("id AS src", "id + 1 AS dst"))._1.count()
-    val calibSecs = (System.nanoTime() - cal0) / 1e9
+    // Calibrated on BOTH sides of the volume run (a contention burst
+    // hitting only the middle would otherwise break the ratio) and
+    // budgeted at 15× the slower calibration: a healthy host budgets
+    // ~90-135s against a ~60-80s run, so a 3× scheduling regression
+    // still fails, while a host-wide slowdown inflates both sides.
+    def calibrate(): Double = {
+      val t = System.nanoTime()
+      Dedup.connectedComponents(
+        spark.range(0, 299).selectExpr("id AS src", "id + 1 AS dst"))._1.count()
+      (System.nanoTime() - t) / 1e9
+    }
+    val calibBefore = calibrate()
     val chain = spark.range(0, 9999).selectExpr("id AS src", "id + 1 AS dst")
     val star = spark.range(0, 60000)
       .selectExpr("CAST(100000 AS BIGINT) AS src", "id + 100001 AS dst")
@@ -228,10 +236,12 @@ class DedupGroupsSpec extends SparkSpec {
     assert(byLabel.count(_._1 >= 200000L) == 15000 &&
       byLabel.filter(_._1 >= 200000L).values.forall(_ == 2L),
       "15k disjoint pairs keep distinct labels")
-    val budget = math.max(90.0, 10.0 * calibSecs)
+    val calibAfter = calibrate()
+    val budget = math.max(90.0, 15.0 * math.max(calibBefore, calibAfter))
     assert(secs < budget,
       s"volume fixpoint took ${secs}s vs budget ${budget}s " +
-        s"(calibration ${calibSecs}s) — scheduling overhead regression")
+        s"(calibration before=${calibBefore}s after=${calibAfter}s) — " +
+        "scheduling overhead regression")
     labels.unpersist()
   }
 }
