@@ -322,6 +322,13 @@ object EventStream {
     val updateLabels: (DataFrame, Long) => Unit = (batch, _) => {
       val s = batch.sparkSession
       val cand = batch.select(col("doc_a"), col("doc_b")).distinct()
+      // Candidate gate BEFORE building the verification plan: cand is
+      // batch-local (no corpus read), and most micro-batches of a steady
+      // stream have zero collisions — without this gate every such batch
+      // would still pay the verification join's corpus scan against an
+      // empty broadcast (an empty build side does not short-circuit the
+      // stream-side read).
+      if (!cand.isEmpty) {
       val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
       // Exact verification against the corpus-so-far (batch read of the
       // same files the stream tails): identical shingle definition and
@@ -367,6 +374,7 @@ object EventStream {
             .parquet(labelsPath.toString)
         }
       } finally verified.unpersist(blocking = false)
+      }
     }
     nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", s"$workDir/stream_ckpt")
