@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL (line-delimited JSON) ingest — the format crawl dumps and most
+  * corpus interchange actually arrive in. The operational contract a
+  * 100 TB ingest needs, none of which `spark.read.json` gives by
+  * default:
+  *
+  *   - **Explicit schema, never inference.** Schema inference is a full
+  *     extra pass over the input, and on dirty data it infers the union
+  *     of every malformation ever seen (a single `"n_chars": "12"`
+  *     string turns the column into StringType for the whole corpus).
+  *   - **Corrupt records quarantined, not dropped or poisoned.**
+  *     PERMISSIVE mode + a `_corrupt_record` column splits the input
+  *     into a clean frame (schema-typed) and a quarantine frame holding
+  *     the raw offending line — auditable, re-parseable after a fix,
+  *     and the clean side never silently loses rows the way DROPMALFORMED
+  *     does. A REQUIRED field that parses as null is treated as corrupt
+  *     too (JSON nulls pass the parser but violate the table contract).
+  *   - **Landing as parquet.** JSONL is splittable but re-parses on
+  *     every read; the ingest's job is to pay the parse ONCE and land
+  *     columnar, partition-sized files downstream scans prune.
+  *
+  * JSONL stays line-splittable at any size (each line is a record), so
+  * the read parallelizes by input split with no coordination.
+  */
+object JsonlIngest {
+
+  /** The documents-table contract for JSONL ingest (doc_id and text are
+    * required; lang/source/n_chars optional-with-default downstream).
+    */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Read `path` as JSONL against `schema`, returning (clean, quarantine).
+    * Clean rows carry the schema's columns; quarantine rows carry the raw
+    * line (`raw`) for audit/repair. `required` names the fields whose
+    * null-ness (JSON null OR absent) also quarantines a structurally
+    * valid line — a record with no doc_id cannot enter any downstream
+    * dedup/join keyed on it.
+    */
+  def readSplit(spark: SparkSession, path: String, schema: StructType,
+                required: Seq[String]): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    // The corrupt-record column materializes lazily; caching the split
+    // point is the documented Spark requirement before filtering on it
+    // (SPARK-21610: a bare filter on _corrupt_record is disallowed).
+    // Pinned through Det so the session's releasePins discipline frees
+    // it with everything else (a bare .cache() here would leak one
+    // parsed copy of the input per ingest call).
+    val raw = graft.queries.Det.pin(spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path))
+    val requiredOk = required.map(col(_).isNotNull).reduce(_ && _)
+    val clean = raw
+      .filter(col("_corrupt_record").isNull && requiredOk)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantine = raw
+      .filter(col("_corrupt_record").isNotNull || !requiredOk)
+      .select(coalesce(col("_corrupt_record"), to_json(struct(
+        schema.fieldNames.map(col).toSeq: _*))).as("raw"))
+    (clean, quarantine)
+  }
+
+  /** Ingest `inPath` (JSONL documents) into `outDir/documents.parquet` +
+    * `outDir/quarantine` (raw lines). Returns (cleanRows, quarantinedRows).
+    * The parquet landing makes every downstream operator (which reads
+    * `<dir>/documents.parquet` via Tables) runnable directly on the
+    * ingested corpus.
+    */
+  def ingestDocuments(spark: SparkSession, inPath: String,
+                      outDir: String): (Long, Long) = {
+    val (clean, quarantine) = readSplit(spark, inPath, documentsSchema,
+      required = Seq("doc_id", "text"))
+    clean.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    val nQuarantine = quarantine.count()
+    if (nQuarantine > 0)
+      quarantine.write.mode(SaveMode.Overwrite).text(s"$outDir/quarantine")
+    val nClean = spark.read.parquet(s"$outDir/documents.parquet").count()
+    (nClean, nQuarantine)
+  }
+}
