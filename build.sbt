@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness driver tails `sbt "runMain graft.Bench"` stdout for ONE bare
+// JSON line; sbt's default logger prefixes forked-process output with
+// "[info] ", which breaks the driver's parse (BENCH_r05..r07 parsed:null).
+// StdoutOutput inherits the forked JVM's stdio so the line lands unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
