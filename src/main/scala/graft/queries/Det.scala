@@ -207,6 +207,17 @@ object Det {
       memoRegistry.remove(k)
     }
     if (released.nonEmpty) {
+      // A memo is ALSO a pin (memo() registers the built frame via
+      // pin()), so the released frames must leave the pin registry
+      // BEFORE the protect set is computed — otherwise each released
+      // memo's own checkpoint-backed LogicalRDD ids re-enter
+      // liveLogicalRddIds via fromPins and the deep unpersist never
+      // fires (self-protect): the checkpoint blocks would linger until
+      // releasePins, the exact storage pressure this path exists to
+      // shed.
+      pinRegistry.get(spark).foreach { buf =>
+        buf.synchronized { buf.filterInPlace(d => !released.exists(_ eq d)) }
+      }
       // Protect set computed AFTER eviction: only survivors protect.
       val protectIds = liveLogicalRddIds(spark)
       released.foreach(unpersistDeep(_, protectIds))

@@ -25,6 +25,51 @@ class PinLifecycleSpec extends SparkSpec {
     assert(cm.isEmpty, "releasePins must drop every pinned relation")
   }
 
+  test("releaseAfter deep-frees a released memo's checkpoint blocks (no self-protect)") {
+    Det.releasePins(spark)
+    // A fixpoint-style memo: the memoized frame is rebased over an eager
+    // localCheckpoint, so its plan is a LogicalRDD wrapping a persisted
+    // RDD. memo() also pin()s the frame — the regression this guards is
+    // the released memo protecting ITSELF through the pin registry, which
+    // left checkpoint blocks resident until releasePins.
+    val ckpt = spark.range(1000).toDF("id").localCheckpoint(true)
+    // Memoize a transformation over the checkpoint (the fixpoint memos'
+    // actual shape) — caching the bare LogicalRDD frame itself trips an
+    // InMemoryRelation.withOutput attribute-rebase quirk unrelated to
+    // this lifecycle.
+    val memo = Det.memo(spark, "test.selfprotect", Some("q_test_done"))(ckpt.where("id >= 0"))
+    memo.count()
+    val rdds = memo.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.nonEmpty, "precondition: the memo plan wraps a LogicalRDD")
+    assert(rdds.forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "precondition: checkpoint RDD is persisted")
+    Det.releaseAfter(spark, "q_test_done")
+    assert(rdds.forall(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "released memo's checkpoint RDD must be unpersisted (self-protect defeated the release)")
+    Det.releasePins(spark)
+  }
+
+  test("a checkpoint RDD shared between memos survives until its LAST owner is released") {
+    Det.releasePins(spark)
+    val ckpt = spark.range(500).toDF("id").localCheckpoint(true)
+    val a = Det.memo(spark, "test.shared.a", Some("qa"))(ckpt.filter("id % 2 = 0"))
+    val b = Det.memo(spark, "test.shared.b", Some("qb"))(ckpt.filter("id % 2 = 1"))
+    a.count(); b.count()
+    val rdds = a.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.nonEmpty)
+    Det.releaseAfter(spark, "qa")
+    assert(rdds.forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "RDD still reachable from a live memo must be protected")
+    Det.releaseAfter(spark, "qb")
+    assert(rdds.forall(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "shared RDD must be freed when its last owner is released")
+    Det.releasePins(spark)
+  }
+
   test("pins rebuild (not silently uncached) after release") {
     Det.releasePins(spark)
     val cm = spark.sharedState.cacheManager
