@@ -986,7 +986,18 @@ object TextOps {
     */
   private[graft] val piiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private[graft] val piiIpRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-  private[graft] val piiPhoneRe = """\b\d{2,3}-\d{3}-\d{3}-\d{4}\b"""
+  /** Phone shapes, one alternation so a single replace pass scrubs all:
+    * the 4-group dashed international form, NANP `(xxx) xxx-xxxx`,
+    * `+1`-prefixed space/dash-separated, and plain dashed 3-3-4
+    * (`555-123-4567`). Alternatives are tried leftmost-first in BOTH
+    * engines (Java regex and RE2 default to Perl alternation order), so
+    * the 4-group form is listed before the 3-3-4 suffix it contains.
+    * `+1` carries no leading `\b` — a boundary never holds between a
+    * space and `+` (both non-word). Short dashed ranges like
+    * `pages 12-34` match none of the alternatives.
+    */
+  private[graft] val piiPhoneRe =
+    """\b\d{2,3}-\d{3}-\d{3}-\d{4}\b|\(\d{3}\) ?\d{3}-\d{4}\b|\+1[ -]\d{3}[ -]\d{3}[ -]\d{4}\b|\b\d{3}-\d{3}-\d{4}\b"""
   private[graft] val piiIdRe = """\b\d{9,}\b"""
 
   /** Scrub all four PII shapes from a text column, in the fixed order.
@@ -1022,6 +1033,16 @@ object TextOps {
         lit("-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
         lit("-"), lpad(((col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
         lit("-"), lpad(((col("c_custkey") * 13) % 10000).cast("string"), 4, "0"),
+        lit(", ("), lpad(((col("c_custkey") * 3) % 1000).cast("string"), 3, "0"),
+        lit(") "), lpad(((col("c_custkey") * 11) % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("c_custkey") * 17) % 10000).cast("string"), 4, "0"),
+        lit(", "), lpad(((col("c_custkey") * 19) % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("c_custkey") * 23) % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("c_custkey") * 29) % 10000).cast("string"), 4, "0"),
+        lit(", +1 "), lpad(((col("c_custkey") * 31) % 1000).cast("string"), 3, "0"),
+        lit(" "), lpad(((col("c_custkey") * 37) % 1000).cast("string"), 3, "0"),
+        lit(" "), lpad(((col("c_custkey") * 41) % 10000).cast("string"), 4, "0"),
+        lit(" (see pages 12-34)"),
         lit(" (acct "), lpad(col("c_custkey").cast("string"), 10, "0"),
         lit(") from 10."), (col("c_custkey") % 256).cast("string"),
         lit("."), ((col("c_custkey") * 3) % 256).cast("string"),
@@ -1047,6 +1068,16 @@ object TextOps {
        |      || '-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
        |      || '-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
        |      || '-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+       |      || ', (' || lpad(CAST((c_custkey * 3) % 1000 AS VARCHAR), 3, '0')
+       |      || ') ' || lpad(CAST((c_custkey * 11) % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST((c_custkey * 17) % 10000 AS VARCHAR), 4, '0')
+       |      || ', ' || lpad(CAST((c_custkey * 19) % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST((c_custkey * 23) % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST((c_custkey * 29) % 10000 AS VARCHAR), 4, '0')
+       |      || ', +1 ' || lpad(CAST((c_custkey * 31) % 1000 AS VARCHAR), 3, '0')
+       |      || ' ' || lpad(CAST((c_custkey * 37) % 1000 AS VARCHAR), 3, '0')
+       |      || ' ' || lpad(CAST((c_custkey * 41) % 10000 AS VARCHAR), 4, '0')
+       |      || ' (see pages 12-34)'
        |      || ' (acct ' || lpad(CAST(c_custkey AS VARCHAR), 10, '0')
        |      || ') from 10.' || CAST(c_custkey % 256 AS VARCHAR)
        |      || '.' || CAST((c_custkey * 3) % 256 AS VARCHAR)

@@ -33,8 +33,22 @@ class PiiScrubSpec extends SparkSpec {
       "version 1.2.3 of the lib",   // 3-part dotted — not an IPv4
       "pages 12-34 and 56-78",      // short dashed runs — not a phone
       "order 12345678 shipped",     // 8 digits — below the id floor
-      "see example.org for docs")   // domain without local@ — not an email
+      "see example.org for docs",   // domain without local@ — not an email
+      "rooms 101-203-305 east",     // 3-3-3 dashed — no 4-digit tail
+      "ref 12-345-678 filed",       // 2-3-3 dashed — too short for any form
+      "lot (55) 123-4567 bids")     // 2-digit paren group — not an area code
     assert(scrub(keep: _*) == keep)
+  }
+
+  test("common NANP phone forms scrub: 3-3-4, parenthesized, +1-prefixed") {
+    assert(scrub("call 555-123-4567 now") == Seq("call <PHONE> now"))
+    assert(scrub("call (555) 123-4567 now") == Seq("call <PHONE> now"))
+    assert(scrub("call (555)123-4567 now") == Seq("call <PHONE> now"))
+    assert(scrub("call +1 555 123 4567 now") == Seq("call <PHONE> now"))
+    assert(scrub("call +1-555-123-4567 now") == Seq("call <PHONE> now"))
+    // All forms in one doc, each consumed exactly once.
+    assert(scrub("a 555-123-4567 b (555) 123-4567 c +1 555 123 4567 d 12-345-678-9012 e") ==
+      Seq("a <PHONE> b <PHONE> c <PHONE> d <PHONE> e"))
   }
 
   test("scrub is idempotent (tags never re-match a rule)") {
