@@ -279,10 +279,24 @@ object Dedup {
     // broadcast survivors — without the hint the optimizer's post-agg
     // row estimate plans a shuffle+sort of the shingle arrays instead.
     // The hint assumes near-dup survivors are SPARSE (they are, at any
-    // jaccard ≥ 0.8 on a real corpus: the ub prune admits few pairs);
-    // a corpus known to be near-dup-dense should drop the hint — the
-    // semantics don't change, only the join strategy.
-    broadcast(survivors)
+    // jaccard ≥ 0.8 on a real corpus: the ub prune admits few pairs) —
+    // but an unconditional hint would COLLECT the survivors to the
+    // driver even on a near-dup-dense corpus, turning a degradable join
+    // into an OOM. So the hint is gated on the MEASURED cardinality:
+    // survivors memoize (the verify joins reread the cache instead of
+    // re-running the candidate aggregation, so the count costs one
+    // cache scan), and above `spark.graft.dedup.survivorsBroadcastMaxRows`
+    // (default 1e6 ≈ tens of MB broadcast) the hint is dropped and the
+    // optimizer falls back to a shuffled join — slower, never fatal.
+    val survivorsMemo = Det.memo(spark, s"dedup.survivors:$dir",
+      Some("q_dedup_ngram_capped"))(survivors)
+    val maxBcastRows = spark.conf
+      .getOption("spark.graft.dedup.survivorsBroadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val survHinted =
+      if (survivorsMemo.count() <= maxBcastRows) broadcast(survivorsMemo)
+      else survivorsMemo
+    survHinted
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
       .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")
       .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))

@@ -109,6 +109,24 @@ class PlanSpec extends SparkSpec {
     queries.Det.releasePins(spark)
   }
 
+  test("survivors broadcast hint is gated: dense-corpus fallback keeps semantics") {
+    // Above spark.graft.dedup.survivorsBroadcastMaxRows the hint is
+    // dropped so a near-dup-dense corpus degrades to a shuffled join
+    // instead of collecting the survivors to the driver. Semantics must
+    // be identical either way; forcing the threshold to 0 exercises the
+    // fallback path on the same data.
+    val hinted = SparkEntry.queries("q_dedup_ngram_capped")(spark, sfDir).collect().toSeq
+    spark.conf.set("spark.graft.dedup.survivorsBroadcastMaxRows", "0")
+    try {
+      val unhinted = SparkEntry.queries("q_dedup_ngram_capped")(spark, sfDir)
+      assert(unhinted.collect().toSeq == hinted,
+        "gated (no-hint) plan must return the identical pair set")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.survivorsBroadcastMaxRows")
+      queries.Det.releasePins(spark)
+    }
+  }
+
   test("BPE reduction is a join-free codegen map over the vocabulary") {
     // The literal merge table compiles to a replace() chain — a learned
     // rules JOIN here would mean the quadratic lazy formulation came
