@@ -198,6 +198,19 @@ object EventStream {
     StructField("n_chars", LongType)
   ))
 
+  /** Shingle + banding definitions shared VERBATIM by the stream detector,
+    * the per-batch verification join, and the batch reconciliation sweep —
+    * one definition, so "stream candidates ⊆ batch candidates" and
+    * "sweep edges ⊇ stream edges" hold structurally, not by convention.
+    */
+  private[graft] val shinglesSql: String =
+    """CASE WHEN size(toks) >= 3
+      |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
+      |                                i -> concat_ws(' ', slice(toks, i, 3))))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  private[graft] val bandsSql: String =
+    "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"
+
   case class BandedDoc(band: String, doc_id: Long, sig: Seq[String])
   case class BandState(docs: List[(Long, Seq[String])])
   case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
@@ -237,14 +250,9 @@ object EventStream {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val banded = reader.parquet(sourceDir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
-          |                                i -> concat_ws(' ', slice(toks, i, 3))))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("shingles", expr(shinglesSql))
       .withColumn("sig", expr("minhash_sig(shingles)"))
-      .withColumn("band", explode(expr(
-        "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))")))
+      .withColumn("band", explode(expr(bandsSql)))
       .select(col("band"), col("doc_id"), col("sig"))
       .as[BandedDoc]
     banded.groupByKey(_.band)
@@ -313,11 +321,13 @@ object EventStream {
     * the candidate doc_ids (broadcast semi-join into the scan) and its
     * small result is persisted for the batch's three consumers.
     * Bucket-eviction residuals inherit `nearDupPairsStream`'s contract:
-    * the periodic batch sweep catches a near-dup of a long-evicted
-    * document.
+    * the periodic batch sweep (`reconcileGroupsSweep`) catches a
+    * near-dup of a long-evicted document and merges the repair into
+    * these standing labels.
     */
   def dedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
-                        maxFilesPerTrigger: Option[Int] = None)
+                        maxFilesPerTrigger: Option[Int] = None,
+                        maxDocsPerBand: Int = 1000)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val updateLabels: (DataFrame, Long) => Unit = (batch, _) => {
       val s = batch.sparkSession
@@ -337,11 +347,7 @@ object EventStream {
       val sh = s.read.parquet(sourceDir)
         .join(broadcast(ids), "doc_id")
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          """CASE WHEN size(toks) >= 3
-            |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
-            |                                i -> concat_ws(' ', slice(toks, i, 3))))
-            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .withColumn("shingles", expr(shinglesSql))
         .select(col("doc_id"), col("shingles"))
       // Persisted for the batch: `verified` is consumed three times
       // (emptiness gate, edge-log append, fixpoint input) and its plan
@@ -376,7 +382,7 @@ object EventStream {
       } finally verified.unpersist(blocking = false)
       }
     }
-    nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+    nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger, maxDocsPerBand).writeStream
       .option("checkpointLocation", s"$workDir/stream_ckpt")
       .outputMode(OutputMode.Append())
       .foreachBatch(updateLabels)
@@ -406,10 +412,117 @@ object EventStream {
     * source dir and return the final standing labels.
     */
   def runDedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
-                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val q = dedupGroupsStream(spark, sourceDir, workDir, maxFilesPerTrigger)
+                           maxFilesPerTrigger: Option[Int] = None,
+                           maxDocsPerBand: Int = 1000): DataFrame = {
+    val q = dedupGroupsStream(spark, sourceDir, workDir, maxFilesPerTrigger, maxDocsPerBand)
     q.processAllAvailable(); q.stop()
     streamedGroups(spark, workDir)
+  }
+
+  // ---- Batch↔stream reconciliation sweep ----
+
+  /** Batch near-dup edge list over the corpus-so-far, with the SAME
+    * shingle / signature / banding / exact-verify definitions as the
+    * stream (`shinglesSql`/`bandsSql`/`minhash_sig`, Jaccard ≥ 0.8). The
+    * full LSH self-join forms every same-band pair regardless of arrival
+    * order or bucket eviction, so its verified edges are a superset of
+    * everything the stream could have verified — the ground truth the
+    * sweep reconciles against.
+    *
+    * Shape at scale: band equi-join (never all-pairs), candidates
+    * distinct-ed before the exact verify, shingles recomputed per side of
+    * the verify join (two corpus scans per sweep — a periodic
+    * maintenance job, not the per-batch hot path; a deployment sweeping
+    * daily at 100 TB would stage the signature table to parquet first,
+    * which is exactly `Dedup.dedupMinHash`'s memo discipline).
+    */
+  def batchNearDupEdges(spark: SparkSession, sourceDir: String): DataFrame = {
+    val docs = spark.read.schema(docSchema).parquet(sourceDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSql))
+      .select(col("doc_id"), col("shingles"))
+    val banded = docs
+      .withColumn("sig", expr("minhash_sig(shingles)"))
+      .select(col("doc_id"), explode(expr(bandsSql)).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+      .filter(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  }
+
+  /** The periodic repair pass the stream's eviction contract promises:
+    * run the batch near-dup sweep over the corpus-so-far and merge its
+    * edges into the standing stream labels, so a near-dup of a
+    * long-evicted document (which the bounded band buckets can never
+    * pair) enters the groups after all.
+    *
+    * Merge is the SAME label-contraction trick as the per-batch update:
+    * the fixpoint runs over (previous labels AS edges) ∪ (sweep edges) —
+    * the stream's labels are star contractions of a subgraph of the
+    * sweep's verified relation (identical definitions, identical gate),
+    * and component min-labels are invariant under contracting a
+    * subgraph, so post-sweep labels equal batch `dedupGroups` labels
+    * over the same corpus. Sweep edges not yet in the audit log append
+    * to `workDir/edges` (anti-join keeps the log a set), making the
+    * sweep idempotent: a second run with no new documents changes
+    * nothing. Safe to run between micro-batches of a live stream: the
+    * label overwrite happens only after the fixpoint staged its inputs
+    * durably under `workDir/cc` (same ordering the per-batch update
+    * relies on).
+    *
+    * Returns the repaired standing groups (same shape as
+    * `streamedGroups`).
+    */
+  def reconcileGroupsSweep(spark: SparkSession, sourceDir: String,
+                           workDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Persisted: consumed by the emptiness gate, the log anti-join, and
+    // the fixpoint — without the pin each consumer re-runs the LSH
+    // self-join and both verify-side corpus scans.
+    val sweep = batchNearDupEdges(spark, sourceDir).persist()
+    try {
+      if (!sweep.isEmpty) {
+        val edgesPath = s"$workDir/edges"
+        val fresh =
+          (if (fs.exists(new Path(edgesPath)))
+            sweep.join(spark.read.parquet(edgesPath), Seq("src", "dst"), "left_anti")
+          else sweep).persist()
+        try {
+          val hasFresh = !fresh.isEmpty
+          if (hasFresh)
+            fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(edgesPath)
+          val labelsPath = new Path(s"$workDir/labels")
+          val labelsExist = fs.exists(labelsPath)
+          // No new edges + standing labels already cover the log → the
+          // fixpoint would reproduce the labels bit-for-bit; skip it
+          // (the idempotent-sweep fast path). labelsExist=false with an
+          // existing log covers a crash between the log append and the
+          // label write: recompute from the sweep alone.
+          if (hasFresh || !labelsExist) {
+            val prevEdges =
+              if (labelsExist)
+                spark.read.parquet(labelsPath.toString)
+                  .select(col("doc").as("src"), col("lbl").as("dst"))
+              else null
+            val ccInput = if (prevEdges == null) sweep else prevEdges.union(sweep)
+            val (labels, _) =
+              graft.queries.Dedup.connectedComponentsDurable(ccInput, s"$workDir/cc")
+            labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(labelsPath.toString)
+          }
+        } finally fresh.unpersist(blocking = false)
+      }
+      streamedGroups(spark, workDir)
+    } finally sweep.unpersist(blocking = false)
   }
 
   // ---- Streaming sequence packing ----

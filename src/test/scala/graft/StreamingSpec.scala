@@ -162,6 +162,84 @@ class StreamingSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("reconciliation sweep repairs an evicted-bucket near-dup miss") {
+    import spark.implicits._
+    // Adversarial corpus, built with the engine's own minhash so the
+    // scenario is deterministic-by-construction:
+    //   A (doc 1)  — 30 tokens a0..a29.
+    //   B (doc 50) — A with tokens 14,15 replaced → jaccard(A,B) = 24/32
+    //                = 0.75 (below the 0.8 gate), SEARCHED so that every
+    //                band of B equals the corresponding band of A: with
+    //                maxDocsPerBand=1 B evicts A from ALL of A's buckets.
+    //   C (doc 2)  — A with the last token replaced → jaccard(A,C) =
+    //                27/29 ≈ 0.93 (a true near-dup), sharing ≥1 band
+    //                with A (searched), so the BATCH LSH pairs them.
+    //   E,F (100,101) — identical docs the stream itself verifies, so
+    //                the sweep must MERGE into standing labels, not
+    //                rebuild from nothing.
+    // Arrival A|E, B|F, C: when C arrives, every bucket where it could
+    // have met A holds only B (same band values), so the stream can
+    // never pair (A,C) — the eviction residual the sweep repairs.
+    val aToks = (0 until 30).map(i => s"a$i").toVector
+    def bText(s: Int) = aToks.updated(14, s"b${s}p").updated(15, s"b${s}q").mkString(" ")
+    def cText(s: Int) = aToks.updated(29, s"c$s").mkString(" ")
+    val cands = Seq((1L, aToks.mkString(" "))) ++
+      (0 until 300).map(s => (1000L + s, bText(s))) ++
+      (0 until 10).map(s => (2000L + s, cText(s)))
+    val bandsByDoc = cands.toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(EventStream.shinglesSql))
+      .withColumn("sig", expr("minhash_sig(shingles)"))
+      .select(col("doc_id"), expr(EventStream.bandsSql).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val aBands = bandsByDoc(1L)
+    val bSeed = (0 until 300).find(s => bandsByDoc(1000L + s) == aBands)
+    assert(bSeed.isDefined, "no all-band collider below the jaccard gate in 300 candidates")
+    val cSeed = (0 until 10).find(s => bandsByDoc(2000L + s).exists(aBands.contains))
+    assert(cSeed.isDefined, "no near-dup variant sharing a band with A in 10 candidates")
+
+    def docsOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val eText = (0 until 20).map(i => s"e$i").mkString(" ")
+    val watched = java.nio.file.Files.createTempDirectory("docs_sweep_src")
+    val workDir = java.nio.file.Files.createTempDirectory("sweep_work").toString
+    stageFile(watched, "b1", docsOf(Seq(1L -> aToks.mkString(" "), 100L -> eText)), 0)
+    stageFile(watched, "b2", docsOf(Seq(50L -> bText(bSeed.get), 101L -> eText)), 10)
+    stageFile(watched, "b3", docsOf(Seq(2L -> cText(cSeed.get))), 20)
+
+    val pre = EventStream.runDedupGroupsStream(spark, watched.toString, workDir,
+      maxFilesPerTrigger = Some(1), maxDocsPerBand = 1).collect()
+    assert(pre.map(_.getAs[Long]("doc_id")).toSet == Set(100L, 101L),
+      s"stream alone must hold only the E/F group (A–C missed): ${pre.toSeq}")
+
+    def groupSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+        r.getAs[Long]("group_size"))).toSet
+    val post = EventStream.reconcileGroupsSweep(spark, watched.toString, workDir).collect()
+    assert(groupSet(post) ==
+      Set((1L, 1L, 2L), (2L, 1L, 2L), (100L, 100L, 2L), (101L, 100L, 2L)),
+      s"sweep must add the A–C group and keep E/F: ${post.toSeq}")
+
+    // Repaired labels ≡ batch connected components over the full corpus.
+    val (batchLabels, _) = graft.queries.Dedup.connectedComponents(
+      EventStream.batchNearDupEdges(spark, watched.toString))
+    val batchSet = batchLabels.collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("lbl"))).toSet
+    assert(post.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+      == batchSet, "post-sweep labels diverge from batch components")
+
+    // Idempotence: a second sweep with no new documents changes nothing —
+    // the anti-join keeps the edge log a set and the fast path skips the
+    // label rewrite.
+    val logN = spark.read.parquet(s"$workDir/edges").count()
+    assert(logN == 2L, s"edge log must hold exactly (A,C) and (E,F): $logN rows")
+    val post2 = EventStream.reconcileGroupsSweep(spark, watched.toString, workDir).collect()
+    assert(groupSet(post2) == groupSet(post))
+    assert(spark.read.parquet(s"$workDir/edges").count() == logN,
+      "second sweep must not re-append logged edges")
+  }
+
   /** Rows (event_id, ts-string) → events-schema DataFrame. */
   private def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
