@@ -78,16 +78,77 @@ object JsonlIngest {
     * The parquet landing makes every downstream operator (which reads
     * `<dir>/documents.parquet` via Tables) runnable directly on the
     * ingested corpus.
+    *
+    * **Gzipped input** (`.jsonl.gz`, how crawl dumps usually arrive) reads
+    * transparently — Spark picks the codec by extension — but gzip is NOT
+    * splittable: each `.gz` file decompresses in ONE task, so ingest
+    * parallelism equals the input file count, not the byte count. A
+    * 100 TB dump must arrive as many moderate files (the upstream
+    * generator's job); this ingest is then itself the mitigation — the
+    * decompress-and-land first pass that pays the single-task read once
+    * and lands splittable parquet. `landPartitions` re-spreads the
+    * landed files when the input arrived as a few huge archives (without
+    * it, one mega-gz would land as one mega parquet file).
+    *
+    * The quarantine dir is deleted on a clean ingest — an overwrite run
+    * with zero corrupt rows must not leave the PREVIOUS run's quarantine
+    * lying around for an auditor to misread as belonging to the current
+    * landing.
     */
-  def ingestDocuments(spark: SparkSession, inPath: String,
-                      outDir: String): (Long, Long) = {
+  def ingestDocuments(spark: SparkSession, inPath: String, outDir: String,
+                      landPartitions: Option[Int] = None): (Long, Long) = {
     val (clean, quarantine) = readSplit(spark, inPath, documentsSchema,
       required = Seq("doc_id", "text"))
-    clean.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    val landed = landPartitions.map(clean.repartition(_)).getOrElse(clean)
+    landed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
     val nQuarantine = quarantine.count()
+    val qDir = new org.apache.hadoop.fs.Path(s"$outDir/quarantine")
+    val fs = qDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (nQuarantine > 0)
-      quarantine.write.mode(SaveMode.Overwrite).text(s"$outDir/quarantine")
+      quarantine.write.mode(SaveMode.Overwrite).text(qDir.toString)
+    else if (fs.exists(qDir))
+      fs.delete(qDir, true)
     val nClean = spark.read.parquet(s"$outDir/documents.parquet").count()
     (nClean, nQuarantine)
+  }
+
+  /** The repair loop quarantine exists for: after a schema/rule fix (or a
+    * required-field policy change), re-parse the quarantined raw lines,
+    * APPEND the now-clean survivors to the landed
+    * `outDir/documents.parquet`, and shrink the quarantine to the lines
+    * that still fail. Returns (recoveredRows, stillQuarantinedRows).
+    *
+    * The quarantine rewrite goes through a temp dir + rename swap: the
+    * still-bad frame's plan reads the quarantine path, and Spark
+    * (correctly) refuses to overwrite a path a plan is reading from; the
+    * swap also never leaves a half-written quarantine on failure. An
+    * empty post-repair quarantine is deleted, keeping outDir internally
+    * consistent (same contract as a clean ingest).
+    */
+  def reingestQuarantine(spark: SparkSession, outDir: String,
+                         schema: StructType = documentsSchema,
+                         required: Seq[String] = Seq("doc_id", "text")): (Long, Long) = {
+    val qPath = new org.apache.hadoop.fs.Path(s"$outDir/quarantine")
+    val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(qPath)) return (0L, 0L)
+    val (clean, stillBad) = readSplit(spark, qPath.toString, schema, required)
+    val nRecovered = clean.count()
+    if (nRecovered > 0)
+      clean.write.mode(SaveMode.Append).parquet(s"$outDir/documents.parquet")
+    val nStill = stillBad.count()
+    if (nStill > 0) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/quarantine__reingest_tmp")
+      stillBad.write.mode(SaveMode.Overwrite).text(tmp.toString)
+      fs.delete(qPath, true)
+      fs.rename(tmp, qPath)
+    } else {
+      fs.delete(qPath, true)
+    }
+    // The quarantine files just changed under a path this session holds a
+    // pinned parse of (readSplit pins, and plan-identical reads SHARE the
+    // InMemoryRelation) — invalidate it, or the next repair pass would
+    // read the pre-swap quarantine out of the cache.
+    spark.catalog.refreshByPath(qPath.toString)
+    (nRecovered, nStill)
   }
 }

@@ -56,4 +56,77 @@ class JsonlIngestSpec extends SparkSpec {
       "exactly the non-canonical doc is flagged duplicate")
     graft.queries.Det.releasePins(spark)
   }
+
+  private def stageGz(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_gz_src")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("part0.jsonl.gz")))
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    dir.toString
+  }
+
+  test("gzipped JSONL ingests transparently (decompress-and-land pass)") {
+    val src = stageGz(Seq(
+      """{"doc_id": 20, "text": "compressed alpha", "lang": "en", "source": "s0", "n_chars": 16}""",
+      """{"doc_id": 21, "text": "compressed beta", "lang": "en", "source": "s0", "n_chars": 15}""",
+      "broken { gz line"))
+    val out = java.nio.file.Files.createTempDirectory("jsonl_gz_out").toString
+    // landPartitions: a single .gz decompresses in one task; re-spread the
+    // landing so downstream scans aren't shaped by the archive layout.
+    val (nClean, nQuarantine) = JsonlIngest.ingestDocuments(spark, src, out,
+      landPartitions = Some(2))
+    assert(nClean == 2 && nQuarantine == 1)
+    val landedFiles = new java.io.File(s"$out/documents.parquet")
+      .listFiles().count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(landedFiles == 2, s"landPartitions must re-spread the one-task gz read: $landedFiles files")
+    assert(spark.read.parquet(s"$out/documents.parquet")
+      .where("doc_id IN (20, 21)").count() == 2)
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("clean re-ingest over the same outDir removes the stale quarantine") {
+    val out = java.nio.file.Files.createTempDirectory("jsonl_reingest_out").toString
+    val dirty = stage(Seq(
+      """{"doc_id": 30, "text": "good row", "lang": "en", "source": "s0", "n_chars": 8}""",
+      "utterly broken"))
+    val (_, q1) = JsonlIngest.ingestDocuments(spark, dirty, out)
+    assert(q1 == 1 && new java.io.File(s"$out/quarantine").exists())
+    // The fixed input re-lands over the same outDir: zero corrupt rows
+    // must leave NO quarantine dir behind (stale files would read as
+    // phantom corruption against the new landing).
+    val fixed = stage(Seq(
+      """{"doc_id": 30, "text": "good row", "lang": "en", "source": "s0", "n_chars": 8}""",
+      """{"doc_id": 31, "text": "fixed row", "lang": "en", "source": "s0", "n_chars": 9}"""))
+    val (n2, q2) = JsonlIngest.ingestDocuments(spark, fixed, out)
+    assert(n2 == 2 && q2 == 0)
+    assert(!new java.io.File(s"$out/quarantine").exists(),
+      "stale quarantine must be deleted on a clean ingest")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("quarantine repair loop: relaxed policy recovers rows, quarantine shrinks") {
+    val out = java.nio.file.Files.createTempDirectory("jsonl_repair_out").toString
+    val src = stage(Seq(
+      """{"doc_id": 40, "text": "kept row", "lang": "en", "source": "s0", "n_chars": 8}""",
+      """{"doc_id": 41, "lang": "en", "source": "s0", "n_chars": 0}""", // missing text → quarantined
+      """broken beyond repair {"""))
+    val (n1, q1) = JsonlIngest.ingestDocuments(spark, src, out)
+    assert(n1 == 1 && q1 == 2)
+    // Policy fix: text is no longer required (placeholder docs allowed).
+    // Re-parsing the quarantine recovers doc 41 into the landed parquet;
+    // the genuinely broken line stays quarantined.
+    val (recovered, still) = JsonlIngest.reingestQuarantine(spark, out,
+      required = Seq("doc_id"))
+    assert(recovered == 1 && still == 1, s"got ($recovered, $still)")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.count() == 2, "recovered row must append to the landing")
+    assert(docs.where("doc_id = 41").count() == 1)
+    val qLines = spark.read.text(s"$out/quarantine").collect().map(_.getString(0))
+    assert(qLines.length == 1 && qLines.head.contains("broken beyond repair"))
+    // Second repair with the same policy: nothing left to recover, the
+    // still-bad line persists — and an all-recovered quarantine deletes.
+    val (r2, s2) = JsonlIngest.reingestQuarantine(spark, out, required = Seq("doc_id"))
+    assert(r2 == 0 && s2 == 1)
+    graft.queries.Det.releasePins(spark)
+  }
 }
