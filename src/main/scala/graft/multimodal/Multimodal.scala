@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed by per-partition batch
   * functions (the Scala analogue of arrow-batched pandas UDFs).
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so `decodeStub` derives deterministic fake features from the raw
-  * bytes. Everything around it is the real production shape: binary
+  * IMAGE decode is REAL (`decodeImage`/`extractImageFeatures` via the
+  * in-JDK `javax.imageio` — PNG/BMP/GIF/JPEG). AUDIO/VIDEO decode stays
+  * a STUB — this container has no av codecs — so `decodeStub` derives
+  * deterministic fake features from the raw bytes; it also remains the
+  * codec-free path the DuckDB oracle twins pin (an oracle cannot run
+  * ImageIO). Everything around both is the real production shape: binary
   * columns in parquet, case-class Encoders, mapPartitions batching (one
   * JNI/codec init per partition, not per row), partition-preserving
   * feature extraction, frame explosion for video-like payloads.
@@ -88,6 +91,76 @@ object Multimodal {
         val from = math.min(k * frameLen, m.payload.length)
         val until = math.min(from + frameLen, m.payload.length)
         Frame(m.media_id, k, java.util.Arrays.copyOfRange(m.payload, from, until))
+      }
+    }
+  }
+
+  case class ImageFeatures(
+      media_id: Long,
+      img_width: Int,
+      img_height: Int,
+      n_pixels: Long,
+      luma_hist: Array[Long], // 16-bin luminance histogram
+      mean_luma: Double)
+
+  /** REAL image decode — `javax.imageio` ships in the JDK, so PNG / BMP /
+    * GIF / JPEG payloads decode with no external codec. Returns None for
+    * bytes ImageIO cannot decode (e.g. the corpus's text stand-in
+    * payloads), so this path coexists with `decodeStub`: the stub keeps
+    * the codec-free oracle twins deterministic, this decodes actual
+    * images. Features are integer-exact (BT.601 luma via the rational
+    * (299r+587g+114b)/1000, 16-bin histogram, Long sums), so repeated
+    * decodes are bit-identical.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Long], Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](16)
+      var lumaSum = 0L
+      // getRGB row-batched: one int[] per row, not a per-pixel call (a
+      // production decoder would read the raster directly; this keeps
+      // the JDK-only path reasonable).
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(luma >> 4) += 1L
+          lumaSum += luma
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, hist, lumaSum))
+    }
+  }
+
+  /** Batched REAL feature extraction over image payloads: the same
+    * mapPartitions shape as `extractFeatures` (per-partition codec init,
+    * narrow, partition-preserving), decoding with the in-JDK ImageIO.
+    * Undecodable payloads are dropped — the caller splits decoded vs
+    * quarantined by anti-join on media_id if it needs the failures.
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Per-partition codec init: in-memory decode only, no ImageIO
+      // temp-file cache competing with shuffle spill for local disk.
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        decodeImage(m.payload).map { case (w, h, hist, lumaSum) =>
+          val n = w.toLong * h
+          ImageFeatures(m.media_id, w, h, n, hist, lumaSum.toDouble / n)
+        }
       }
     }
   }

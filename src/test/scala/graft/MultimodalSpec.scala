@@ -34,6 +34,44 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_.frame_idx % 2 != 0).count() == 0)
   }
 
+  test("real image decode: generated PNGs yield exact, deterministic features") {
+    import spark.implicits._
+    // Deterministic images, encoded with the same JDK ImageIO that will
+    // decode them: a constant-gray 8×4 (every luma = 32 → one hist bin)
+    // and a two-tone 16×2 split half black / half white.
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gray = png(8, 4, (_, _) => 0x202020)            // luma 32, bin 2
+    val split = png(16, 2, (x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val textPayload = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", gray, 8, 4, 0, 1),
+      Multimodal.MediaRecord(2L, "image", split, 16, 2, 0, 1),
+      Multimodal.MediaRecord(3L, "image", textPayload, 0, 0, 0, 1)
+    ).toDS()
+    val feats = Multimodal.extractImageFeatures(media).collect().sortBy(_.media_id)
+    // Undecodable bytes drop; real images decode with exact pixel math.
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L), s"got ${feats.toSeq}")
+    val g = feats(0)
+    assert(g.img_width == 8 && g.img_height == 4 && g.n_pixels == 32L)
+    assert(g.luma_hist(2) == 32L && g.luma_hist.sum == 32L, "all gray pixels in bin 2")
+    assert(g.mean_luma == 32.0)
+    val s = feats(1)
+    assert(s.img_width == 16 && s.img_height == 2 && s.n_pixels == 32L)
+    assert(s.luma_hist(0) == 16L && s.luma_hist(15) == 16L, "half black, half white")
+    assert(s.mean_luma == (16L * 0 + 16L * 255).toDouble / 32)
+    // Deterministic across runs.
+    val again = Multimodal.extractImageFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.zip(again).forall { case (a, b) =>
+      a.luma_hist.sameElements(b.luma_hist) && a.mean_luma == b.mean_luma })
+  }
+
   test("stub features match the verified envelope checksums") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sfDir))
