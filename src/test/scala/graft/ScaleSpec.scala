@@ -98,6 +98,89 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("corpus pipeline at volume: 10^6 docs, planted dups removed, tokens conserved") {
+    // The end-to-end scrub→gate→exact→near→pack pipeline past fixture
+    // scale. Corpus (all deterministic in doc_id, token namespaces
+    // disjoint across docs so no accidental shingle sharing):
+    //   10^6 base docs of 10..29 unique tokens (~20M tokens);
+    //   5,000 EXACT clones of docs 0..4999 (same text, higher id);
+    //   5,000 NEAR variants of docs 10000..14999 (last token → 'zz'):
+    //     jaccard = (L−3)/(L−1), ≥ 0.8 iff L ≥ 11, so the 250 L=10
+    //     variants (id%20==0) are planted BELOW the gate and must
+    //     survive — the threshold does semantic work at volume.
+    // LSH recall at j ∈ [0.8, 0.93] with 4×3 bands is 1−(1−j³)⁴ ≈
+    // 0.94..0.998 (deterministic for fixed texts, not enumerable a
+    // priori), hence the ≥ 90% removal bound rather than equality.
+    def corpus(dir: String, nBase: Long, nClones: Long, nearLo: Long, nearHi: Long): Unit = {
+      val baseText =
+        "concat_ws(' ', transform(sequence(0, CAST(id % 20 + 9 AS INT)), j -> concat('t', CAST(id AS STRING), 'x', CAST(j AS STRING))))"
+      val nearText =
+        "concat(concat_ws(' ', transform(sequence(0, CAST(id % 20 + 8 AS INT)), j -> concat('t', CAST(id AS STRING), 'x', CAST(j AS STRING)))), ' zz')"
+      spark.range(0, nBase).selectExpr("id AS doc_id", s"$baseText AS text")
+        .union(spark.range(0, nClones).selectExpr("id + 2000000 AS doc_id", s"$baseText AS text"))
+        .union(spark.range(nearLo, nearHi).selectExpr("id + 3000000 AS doc_id", s"$nearText AS text"))
+        .selectExpr("doc_id", "text",
+          "concat('l', CAST(doc_id % 4 AS STRING)) AS lang",
+          "concat('s', CAST(doc_id % 8 AS STRING)) AS source",
+          "CAST(length(text) AS LONG) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    // Machine calibration (same discipline as the fixpoint volume spec):
+    // the identical pipeline on a 10×-smaller corpus, on both sides of
+    // the volume run. A real plan regression (bucket blowup, lost
+    // pushdown, quadratic re-planning) inflates the big run far more
+    // than the small one; a host-wide slowdown inflates both. The
+    // calibration scale matters: a 100×-smaller calibration was pure
+    // fixed overhead (~9 s warm), decoupled from what actually costs at
+    // volume (per-row work, GC pressure in a long-lived suite JVM), and
+    // its ratio flaked; at 10× the calibration pays the same cost class
+    // the volume run does, so the ratio tracks the environment.
+    def calibrate(): Double = {
+      val d = java.nio.file.Files.createTempDirectory("corpus_cal").toString
+      val t = System.nanoTime()
+      corpus(d, 100000, 500, 1000, 1500)
+      graft.ext.CorpusPipeline.run(spark, d, s"$d/out")
+      graft.queries.Det.releasePins(spark)
+      (System.nanoTime() - t) / 1e9
+    }
+    val calibBefore = calibrate()
+    val dir = java.nio.file.Files.createTempDirectory("corpus_vol").toString
+    val t0 = System.nanoTime()
+    corpus(dir, 1000000L, 5000L, 10000L, 15000L)
+    val report = graft.ext.CorpusPipeline.run(spark, dir, s"$dir/out")
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.queries.Det.releasePins(spark)
+
+    assert(report.input == 1010000L, s"input: ${report.input}")
+    assert(report.afterQuality == 1010000L,
+      s"all-unique-token docs must pass the gate: ${report.afterQuality}")
+    assert(report.afterExact == 1005000L,
+      s"exactly the 5000 clones drop at the exact stage: ${report.afterExact}")
+    val removedNear = report.afterExact - report.afterNear
+    assert(removedNear <= 4750L,
+      s"below-threshold variants must survive: removed $removedNear > 4750")
+    assert(removedNear >= 4275L, // ≥ 90% of the 4750 eligible
+      s"LSH recall collapsed at volume: removed only $removedNear of 4750")
+
+    // Token conservation through packing, at volume.
+    val clean = spark.read.parquet(s"$dir/out/corpus_clean")
+    val corpusToks = clean.select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    val packedToks = spark.read.parquet(s"$dir/out/sequences")
+      .select(sum(col("seq_tokens"))).head.getLong(0)
+    assert(packedToks == corpusToks, s"token conservation broke: $packedToks != $corpusToks")
+
+    val calibAfter = calibrate()
+    // The budget exists to catch CATASTROPHIC regressions — an
+    // accidental all-pairs join or per-doc re-plan lands at hours, not
+    // minutes — so 15× the slower same-cost-class calibration (10× the
+    // data) with a 300 s floor: ample headroom over the honest ~6-10×
+    // wall ratio, far below any quadratic blowup.
+    val budget = math.max(300.0, 15.0 * math.max(calibBefore, calibAfter))
+    assert(secs < budget,
+      s"volume pipeline took ${secs}s vs budget ${budget}s " +
+        s"(calibration before=${calibBefore}s after=${calibAfter}s)")
+  }
+
   test("sequence packing at volume: 100k docs, tokens conserved, all sequences full") {
     // ~6.7M tokens across 8 source shards — the window-cumsum +
     // range-explode shape must hold well past the harness corpus size
