@@ -1103,7 +1103,88 @@ object TextOps {
        |  regexp_replace(t3, '$piiIdRe', '<ID>', 'g') AS scrubbed
        |FROM s3 ORDER BY c_custkey""".stripMargin
 
+  // ---- Split assignment & domain curation ----
+
+  /** Deterministic train/val/test assignment (~90/5/5) via the md5
+    * 256-way bucket trick (same instr construction as Sampling — the
+    * only integer-from-hex both engines compute identically). The
+    * property that matters for training pipelines: a document NEVER
+    * changes split when the corpus grows (md5 of its own key, not a
+    * row_number or RNG), so eval sets stay uncontaminated across corpus
+    * versions. Per-row map fused into the scan; the report is one small
+    * aggregation.
+    */
+  val splitAssign: Q = (spark, dir) => {
+    def digit(pos: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
+    documents(spark, dir)
+      .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
+      .withColumn("split", when(col("bucket") < 230, "train")
+        .when(col("bucket") < 243, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
+  val splitAssignSql: String = {
+    def digit(pos: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $pos, 1)) - 1)"
+    s"""WITH b AS (
+       |  SELECT text, lang,
+       |    CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT) AS bucket
+       |  FROM documents),
+       |s AS (
+       |  SELECT CASE WHEN bucket < 230 THEN 'train'
+       |              WHEN bucket < 243 THEN 'val'
+       |              ELSE 'test' END AS split, text, lang
+       |  FROM b)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** Per-TLD domain statistics — the crawl-curation step that decides
+    * which domains to keep/cap. URLs are synthesized deterministically
+    * from doc_id (the harness corpus carries none), then parsed BACK
+    * with the portable regexp the real operator would use on genuine
+    * URLs — the extraction is what's verified. Per-row maps + one
+    * aggregation; the distinct-domain count shuffles on tld only.
+    */
+  val domainStats: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("url", concat(lit("https://site"),
+        (col("doc_id") % 97).cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .withColumn("tld", regexp_extract(col("domain"), "\\.([a-z]+)$", 1))
+      .groupBy(col("tld"))
+      .agg(countDistinct(col("domain")).as("n_domains"),
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy(col("tld"))
+
+  val domainStatsSql: String =
+    """WITH u AS (
+      |  SELECT text,
+      |    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+      |      || (['com','org','net','io'])[CAST(doc_id % 4 AS INT) + 1]
+      |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |d AS (SELECT text, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM u),
+      |t AS (SELECT text, domain, regexp_extract(domain, '\.([a-z]+)$', 1) AS tld FROM d)
+      |SELECT tld, CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM t GROUP BY tld ORDER BY tld""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_split_assign" -> splitAssign,
+    "q_domain_stats" -> domainStats,
     "q_pii_scrub" -> piiScrub,
     "q_quality_gate" -> qualityGate,
     "q_vocab_coverage" -> vocabCoverage,
@@ -1123,6 +1204,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_split_assign" -> splitAssignSql,
+    "q_domain_stats" -> domainStatsSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_quality_gate" -> qualityGateSql,
     "q_vocab_coverage" -> vocabCoverageSql,
