@@ -369,6 +369,133 @@ object Similarity {
        |  searched_label, ${sqlR6("cosine_raw")} AS cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe IVF: probe the 3 NEAREST centroids instead of 1 — the
+    * standard recall/cost knob of an IVF index (nprobe). Search touches
+    * nprobe/|clusters| of the corpus; on near-random embeddings (weak
+    * cluster structure — the measured limitation of single-probe IVF
+    * here) widening the probe set is exactly what recovers recall, and
+    * `q_ann_recall_mp` turns that lift into a verified number. Same
+    * declarative shape as `knnIvf`; a vector belongs to one cluster, so
+    * the probed-cluster union never duplicates candidates.
+    */
+  val knnIvfMp: Q = (spark, dir) => {
+    val v = withNorm(spark, dir)
+    val dims = v.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "valf")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).as("d"),
+        col("valf").cast("double").as("val"))
+    val cent = dims.groupBy(col("label"), col("d"))
+      .agg(r6(davg(col("val"))).as("cval"))
+    val qdims = dims.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("d"), col("val").as("qval"))
+    val dist = qdims.join(cent, "d")
+      .groupBy(col("query_id"), col("label"))
+      .agg(r6(sum(((col("qval") - col("cval")) * (col("qval") - col("cval")))
+        .cast("decimal(38,18)")).cast("double")).as("dist"))
+    val assigned = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("label"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("label").as("probed_label"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    v.join(broadcast(assigned), v("label") === assigned("probed_label"))
+      .join(broadcast(probes), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("probed_label"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // Deliberately an edited copy of knnIvfSql (rn <= 3, probed_label), not
+  // a shared template: the verified single-probe SQL must not drift.
+  val knnIvfMpSql: String =
+    s"""WITH v AS ($duckNorm),
+       |dims AS (
+       |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS d,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, ${sqlR6(sqlDavg("val"))} AS cval
+       |  FROM dims GROUP BY label, d),
+       |qdims AS (
+       |  SELECT vec_id AS query_id, d, val AS qval FROM dims WHERE vec_id < 10),
+       |dist AS (
+       |  SELECT q.query_id, c.label,
+       |    ${sqlR6("CAST(sum(CAST((q.qval - c.cval) * (q.qval - c.cval) AS DECIMAL(38,18))) AS DOUBLE)")} AS dist
+       |  FROM qdims q JOIN cent c ON q.d = c.d
+       |  GROUP BY q.query_id, c.label),
+       |assigned AS (
+       |  SELECT query_id, label AS probed_label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, label) AS rn
+       |    FROM dist) WHERE rn <= 3),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM v WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT a.query_id, v.vec_id, a.probed_label,
+       |    ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) AS cosine_raw,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) DESC, v.vec_id) AS rank
+       |  FROM v JOIN assigned a ON v.label = a.probed_label
+       |  JOIN probes p ON p.query_id = a.query_id
+       |  WHERE v.vec_id <> a.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  probed_label, ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Measured nprobe lift: single-probe vs 3-probe IVF recall against
+    * the brute-force ground truth — the verified form of "nprobe is the
+    * recall/cost knob".
+    */
+  val annRecallMp: Q = (spark, dir) => {
+    val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val i1 = knnIvf(spark, dir)
+      .select(col("query_id").as("q1"), col("neighbor_id").as("n1"))
+    val i3 = knnIvfMp(spark, dir)
+      .select(col("query_id").as("q3"), col("neighbor_id").as("n3"))
+    val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val h1 = brute.join(i1,
+        brute("query_id") === i1("q1") && brute("neighbor_id") === i1("n1"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ivf1_hits"))
+    val h3 = brute.join(i3,
+        brute("query_id") === i3("q3") && brute("neighbor_id") === i3("n3"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ivf3_hits"))
+    base
+      .join(h1, Seq("query_id"), "left_outer")
+      .join(h3, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        coalesce(col("ivf1_hits"), lit(0L)).as("ivf1_hits"),
+        coalesce(col("ivf3_hits"), lit(0L)).as("ivf3_hits"),
+        r2(coalesce(col("ivf1_hits"), lit(0L)) / col("k").cast("double")).as("ivf1_recall"),
+        r2(coalesce(col("ivf3_hits"), lit(0L)) / col("k").cast("double")).as("ivf3_recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallMpSql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
+       |i1 AS (SELECT query_id AS q1, neighbor_id AS n1 FROM ($knnIvfSql)),
+       |i3 AS (SELECT query_id AS q3, neighbor_id AS n3 FROM ($knnIvfMpSql)),
+       |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY query_id),
+       |h1 AS (SELECT query_id, count(*) AS ivf1_hits FROM brute
+       |       JOIN i1 ON query_id = q1 AND neighbor_id = n1 GROUP BY query_id),
+       |h3 AS (SELECT query_id, count(*) AS ivf3_hits FROM brute
+       |       JOIN i3 ON query_id = q3 AND neighbor_id = n3 GROUP BY query_id)
+       |SELECT b.query_id,
+       |  coalesce(h1.ivf1_hits, 0) AS ivf1_hits,
+       |  coalesce(h3.ivf3_hits, 0) AS ivf3_hits,
+       |  ${sqlR2("coalesce(h1.ivf1_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivf1_recall,
+       |  ${sqlR2("coalesce(h3.ivf3_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivf3_recall
+       |FROM base b
+       |LEFT JOIN h1 ON b.query_id = h1.query_id
+       |LEFT JOIN h3 ON b.query_id = h3.query_id
+       |ORDER BY b.query_id""".stripMargin
+
   /** Measured ANN quality: per-probe recall of the LSH and IVF variants
     * against the brute-force ground truth (|approx ∩ exact| / k). The
     * approximate methods are only worth their speed if recall is known —
@@ -635,6 +762,8 @@ object Similarity {
     "q_embed_centroid" -> embedCentroid,
     "q_ann_recall" -> annRecall,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_ivf_mp" -> knnIvfMp,
+    "q_ann_recall_mp" -> annRecallMp,
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
@@ -648,6 +777,8 @@ object Similarity {
     "q_embed_centroid" -> embedCentroidSql,
     "q_ann_recall" -> annRecallSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_ivf_mp" -> knnIvfMpSql,
+    "q_ann_recall_mp" -> annRecallMpSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
