@@ -182,6 +182,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("split assignment is stable under corpus growth (no eval contamination drift)") {
+    // The property the md5-bucket design buys: a document's split is a
+    // function of its OWN id, so adding documents never reassigns
+    // existing ones (row_number- or RNG-based splits fail exactly this,
+    // silently moving eval docs into train across corpus versions).
+    def rows(n: Int) = (0 until n).map(i =>
+      (i.toLong, s"doc $i body text here", "en", s"s${i % 3}", 16L))
+    def assignments(dir: String): Map[Long, String] = {
+      def digit(pos: Int) =
+        s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
+      graft.Tables.documents(spark, dir)
+        .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
+        .withColumn("split", when(col("bucket") < 230, "train")
+          .when(col("bucket") < 243, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"))
+        .as[(Long, String)].collect().toMap
+    }
+    val small = assignments(docsDir(rows(200)))
+    val grown = assignments(docsDir(rows(800)))
+    assert(small.forall { case (id, s) => grown(id) == s },
+      "growing the corpus must never reassign an existing document's split")
+    // All three splits are populated at this size and partition the corpus.
+    assert(grown.values.toSet == Set("train", "val", "test"))
+    assert(grown.size == 800)
+  }
+
   test("multi-level BPE: a round-2 merge consumes a round-1 merged piece (golden)") {
     import spark.implicits._
     // Vocabulary of one word, 'the'. Round 1 counts char bigrams
