@@ -430,17 +430,24 @@ object EventStream {
     * sweep reconciles against.
     *
     * Shape at scale: band equi-join (never all-pairs), candidates
-    * distinct-ed before the exact verify, shingles recomputed per side of
-    * the verify join (two corpus scans per sweep — a periodic
-    * maintenance job, not the per-batch hot path; a deployment sweeping
-    * daily at 100 TB would stage the signature table to parquet first,
-    * which is exactly `Dedup.dedupMinHash`'s memo discipline).
+    * distinct-ed before the exact verify. The shingle table feeds three
+    * consumers (the signature pass and both verify-join sides);
+    * `reconcileGroupsSweep` stages it once (persist — the in-session
+    * twin of the parquet staging a daily 100 TB sweep would do, exactly
+    * `Dedup.dedupMinHash`'s memo discipline) via the `Over` variant.
     */
-  def batchNearDupEdges(spark: SparkSession, sourceDir: String): DataFrame = {
-    val docs = spark.read.schema(docSchema).parquet(sourceDir)
+  def batchNearDupEdges(spark: SparkSession, sourceDir: String): DataFrame =
+    batchNearDupEdgesOver(shingleTable(spark, sourceDir))
+
+  /** The corpus parsed to (doc_id, shingles) — the frame worth staging. */
+  private def shingleTable(spark: SparkSession, sourceDir: String): DataFrame =
+    spark.read.schema(docSchema).parquet(sourceDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesSql))
       .select(col("doc_id"), col("shingles"))
+
+  /** Batch near-dup edges over a prepared (doc_id, shingles) frame. */
+  def batchNearDupEdgesOver(docs: DataFrame): DataFrame = {
     val banded = docs
       .withColumn("sig", expr("minhash_sig(shingles)"))
       .select(col("doc_id"), explode(expr(bandsSql)).as("band"))
@@ -485,10 +492,12 @@ object EventStream {
                            workDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Persisted: consumed by the emptiness gate, the log anti-join, and
-    // the fixpoint — without the pin each consumer re-runs the LSH
-    // self-join and both verify-side corpus scans.
-    val sweep = batchNearDupEdges(spark, sourceDir).persist()
+    // Two-level staging: the shingle table is parsed from the corpus
+    // ONCE and persisted (it feeds the signature pass and both exact-
+    // verify sides), and the sweep result is persisted for its three
+    // consumers (emptiness gate, log anti-join, fixpoint input).
+    val sh = shingleTable(spark, sourceDir).persist()
+    val sweep = batchNearDupEdgesOver(sh).persist()
     try {
       if (!sweep.isEmpty) {
         val edgesPath = s"$workDir/edges"
@@ -522,7 +531,10 @@ object EventStream {
         } finally fresh.unpersist(blocking = false)
       }
       streamedGroups(spark, workDir)
-    } finally sweep.unpersist(blocking = false)
+    } finally {
+      sweep.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+    }
   }
 
   // ---- Streaming sequence packing ----

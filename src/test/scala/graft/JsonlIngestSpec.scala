@@ -39,6 +39,19 @@ class JsonlIngestSpec extends SparkSpec {
     assert(cleanRows.length + q.length == lines.length, "clean + quarantine must cover the input")
   }
 
+  test("extra JSON fields are tolerated, not quarantined (schema evolution)") {
+    // Crawl dumps grow fields over time; under an explicit schema the
+    // unknown keys are a non-event — the row parses clean and the extra
+    // fields are simply not read. (Quarantining them would turn every
+    // upstream addition into a fake corruption storm.)
+    val src = stage(Seq(
+      """{"doc_id": 50, "text": "row with extras", "lang": "en", "source": "s0", "n_chars": 15, "crawl_ts": "2026-01-01", "meta": {"k": 1}}"""))
+    val (clean, quarantine) = JsonlIngest.readSplit(
+      spark, src, JsonlIngest.documentsSchema, required = Seq("doc_id", "text"))
+    assert(clean.count() == 1 && quarantine.count() == 0)
+    assert(clean.head.getAs[Long]("doc_id") == 50L)
+  }
+
   test("ingestDocuments lands parquet the whole operator suite can read") {
     val src = stage(Seq(
       """{"doc_id": 10, "text": "the quick brown fox jumps", "lang": "en", "source": "s0", "n_chars": 25}""",
