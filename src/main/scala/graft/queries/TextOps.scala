@@ -1160,7 +1160,10 @@ object TextOps {
         element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
           (col("doc_id") % 4 + 1).cast("int")),
         lit("/p/"), col("doc_id").cast("string")))
-      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      // Host = everything after the scheme up to the first of /:?# — so
+      // path-less URLs, ports, and query strings all extract correctly
+      // (TextOpsSpec pins the shapes); TLD = the last dotted label.
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
       .withColumn("tld", regexp_extract(col("domain"), "\\.([a-z]+)$", 1))
       .groupBy(col("tld"))
       .agg(countDistinct(col("domain")).as("n_domains"),
@@ -1175,7 +1178,7 @@ object TextOps {
       |      || (['com','org','net','io'])[CAST(doc_id % 4 AS INT) + 1]
       |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
       |  FROM documents),
-      |d AS (SELECT text, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM u),
+      |d AS (SELECT text, regexp_extract(url, '^https?://([^/:?#]+)', 1) AS domain FROM u),
       |t AS (SELECT text, domain, regexp_extract(domain, '\.([a-z]+)$', 1) AS tld FROM d)
       |SELECT tld, CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
       |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -127,6 +127,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF queries share one staged centroid table (warm plan reads the memo)") {
+    // Four registered queries consume the per-(label, dim) centroids;
+    // the shared memo means a warm consumer's plan reads the cache
+    // instead of re-running the embedding explode + aggregation.
+    queries.Det.releasePins(spark)
+    SparkEntry.queries("q_knn_ivf")(spark, sfDir).collect() // builds the memo
+    val warm = SparkEntry.queries("q_knn_ivf_mp")(spark, sfDir)
+    warm.collect()
+    val plan = warm.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"multi-probe IVF must read the staged centroids:\n$plan")
+    queries.Det.releasePins(spark)
+  }
+
   test("BPE reduction is a join-free codegen map over the vocabulary") {
     // The literal merge table compiles to a replace() chain — a learned
     // rules JOIN here would mean the quadratic lazy formulation came

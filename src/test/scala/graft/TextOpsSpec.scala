@@ -208,6 +208,25 @@ class TextOpsSpec extends SparkSpec {
     assert(grown.size == 800)
   }
 
+  test("domain extraction handles real URL shapes: ports, no path, query, fragments") {
+    // The q_domain_stats scaladoc promises the extraction works on
+    // genuine crawl URLs, not just the synthesized shape — pin the
+    // regexp against the forms a crawl actually contains.
+    val cases = Seq(
+      ("https://site1.com/p/1", "site1.com", "com"),
+      ("http://site2.org", "site2.org", "org"),                 // no path
+      ("https://site3.net:8080/x", "site3.net", "net"),         // port
+      ("https://a.b.site4.io/p?q=1", "a.b.site4.io", "io"),     // subdomains + query
+      ("https://site5.com#frag", "site5.com", "com"))           // fragment, no path
+    val out = cases.map(_._1).toDF("url")
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      .withColumn("tld", regexp_extract(col("domain"), "\\.([a-z]+)$", 1))
+      .select("url", "domain", "tld")
+      .as[(String, String, String)].collect().toSeq
+    assert(out == cases.map(c => (c._1, c._2, c._3)),
+      s"extraction diverged: $out")
+  }
+
   test("multi-level BPE: a round-2 merge consumes a round-1 merged piece (golden)") {
     import spark.implicits._
     // Vocabulary of one word, 'the'. Round 1 counts char bigrams
