@@ -132,9 +132,28 @@ object JsonlIngest {
     val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(qPath)) return (0L, 0L)
     val (clean, stillBad) = readSplit(spark, qPath.toString, schema, required)
-    val nRecovered = clean.count()
-    if (nRecovered > 0)
-      clean.write.mode(SaveMode.Append).parquet(s"$outDir/documents.parquet")
+    val landedPath = s"$outDir/documents.parquet"
+    // Crash idempotency: a crash after a previous repair's append but
+    // before its quarantine swap leaves the recovered lines in BOTH the
+    // landing and the quarantine, so a naive re-run would append them a
+    // second time and land duplicate doc_ids. Anti-joining against the
+    // already-landed keys makes the re-run append exactly the rows the
+    // landing is missing (zero, after such a crash). Pinned: `fresh` is
+    // consumed twice (count + append) and its plan reads the landing —
+    // without the pin the append's execution would re-list the landing
+    // mid-append.
+    val fresh = graft.queries.Det.pin(
+      clean.join(spark.read.parquet(landedPath).select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+    val nRecovered = fresh.count()
+    if (nRecovered > 0) {
+      fresh.write.mode(SaveMode.Append).parquet(landedPath)
+      // The landing just grew under a path this session may hold pinned
+      // plans over (Det.memo assumes source immutability) — invalidate,
+      // or every downstream operator keeps serving the pre-repair
+      // corpus and silently misses the recovered rows.
+      spark.catalog.refreshByPath(landedPath)
+    }
     val nStill = stillBad.count()
     if (nStill > 0) {
       val tmp = new org.apache.hadoop.fs.Path(s"$outDir/quarantine__reingest_tmp")

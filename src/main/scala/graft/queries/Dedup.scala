@@ -288,11 +288,19 @@ object Dedup {
     // cache scan), and above `spark.graft.dedup.survivorsBroadcastMaxRows`
     // (default 1e6 ≈ tens of MB broadcast) the hint is dropped and the
     // optimizer falls back to a shuffled join — slower, never fatal.
+    // CONTRACT NOTE: this Q builder is deliberately NOT fully lazy —
+    // the cardinality gate below runs one Spark job (a count over the
+    // survivors memo) at construction time, because the broadcast
+    // decision must be made before the plan exists. Every other Q
+    // builder defers all work to the caller's action. A malformed
+    // conf value falls back to the default rather than poisoning the
+    // query with a NumberFormatException.
     val survivorsMemo = Det.memo(spark, s"dedup.survivors:$dir",
       Some("q_dedup_ngram_capped"))(survivors)
     val maxBcastRows = spark.conf
       .getOption("spark.graft.dedup.survivorsBroadcastMaxRows")
-      .map(_.toLong).getOrElse(1000000L)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1000000L)
     val survHinted =
       if (survivorsMemo.count() <= maxBcastRows) broadcast(survivorsMemo)
       else survivorsMemo

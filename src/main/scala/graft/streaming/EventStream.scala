@@ -511,18 +511,45 @@ object EventStream {
             fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(edgesPath)
           val labelsPath = new Path(s"$workDir/labels")
           val labelsExist = fs.exists(labelsPath)
-          // No new edges + standing labels already cover the log → the
-          // fixpoint would reproduce the labels bit-for-bit; skip it
-          // (the idempotent-sweep fast path). labelsExist=false with an
-          // existing log covers a crash between the log append and the
-          // label write: recompute from the sweep alone.
-          if (hasFresh || !labelsExist) {
+          // The fixpoint may be skipped ONLY when the standing labels
+          // provably cover the edge log. "Both endpoints have a label"
+          // is NOT coverage: a crash between a micro-batch's edge
+          // append and its label overwrite can leave a logged edge
+          // whose endpoints carry two DIFFERENT standing labels (each
+          // from its own pre-crash component) — the log then holds a
+          // merge the labels never saw, and since those edges are
+          // already in the log the anti-join reports nothing fresh. So
+          // the skip is gated on the real invariant: every log edge's
+          // endpoints resolve to the SAME label. Checking it is one
+          // O(|log|) join — noise next to the fixpoint it guards.
+          // labelsExist=false with an existing log covers the
+          // first-batch crash: recompute from the sweep alone.
+          val labelsStale = !hasFresh && labelsExist && {
+            val lbl = spark.read.parquet(labelsPath.toString)
+            !spark.read.parquet(edgesPath)
+              .join(lbl.select(col("doc").as("src"), col("lbl").as("l_src")),
+                Seq("src"), "left_outer")
+              .join(lbl.select(col("doc").as("dst"), col("lbl").as("l_dst")),
+                Seq("dst"), "left_outer")
+              .filter(col("l_src").isNull || col("l_dst").isNull ||
+                col("l_src") =!= col("l_dst"))
+              .isEmpty
+          }
+          if (hasFresh || !labelsExist || labelsStale) {
             val prevEdges =
               if (labelsExist)
                 spark.read.parquet(labelsPath.toString)
                   .select(col("doc").as("src"), col("lbl").as("dst"))
               else null
-            val ccInput = if (prevEdges == null) sweep else prevEdges.union(sweep)
+            // Corpus appends never un-form a band pair, so the current
+            // sweep's edges are a superset of every edge any earlier
+            // sweep or stream batch could have logged — but the stale
+            // repair unions the log anyway (CC labels are invariant
+            // under duplicate edges) so the repair does not depend on
+            // that monotonicity argument holding forever.
+            val base = if (labelsStale)
+              sweep.union(spark.read.parquet(edgesPath)) else sweep
+            val ccInput = if (prevEdges == null) base else prevEdges.union(base)
             val (labels, _) =
               graft.queries.Dedup.connectedComponentsDurable(ccInput, s"$workDir/cc")
             labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -59,6 +59,9 @@ class EventsAnomalySpec extends SparkSpec {
     // The plan string embeds the cached relation's BUILD recipe after the
     // InMemoryRelation node (that aggregate already ran, in run 1); only
     // operators BEFORE it would re-execute, and there must be none.
+    assert(plan.indexOf("InMemoryRelation") >= 0,
+      s"plan rendering no longer embeds InMemoryRelation after the scan " +
+        s"node — the prefix check below needs a new anchor:\n$plan")
     val executedPrefix = plan.substring(0, plan.indexOf("InMemoryRelation"))
     assert(!executedPrefix.contains("Aggregate"),
       s"warm run must not re-aggregate the fact table for the moments:\n$plan")

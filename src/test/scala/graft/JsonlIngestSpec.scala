@@ -142,4 +142,71 @@ class JsonlIngestSpec extends SparkSpec {
     assert(r2 == 0 && s2 == 1)
     graft.queries.Det.releasePins(spark)
   }
+
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(from).forEach { p =>
+      val t = to.resolve(from.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def deleteDir(d: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(d)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+
+  test("quarantine repair is crash-idempotent: a replayed repair appends nothing") {
+    // The crash window: recovered rows appended to the landing, then the
+    // process dies BEFORE the quarantine tmp+rename swap — the recovered
+    // lines are now in both places, and the operator re-runs the repair.
+    // The anti-join against landed doc_ids must make the replay a no-op
+    // on the landing (no duplicate keys), not a second append.
+    val out = java.nio.file.Files.createTempDirectory("jsonl_crash_out").toString
+    val src = stage(Seq(
+      """{"doc_id": 60, "text": "kept row", "lang": "en", "source": "s0", "n_chars": 8}""",
+      """{"doc_id": 61, "lang": "en", "source": "s0", "n_chars": 0}""", // missing text → quarantined
+      """broken beyond repair {"""))
+    val (n1, q1) = JsonlIngest.ingestDocuments(spark, src, out)
+    assert(n1 == 1 && q1 == 2)
+    val qDir = java.nio.file.Paths.get(s"$out/quarantine")
+    val snap = java.nio.file.Files.createTempDirectory("jsonl_crash_snap")
+    copyDir(qDir, snap)
+    val (r1, s1) = JsonlIngest.reingestQuarantine(spark, out, required = Seq("doc_id"))
+    assert(r1 == 1 && s1 == 1)
+    // Simulate the crash: put the PRE-repair quarantine back (append
+    // happened, swap "didn't"), then replay the repair.
+    deleteDir(qDir)
+    copyDir(snap, qDir)
+    spark.catalog.refreshByPath(qDir.toString) // the test's restore, not the repair, changed the files
+    val (r2, s2) = JsonlIngest.reingestQuarantine(spark, out, required = Seq("doc_id"))
+    assert(r2 == 0 && s2 == 1,
+      s"replayed repair must recover nothing new, got ($r2, $s2)")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.count() == 2 && docs.where("doc_id = 61").count() == 1,
+      "doc 61 must appear exactly once after the replay")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("repair invalidates pinned plans over the landing (recovered rows visible)") {
+    // A session that read the landing BEFORE the repair holds a pinned
+    // parse of it (plan-identical reads share the InMemoryRelation);
+    // without the repair's refreshByPath on documents.parquet every
+    // such plan keeps serving the pre-repair corpus and silently misses
+    // the recovered rows.
+    val out = java.nio.file.Files.createTempDirectory("jsonl_refresh_out").toString
+    val src = stage(Seq(
+      """{"doc_id": 70, "text": "kept row", "lang": "en", "source": "s0", "n_chars": 8}""",
+      """{"doc_id": 71, "lang": "en", "source": "s0", "n_chars": 0}""")) // recoverable
+    val (n1, q1) = JsonlIngest.ingestDocuments(spark, src, out)
+    assert(n1 == 1 && q1 == 1)
+    val landing = s"$out/documents.parquet"
+    val pinned = graft.queries.Det.pin(spark.read.parquet(landing))
+    assert(pinned.count() == 1)
+    val (r1, s1) = JsonlIngest.reingestQuarantine(spark, out, required = Seq("doc_id"))
+    assert(r1 == 1 && s1 == 0)
+    assert(spark.read.parquet(landing).count() == 2,
+      "a plan-identical read after the repair must see the recovered row")
+    graft.queries.Det.releasePins(spark)
+  }
 }

@@ -240,6 +240,94 @@ class StreamingSpec extends SparkSpec {
       "second sweep must not re-append logged edges")
   }
 
+  test("sweep repairs labels left stale by a crash between edge append and label write") {
+    import spark.implicits._
+    // ADVICE r8: a crash AFTER a sweep/batch appended its verified edges
+    // to the log but BEFORE the label overwrite leaves labelsExist=true
+    // while the log holds a merge the labels never saw. Those edges are
+    // already logged, so the replayed sweep's anti-join reports nothing
+    // fresh — the old fast path (hasFresh || !labelsExist) skipped the
+    // fixpoint forever and the missed group never formed. Worst shape:
+    // the stale edge BRIDGES two components that each already carry a
+    // label (both endpoints labeled, labels differ) — endpoint-presence
+    // checks pass; only the same-label-per-edge invariant catches it.
+    //
+    // Fixture (same searched-collider machinery as the eviction test):
+    //   A (1) / A2 (3)  — identical docs: the stream verifies them.
+    //   B (50)          — below-gate collider with ALL of A's bands;
+    //                     with maxDocsPerBand=1 it evicts A everywhere.
+    //   C (2) / C2 (4)  — C is a TRUE near-dup of A sharing a band with
+    //                     it (searched); C2 is identical to C; the
+    //                     stream verifies (C, C2) but can never pair
+    //                     (A, C) — B holds every bucket where they'd meet.
+    // Stream labels: {1,3} and {2,4} — two components, all four docs
+    // labeled. The sweep's bridge edges (A↔C cross pairs) then land in
+    // the log with no label write: the crashed-sweep state.
+    val aToks = (0 until 30).map(i => s"a$i").toVector
+    def bText(s: Int) = aToks.updated(14, s"b${s}p").updated(15, s"b${s}q").mkString(" ")
+    def cText(s: Int) = aToks.updated(29, s"c$s").mkString(" ")
+    val cands = Seq((1L, aToks.mkString(" "))) ++
+      (0 until 300).map(s => (1000L + s, bText(s))) ++
+      (0 until 10).map(s => (2000L + s, cText(s)))
+    val bandsByDoc = cands.toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(EventStream.shinglesSql))
+      .withColumn("sig", expr("minhash_sig(shingles)"))
+      .select(col("doc_id"), expr(EventStream.bandsSql).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val aBands = bandsByDoc(1L)
+    val bSeed = (0 until 300).find(s => bandsByDoc(1000L + s) == aBands)
+    assert(bSeed.isDefined, "no all-band collider below the jaccard gate in 300 candidates")
+    val cSeed = (0 until 10).find(s => bandsByDoc(2000L + s).exists(aBands.contains))
+    assert(cSeed.isDefined, "no near-dup variant sharing a band with A in 10 candidates")
+
+    def docsOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val watched = java.nio.file.Files.createTempDirectory("docs_stale_src")
+    val workDir = java.nio.file.Files.createTempDirectory("stale_work").toString
+    stageFile(watched, "b1", docsOf(Seq(1L -> aToks.mkString(" "))), 0)
+    stageFile(watched, "b2", docsOf(Seq(3L -> aToks.mkString(" "))), 10)
+    stageFile(watched, "b3", docsOf(Seq(50L -> bText(bSeed.get))), 20)
+    stageFile(watched, "b4", docsOf(Seq(2L -> cText(cSeed.get))), 30)
+    stageFile(watched, "b5", docsOf(Seq(4L -> cText(cSeed.get))), 40)
+    val pre = EventStream.runDedupGroupsStream(spark, watched.toString, workDir,
+      maxFilesPerTrigger = Some(1), maxDocsPerBand = 1).collect()
+    assert(pre.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+      == Set((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L)),
+      s"stream must hold exactly the {1,3} and {2,4} groups: ${pre.toSeq}")
+
+    // Replay the crashed sweep's first half by hand: append its fresh
+    // edges to the log exactly as reconcileGroupsSweep does, then "die"
+    // without touching the labels.
+    val sweepEdges = EventStream.batchNearDupEdges(spark, watched.toString)
+    val freshEdges = sweepEdges.join(
+      spark.read.parquet(s"$workDir/edges"), Seq("src", "dst"), "left_anti")
+      .persist() // the append's plan reads the log it appends to — pin first
+    assert(freshEdges.count() >= 1, "fixture must produce un-logged bridge edges")
+    freshEdges.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$workDir/edges")
+    freshEdges.unpersist(blocking = false)
+    spark.catalog.refreshByPath(s"$workDir/edges")
+
+    // The replayed sweep finds nothing fresh but must still detect the
+    // log↔label divergence and run the fixpoint: all four docs merge.
+    val post = EventStream.reconcileGroupsSweep(spark, watched.toString, workDir)
+      .collect()
+    assert(post.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+        r.getAs[Long]("group_size"))).toSet
+      == Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L)),
+      s"stale labels must repair to one merged group: ${post.toSeq}")
+    // And the repair converges: a second sweep is a clean fast-path no-op.
+    val logN = spark.read.parquet(s"$workDir/edges").count()
+    val post2 = EventStream.reconcileGroupsSweep(spark, watched.toString, workDir)
+      .collect()
+    assert(post2.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+      == post.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet)
+    assert(spark.read.parquet(s"$workDir/edges").count() == logN,
+      "converged sweep must not grow the log")
+  }
+
   /** Rows (event_id, ts-string) → events-schema DataFrame. */
   private def mkEvents(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
