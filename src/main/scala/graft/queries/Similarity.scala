@@ -464,6 +464,197 @@ object Similarity {
        |  probed_label, ${sqlR6("cosine_raw")} AS cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- Label-free IVF: k-means-learned centroids ----
+
+  /** Squared L2 distance between a double vector and a centroid as a
+    * SEQUENTIAL left fold (Spark `aggregate` with 0.0 seed ≡ DuckDB
+    * `list_reduce`; 0.0 + x = x bit-wise and every (x−c)² is
+    * non-negative, so the two folds are IEEE-identical) — the same
+    * determinism trick as `dotExpr`/`duckDot`.
+    */
+  private val kmDistExpr: String =
+    "aggregate(zip_with(emb_d, cent, (x, c) -> (x - c) * (x - c)), 0.0D, (acc, v) -> acc + v)"
+
+  private def duckKmDist(v: String, c: String): String =
+    s"list_reduce([($v[i] - $c[i]) * ($v[i] - $c[i]) for i in generate_series(1, 64)], (x, y) -> x + y)"
+
+  /** The corpus as (vec_id, emb_d: array<double>) — floats widened once
+    * so every downstream subtraction is a pure double op in both engines.
+    */
+  private def vdF(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
+
+  /** One Lloyd's assignment pass: every vector to its nearest centroid
+    * (argmin of the fold distance, ties to the smaller cluster id). The
+    * centroid table is k rows → broadcast; the corpus is scanned once
+    * and the argmin is a per-vector top-1 — the index-build shape that
+    * survives 100 TB (nothing quadratic, nothing driver-side).
+    */
+  private def kmAssign(vd: DataFrame, cent: DataFrame): DataFrame =
+    vd.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(kmDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"))
+
+  /** One Lloyd's update pass: per-(cluster, dim) exact-decimal mean
+    * (order-free), r6-rounded so centroid last-ulp noise cannot flip a
+    * later assignment, re-assembled into a per-cluster array ordered by
+    * dim. A cluster that lost every member simply vanishes (k shrinks)
+    * — both engines compute that identically, so it stays oracle-exact.
+    */
+  private def kmUpdate(dims: DataFrame, asg: DataFrame): DataFrame =
+    dims.join(asg, "vec_id")
+      .groupBy(col("cluster"), col("d"))
+      .agg(r6(davg(col("val"))).as("cval"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, cval))), s -> s.cval)")
+        .as("cent"))
+
+  /** Label-FREE IVF index build: fixed-round Lloyd's k-means (k = 10,
+    * 3 rounds) over the embedding column. `ivfCentroids` clusters by the
+    * ground-truth `label` column — which a real corpus does not have;
+    * this is the operator that builds the coarse quantizer from the
+    * vectors alone. Deterministic end to end: seeds are the k vectors
+    * with the smallest md5(vec_id || ":kmseed") (arbitrary but fixed and
+    * engine-identical — no RNG), each round is one broadcast-join
+    * assignment pass + one decimal-mean update pass, and the round count
+    * is FIXED (not convergence-tested) so the DuckDB oracle is a finite
+    * unrolled CTE. Scale shape per round: one corpus scan for the
+    * assignment (k-row broadcast, per-vector top-1) and one
+    * explode + 640-cell aggregation for the update — 3 rounds = 3 linear
+    * passes, the standard IVF train cost.
+    *
+    * Memoized per corpus dir (the staged index a 100 TB build would
+    * write to parquet): centroids and the final membership table each
+    * feed both the direct search (`q_knn_ivf_kmeans`) and the recall
+    * report (`q_ann_recall_mp`).
+    */
+  private def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.kmcent:$dir",
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans")) {
+      val vd = vdF(spark, dir)
+      val dims = vd.select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"), col("val"))
+      val seeds = vd
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":kmseed"))))
+        .orderBy(col("h"), col("vec_id")).limit(10)
+      val cent0 = seeds
+        .withColumn("cluster", row_number().over(
+          Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+        .select(col("cluster"), col("emb_d").as("cent"))
+      (1 to 3).foldLeft(cent0)((cent, _) => kmUpdate(dims, kmAssign(vd, cent)))
+    }
+
+  /** The inverted lists: every corpus vector assigned to its nearest
+    * FINAL centroid (one more assignment pass over the trained
+    * quantizer — the membership a real IVF index stores).
+    */
+  private def kmeansMembership(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.kmasg:$dir",
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans")) {
+      kmAssign(vdF(spark, dir), kmeansCentroids(spark, dir))
+    }
+
+  /** ANN search over the k-means IVF index, nprobe = 3: probes rank the
+    * trained centroids by fold distance and search the union of their 3
+    * nearest clusters' inverted lists — exact cosine re-rank within
+    * ~3/k of the corpus. Same relational shape as `knnIvfMp`, with the
+    * coarse quantizer LEARNED from the vectors instead of read off the
+    * ground-truth label column.
+    */
+  val knnIvfKmeans: Q = (spark, dir) => {
+    val v = withNorm(spark, dir)
+    val cent = kmeansCentroids(spark, dir)
+    val member = kmeansMembership(spark, dir)
+    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb_d"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(kmDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    v.join(member, "vec_id")
+      .join(broadcast(probed), col("cluster") === col("probed_cluster"))
+      .join(broadcast(probes), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("probed_cluster"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The 3 Lloyd's rounds unrolled as CTEs (fixed round count is what
+    * makes the oracle finite), matching the Spark build step for step.
+    */
+  val knnIvfKmeansSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "cent0" else s"cent${r - 1}"
+      s"""asg$r AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+         |    FROM vd v, $prev c) t WHERE rn = 1),
+         |cent$r AS (
+         |  SELECT cluster, list(cval ORDER BY d) AS cent FROM (
+         |    SELECT a.cluster, dm.d, ${sqlR6(sqlDavg("dm.val"))} AS cval
+         |    FROM dims dm JOIN asg$r a ON dm.vec_id = a.vec_id
+         |    GROUP BY a.cluster, dm.d) u
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS ($duckNorm),
+       |vd AS (
+       |  SELECT vec_id, [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS emb_d
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id, emb_d, md5(vec_id::VARCHAR || ':kmseed') AS h
+       |  FROM vd ORDER BY h, vec_id LIMIT 10),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cluster,
+       |    emb_d AS cent
+       |  FROM seeds),
+       |$rounds,
+       |member AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+       |    FROM vd v, cent3 c) t WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, cluster AS probed_cluster FROM (
+       |    SELECT v.vec_id AS query_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+       |    FROM vd v, cent3 c WHERE v.vec_id < 10) t WHERE rn <= 3),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM v WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT pr.query_id, v.vec_id, pr.probed_cluster,
+       |    ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) AS cosine_raw,
+       |    row_number() OVER (PARTITION BY pr.query_id
+       |      ORDER BY ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) DESC, v.vec_id) AS rank
+       |  FROM v JOIN member m ON v.vec_id = m.vec_id
+       |  JOIN probed pr ON m.cluster = pr.probed_cluster
+       |  JOIN probes p ON p.query_id = pr.query_id
+       |  WHERE v.vec_id <> pr.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  probed_cluster, ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Measured nprobe lift: single-probe vs 3-probe IVF recall against
     * the brute-force ground truth — the verified form of "nprobe is the
     * recall/cost knob".
@@ -474,6 +665,8 @@ object Similarity {
       .select(col("query_id").as("q1"), col("neighbor_id").as("n1"))
     val i3 = knnIvfMp(spark, dir)
       .select(col("query_id").as("q3"), col("neighbor_id").as("n3"))
+    val ik = knnIvfKmeans(spark, dir)
+      .select(col("query_id").as("qk"), col("neighbor_id").as("nk"))
     val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
     val h1 = brute.join(i1,
         brute("query_id") === i1("q1") && brute("neighbor_id") === i1("n1"))
@@ -481,15 +674,21 @@ object Similarity {
     val h3 = brute.join(i3,
         brute("query_id") === i3("q3") && brute("neighbor_id") === i3("n3"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("ivf3_hits"))
+    val hk = brute.join(ik,
+        brute("query_id") === ik("qk") && brute("neighbor_id") === ik("nk"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("kmeans3_hits"))
     base
       .join(h1, Seq("query_id"), "left_outer")
       .join(h3, Seq("query_id"), "left_outer")
+      .join(hk, Seq("query_id"), "left_outer")
       .select(
         col("query_id"),
         coalesce(col("ivf1_hits"), lit(0L)).as("ivf1_hits"),
         coalesce(col("ivf3_hits"), lit(0L)).as("ivf3_hits"),
+        coalesce(col("kmeans3_hits"), lit(0L)).as("kmeans3_hits"),
         r2(coalesce(col("ivf1_hits"), lit(0L)) / col("k").cast("double")).as("ivf1_recall"),
-        r2(coalesce(col("ivf3_hits"), lit(0L)) / col("k").cast("double")).as("ivf3_recall"))
+        r2(coalesce(col("ivf3_hits"), lit(0L)) / col("k").cast("double")).as("ivf3_recall"),
+        r2(coalesce(col("kmeans3_hits"), lit(0L)) / col("k").cast("double")).as("kmeans3_recall"))
       .orderBy(col("query_id"))
   }
 
@@ -497,19 +696,25 @@ object Similarity {
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
        |i1 AS (SELECT query_id AS q1, neighbor_id AS n1 FROM ($knnIvfSql)),
        |i3 AS (SELECT query_id AS q3, neighbor_id AS n3 FROM ($knnIvfMpSql)),
+       |ik AS (SELECT query_id AS qk, neighbor_id AS nk FROM ($knnIvfKmeansSql)),
        |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY query_id),
        |h1 AS (SELECT query_id, count(*) AS ivf1_hits FROM brute
        |       JOIN i1 ON query_id = q1 AND neighbor_id = n1 GROUP BY query_id),
        |h3 AS (SELECT query_id, count(*) AS ivf3_hits FROM brute
-       |       JOIN i3 ON query_id = q3 AND neighbor_id = n3 GROUP BY query_id)
+       |       JOIN i3 ON query_id = q3 AND neighbor_id = n3 GROUP BY query_id),
+       |hk AS (SELECT query_id, count(*) AS kmeans3_hits FROM brute
+       |       JOIN ik ON query_id = qk AND neighbor_id = nk GROUP BY query_id)
        |SELECT b.query_id,
        |  coalesce(h1.ivf1_hits, 0) AS ivf1_hits,
        |  coalesce(h3.ivf3_hits, 0) AS ivf3_hits,
+       |  coalesce(hk.kmeans3_hits, 0) AS kmeans3_hits,
        |  ${sqlR2("coalesce(h1.ivf1_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivf1_recall,
-       |  ${sqlR2("coalesce(h3.ivf3_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivf3_recall
+       |  ${sqlR2("coalesce(h3.ivf3_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivf3_recall,
+       |  ${sqlR2("coalesce(hk.kmeans3_hits, 0) / CAST(b.k AS DOUBLE)")} AS kmeans3_recall
        |FROM base b
        |LEFT JOIN h1 ON b.query_id = h1.query_id
        |LEFT JOIN h3 ON b.query_id = h3.query_id
+       |LEFT JOIN hk ON b.query_id = hk.query_id
        |ORDER BY b.query_id""".stripMargin
 
   /** Measured ANN quality: per-probe recall of the LSH and IVF variants
@@ -779,6 +984,7 @@ object Similarity {
     "q_ann_recall" -> annRecall,
     "q_knn_ivf" -> knnIvf,
     "q_knn_ivf_mp" -> knnIvfMp,
+    "q_knn_ivf_kmeans" -> knnIvfKmeans,
     "q_ann_recall_mp" -> annRecallMp,
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
@@ -794,6 +1000,7 @@ object Similarity {
     "q_ann_recall" -> annRecallSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_ivf_mp" -> knnIvfMpSql,
+    "q_knn_ivf_kmeans" -> knnIvfKmeansSql,
     "q_ann_recall_mp" -> annRecallMpSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,

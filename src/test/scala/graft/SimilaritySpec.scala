@@ -121,4 +121,69 @@ class SimilaritySpec extends SparkSpec {
       assert(d >= -1e-6 && d <= 1.0 + 1e-6)
     }
   }
+
+  test("k-means IVF is label-free: permuting every label changes nothing") {
+    // The whole point of the learned quantizer (ivfCentroids reads the
+    // ground-truth label column; real corpora have none): rewrite the
+    // corpus with permuted labels and the q_knn_ivf_kmeans result —
+    // clusters, probes, neighbors, cosines — must be bit-identical.
+    import graft.queries.Det
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val src = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmfree").toString
+    src.withColumn("label",
+        pmod(col("label") * 5 + 3, lit(7)).cast(src.schema("label").dataType))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val base = Similarity.queries("q_knn_ivf_kmeans")(spark, sfDir).collect().toSeq
+    val perm = Similarity.queries("q_knn_ivf_kmeans")(spark, dir).collect().toSeq
+    assert(base.nonEmpty && base == perm,
+      s"label permutation leaked into the k-means index (${base.size} vs ${perm.size} rows)")
+    Det.releasePins(spark)
+  }
+
+  test("k-means nprobe=3 beats the label-IVF recall on the harness embeddings") {
+    // The VERDICT r8 bar: the learned quantizer must not lose to the
+    // label-derived one it replaces. On the near-random harness
+    // embeddings the label clusters carry almost no geometry, so the
+    // learned centroids win comfortably (measured 0.56 vs 0.34 vs 0.18
+    // at sf0.001) — pinned here at the conservative single-probe bar
+    // plus non-inferiority against the 3-probe label index.
+    import graft.queries.Det
+    val rows = Similarity.queries("q_ann_recall_mp")(spark, sfDir).collect()
+    def mean(c: String) = rows.map(_.getAs[Double](c)).sum / rows.length
+    val (i1, i3, k3) = (mean("ivf1_recall"), mean("ivf3_recall"), mean("kmeans3_recall"))
+    assert(k3 >= i1, s"kmeans3 $k3 must beat single-probe label IVF $i1")
+    assert(k3 >= i3, s"kmeans3 $k3 must not lose to 3-probe label IVF $i3")
+    Det.releasePins(spark)
+  }
+
+  test("k-means IVF recovers planted cluster structure (recall ≈ 1 on blobs)") {
+    // The harness embeddings are near-random — the regime where ANY
+    // coarse quantizer is weak (NOTES.md records that honestly). This
+    // corpus has the structure IVF exists for: 10 tight blobs, 30
+    // points each, probes spread one per blob. A query's true top-5
+    // all live in its own blob; whether Lloyd's split or merged blobs,
+    // the 3 probed centroids cover the query's own region, so recall
+    // must be near-perfect — the operator-works proof no near-random
+    // corpus can give.
+    import spark.implicits._
+    import graft.queries.Det
+    val pts = for (p <- 0 until 300) yield {
+      val blob = p % 10
+      val emb = Array.tabulate(64) { i =>
+        val proto = ((blob * 31 + i * 7) % 13 - 6).toFloat * 10f
+        val jitter = ((p * 17 + i * 3) % 5 - 2).toFloat * 0.01f
+        proto + jitter
+      }
+      (p.toLong, emb, blob)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmblobs").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.queries("q_ann_recall_mp")(spark, dir).collect()
+    assert(rows.length == 10)
+    val k3 = rows.map(_.getAs[Double]("kmeans3_recall")).sum / rows.length
+    assert(k3 >= 0.8, s"kmeans3 recall on planted blobs must be near-perfect, got $k3")
+    Det.releasePins(spark)
+  }
 }
