@@ -72,6 +72,70 @@ class MultimodalSpec extends SparkSpec {
       a.luma_hist.sameElements(b.luma_hist) && a.mean_luma == b.mean_luma })
   }
 
+  test("perceptual-hash dedup finds re-encoded and scaled twins, rejects tonal fakes") {
+    import spark.implicits._
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def mk(w: Int, h: Int, rgbAt: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      img
+    }
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // Base: 72×64 (grid-aligned: 9 | 72, 8 | 64) structured pattern.
+    val basePat = (x: Int, y: Int) => gray((x * 7 + y * 13) % 256)
+    val base = mk(72, 64, basePat)
+    // Twin 1: the SAME pixels losslessly re-encoded as BMP.
+    // Twin 2: 2× nearest-neighbor upscale — every cell sum ×4, count ×4,
+    // so the cross-multiplied hashes are bit-identical by construction.
+    val scaled = mk(144, 128, (x, y) => basePat(x / 2, y / 2))
+    // Unrelated content must not pair.
+    val other = mk(72, 64, (x, y) => gray((x * 91 + y * 57 + 123) % 256))
+    // Tonal fakes: two flat images have IDENTICAL (all-zero) dHashes —
+    // no gradients anywhere — so they band-collide at Hamming 0; only
+    // the normalized-histogram content gate tells 'dark' from 'light'.
+    val flatDark = mk(72, 64, (_, _) => gray(32))
+    val flatLight = mk(72, 64, (_, _) => gray(200))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", encode(base, "png"), 72, 64, 0, 1),
+      Multimodal.MediaRecord(2L, "image", encode(base, "bmp"), 72, 64, 0, 1),
+      Multimodal.MediaRecord(3L, "image", encode(scaled, "png"), 144, 128, 0, 1),
+      Multimodal.MediaRecord(4L, "image", encode(other, "png"), 72, 64, 0, 1),
+      Multimodal.MediaRecord(5L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0, 1),
+      Multimodal.MediaRecord(6L, "image", encode(flatDark, "png"), 72, 64, 0, 1),
+      Multimodal.MediaRecord(7L, "image", encode(flatLight, "png"), 72, 64, 0, 1)
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(spark, media).collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairSet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected exactly the re-encode/scale clique, got ${pairs.toSeq}")
+    // Grid-aligned twins hash bit-identically: Hamming 0, hist L1 0.
+    assert(pairs.forall(_.getAs[Int]("hamming") == 0))
+    assert(pairs.forall(_.getAs[Double]("hist_l1") == 0.0))
+    // The flat pair collided in every band (same all-zero dHash) but the
+    // content gate rejected it — absence from pairSet above proves it;
+    // double-check by widening the gate, which must re-admit it.
+    val loose = Multimodal.imageNearDupPairs(spark, media, maxHistL1 = 2.5).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(loose.contains((6L, 7L)),
+      s"flat pair must be a Hamming-0 candidate the hist gate was rejecting: $loose")
+    // Transitive groups ride the shared CC machinery.
+    val groups = Multimodal.imageDupGroups(spark, media).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("group_id"),
+        r.getAs[Long]("group_size"))).toSet
+    assert(groups == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"got $groups")
+    // Deterministic: hashing twice yields identical hashes.
+    val h1 = Multimodal.imageHashes(media).collect().sortBy(_.media_id)
+    val h2 = Multimodal.imageHashes(media).collect().sortBy(_.media_id)
+    assert(h1.length == 6 && h1.zip(h2).forall { case (a, b) =>
+      a.dhash == b.dhash && a.ahash == b.ahash && a.luma_hist.sameElements(b.luma_hist) })
+  }
+
   test("stub features match the verified envelope checksums") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sfDir))
