@@ -1185,9 +1185,80 @@ object TextOps {
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       |FROM t GROUP BY tld ORDER BY tld""".stripMargin
 
+  /** The per-doc frame behind `q_domain_cap`: URL → domain (same
+    * synthesis + extraction as `domainStats`), token count, and the
+    * md5 keep-rank within the domain. Public so the stability spec can
+    * pin per-doc selection, not just the aggregate.
+    */
+  def domainCapDocs(spark: SparkSession, dir: String, cap: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))
+    documents(spark, dir)
+      .withColumn("url", concat(lit("https://site"),
+        (col("doc_id") % 97).cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":domcap"))))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("kept", col("rnk") <= cap)
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("h"),
+        col("rnk"), col("kept"))
+  }
+
+  /** Per-domain capping — the curation op `domainStats` motivates: an
+    * over-represented domain is downsampled to a fixed doc quota by
+    * keeping its `cap` smallest md5(doc_id || ':domcap') hashes. The
+    * hash order is a property of each doc alone, so selection is
+    * independent of arrival order, partitioning, and every OTHER
+    * domain's contents (domain-local); under growth the kept set stays
+    * the hash-minimal quota — an already-kept doc survives unless a
+    * strictly lower-hash newcomer displaces it (the rank-cap semantics,
+    * spec-pinned). kept_tokens pins the exact per-doc selection in the
+    * oracle, not just the counts.
+    *
+    * Scale shape: one shuffle keyed on domain for the per-domain
+    * top-cap rank (the standard per-group top-k; a pathologically hot
+    * domain would ride the same salting/TopK discipline as q_knn_topk),
+    * then the report aggregation reuses that partitioning.
+    */
+  val domainCap: Q = (spark, dir) =>
+    domainCapDocs(spark, dir)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("domain"))
+
+  val domainCapSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text,
+      |    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+      |      || (['com','org','net','io'])[CAST(doc_id % 4 AS INT) + 1]
+      |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |d AS (SELECT doc_id, text, regexp_extract(url, '^https?://([^/:?#]+)', 1) AS domain FROM u),
+      |t AS (
+      |  SELECT doc_id, domain,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR) || ':domcap') AS h
+      |  FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rnk
+      |  FROM t)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN rnk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(sum(CASE WHEN rnk <= 8 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_split_assign" -> splitAssign,
     "q_domain_stats" -> domainStats,
+    "q_domain_cap" -> domainCap,
     "q_pii_scrub" -> piiScrub,
     "q_quality_gate" -> qualityGate,
     "q_vocab_coverage" -> vocabCoverage,
@@ -1209,6 +1280,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_split_assign" -> splitAssignSql,
     "q_domain_stats" -> domainStatsSql,
+    "q_domain_cap" -> domainCapSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_quality_gate" -> qualityGateSql,
     "q_vocab_coverage" -> vocabCoverageSql,

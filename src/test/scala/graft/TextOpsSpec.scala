@@ -208,6 +208,50 @@ class TextOpsSpec extends SparkSpec {
     assert(grown.size == 800)
   }
 
+  test("domain cap: quota enforced, selection domain-local and stable under growth") {
+    // Rank-cap semantics q_domain_cap promises: each domain keeps its
+    // `cap` smallest md5 hashes — a property of the domain's own docs,
+    // so (a) other domains' growth never touches a domain's kept set,
+    // and (b) under own-domain growth the kept set is still exactly the
+    // hash-minimal quota: survivors ⊆ previous ∪ newcomers, never an
+    // arbitrary reshuffle. URL synthesis keys domains off doc_id mod
+    // 388 (= 97·4), so id = 388k hits site0.com and 388k+1 site1.org.
+    def aId(k: Int) = 388L * k
+    def bId(k: Int) = 388L * k + 1
+    def rowsOf(ids: Seq[Long]) =
+      ids.map(id => (id, s"body of doc $id padded text", "en", "s0", 20L))
+    def keptByDomain(dir: String): Map[String, Set[Long]] =
+      graft.queries.TextOps.domainCapDocs(spark, dir)
+        .filter(col("kept"))
+        .select(col("domain"), col("doc_id"))
+        .as[(String, Long)].collect()
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val aV1 = (0 until 20).map(aId)
+    val bV1 = (0 until 5).map(bId)
+    val v1 = keptByDomain(docsDir(rowsOf(aV1 ++ bV1)))
+    assert(v1("site0.com").size == 8, s"quota must bind on the 20-doc domain: $v1")
+    assert(v1("site1.org") == bV1.toSet, "under-quota domain keeps everything")
+    // Grow ONLY site1.org: site0.com's selection must be untouched.
+    val bV2 = (0 until 15).map(bId)
+    val v2 = keptByDomain(docsDir(rowsOf(aV1 ++ bV2)))
+    assert(v2("site0.com") == v1("site0.com"),
+      "another domain's growth leaked into the kept set")
+    assert(v2("site1.org").size == 8)
+    // Grow site0.com too: survivors are previous ∪ newcomers only, and
+    // equal the hash-minimal 8 of the grown domain (recomputed here).
+    val aV2 = (0 until 35).map(aId)
+    val v3 = keptByDomain(docsDir(rowsOf(aV2 ++ bV2)))
+    assert(v3("site0.com").size == 8)
+    assert(v3("site0.com").subsetOf(v1("site0.com") ++ aV2.drop(20)),
+      "growth must only displace, never reshuffle, the kept set")
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id:domcap".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(v3("site0.com") == aV2.sortBy(id => (h(id), id)).take(8).toSet,
+      "kept set must be exactly the md5-minimal quota")
+  }
+
   test("domain extraction handles real URL shapes: ports, no path, query, fragments") {
     // The q_domain_stats scaladoc promises the extraction works on
     // genuine crawl URLs, not just the synthesized shape — pin the
