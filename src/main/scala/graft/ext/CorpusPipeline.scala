@@ -27,11 +27,25 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   final case class StageCounts(input: Long, afterQuality: Long,
-                               afterExact: Long, afterNear: Long,
+                               afterContam: Long, afterExact: Long,
+                               afterNear: Long, afterSemantic: Long,
                                sequences: Long)
 
+  /** `benchmark`: eval-suite documents (a `text` column) — when given,
+    * stage 1.5 drops any doc whose distinct 8-grams overlap the
+    * benchmark's by more than 10% (the q_text_contamination rule),
+    * logging the dropped docs with their overlap ratios to
+    * `outDir/contaminated` the way the quality gate logs reasons.
+    * `embeddings`: (doc_id, embedding array<float>) side table — when
+    * given, stage 3.5 drops semantic (paraphrase-class) near-dups the
+    * token shingles cannot see, via hyperplane-sketch LSH buckets +
+    * exact cosine ≥ `cosineThreshold` verify.
+    */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          minQuality: Double = 0.5, jaccardThreshold: Double = 0.8): StageCounts = {
+          minQuality: Double = 0.5, jaccardThreshold: Double = 0.8,
+          benchmark: Option[DataFrame] = None,
+          embeddings: Option[DataFrame] = None,
+          cosineThreshold: Double = 0.98): StageCounts = {
     // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
     // and packed sequences never embed an email/phone/id/IP (the order a
     // compliant pipeline requires: scrubbing after dedup would leave PII
@@ -58,12 +72,51 @@ object CorpusPipeline {
       .select(docs.columns.map(col).toSeq: _*)
     val nQuality = quality.count()
 
+    // 1.5. contamination gate — the decontamination pass q_text_
+    // contamination verifies, as a DROP stage: any doc whose distinct
+    // 8-grams overlap the benchmark suite's by > 10% is removed BEFORE
+    // the dedup stages (an eval answer must not survive by being the
+    // canonical copy of a dup group). Benchmark grams broadcast; the
+    // corpus side is explode → broadcast-semi-join → per-doc ratio —
+    // one corpus scan, no gram shuffle. Dropped docs log to
+    // outDir/contaminated with their ratios (the quality gate's
+    // reasons discipline: a curation drop is always auditable).
+    val gram8 =
+      """array_distinct(transform(sequence(1, size(toks) - 7),
+        |                         i -> concat_ws(' ', slice(toks, i, 8))))""".stripMargin
+    val contam = benchmark match {
+      case None => quality
+      case Some(benchDocs) =>
+        val bGrams = benchDocs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(explode(expr(gram8)).as("gram")).distinct()
+        val tGrams = quality
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(gram8)).as("gram"))
+        val dropped = tGrams
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+          .join(tGrams.join(broadcast(bGrams), Seq("gram"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")),
+            Seq("doc_id"), "left_outer")
+          .withColumn("overlap_ratio",
+            coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+          .filter(col("overlap_ratio") > 0.1)
+        dropped.select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("overlap_ratio"),
+            lit("benchmark_8gram_overlap").as("drop_reason"))
+          .write.mode("overwrite").parquet(s"$outDir/contaminated")
+        quality.join(dropped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val nContam = contam.count()
+
     // 2. exact dedup — keep min doc_id per TRUE content hash. (The
     // sorted-distinct-token normalized hash of q_dedup_exact is too
     // aggressive as a removal rule on a small-vocabulary corpus —
     // unrelated docs can share a token SET; permuted near-dups are the
     // near-dedup stage's job.)
-    val exact = quality
+    val exact = contam
       .withColumn("content_hash", md5(col("text")))
       .withColumn("canonical", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
@@ -79,21 +132,72 @@ object CorpusPipeline {
     val near = exact.join(losers, Seq("doc_id"), "left_anti")
     val nNear = near.count()
 
+    // 3.5. semantic dedup — the paraphrase class token shingles cannot
+    // see: same meaning (≈ same embedding), different surface tokens.
+    // Only survivors' embeddings are sketched (semi-join first — the
+    // stages upstream already shrank the corpus), candidates come from
+    // shared (band, nibble) LSH buckets, and an exact cosine ≥
+    // threshold verifies every pair. Same greedy keep-rule as stage 3
+    // (drop any doc with a verified smaller-id neighbor) so the two
+    // dedup stages compose with one canonicalization semantics.
+    val sem = embeddings match {
+      case None => near
+      case Some(emb) =>
+        val embS = emb.join(near.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val pairs = semanticNearDupPairs(spark, embS, cosineThreshold)
+        val semLosers = pairs.select(col("doc_b").as("doc_id")).distinct()
+        near.join(semLosers, Seq("doc_id"), "left_anti")
+    }
+    val nSem = sem.count()
+
     // 4. pack the cleaned stream into fixed-budget training sequences
-    val seqs = graft.queries.TextOps.packSequencesOver(near, 256)
+    val seqs = graft.queries.TextOps.packSequencesOver(sem, 256)
     seqs.write.mode("overwrite").parquet(s"$outDir/sequences")
     val nSeqs = spark.read.parquet(s"$outDir/sequences").count()
 
     // 5. write partitioned by lang + report
-    near.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nExact, nNear, nSeqs)
+    sem.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
+    val report = StageCounts(input, nQuality, nContam, nExact, nNear, nSem, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
+      ("after_contamination", report.afterContam),
       ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
+      ("after_semantic_dedup", report.afterSemantic),
       ("training_sequences", report.sequences))
       .toDF("stage", "docs")
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$outDir/report")
     report
+  }
+
+  /** Embedding near-dup pairs (doc_a < doc_b, cosine ≥ threshold) over a
+    * (doc_id, embedding array<float>) frame: 16-hyperplane sign sketch
+    * (Similarity.sketchNorm — md5-derived planes, no RNG), candidates
+    * share ≥1 of 4 nibble bands, exact sequential-fold cosine verifies.
+    * Shape at scale: narrow sketch map + bucketed equi-join — never
+    * all-pairs; a production corpus sizes planes/band bits up (64
+    * planes, 8-bit bands) to keep buckets sparse, same shape.
+    */
+  def semanticNearDupPairs(spark: SparkSession, emb: DataFrame,
+                           threshold: Double): DataFrame = {
+    val v = graft.queries.Det.pin(
+      graft.queries.Similarity.sketchNorm(emb)
+        .select(col("doc_id"), col("embedding"), col("norm"), col("sketch")))
+    val banded = v.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS band_idx, " +
+          "shiftright(sketch, k * 4) & 15 AS nib))")).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.nib"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ea = v.select(col("doc_id").as("doc_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val eb = v.select(col("doc_id").as("doc_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    cand.join(ea, "doc_a").join(eb, "doc_b")
+      .withColumn("cosine", expr("dot_f32(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
   /** MinHash/LSH candidate pairs (doc_a < doc_b) with verified Jaccard ≥
@@ -145,7 +249,8 @@ object CorpusPipeline {
     try {
       val r = run(spark, sfDir, outDir)
       println(s"[corpus] input=${r.input} quality=${r.afterQuality} " +
-        s"exact=${r.afterExact} near=${r.afterNear} sequences=${r.sequences} -> $outDir")
+        s"contam=${r.afterContam} exact=${r.afterExact} near=${r.afterNear} " +
+        s"semantic=${r.afterSemantic} sequences=${r.sequences} -> $outDir")
     } finally spark.stop()
   }
 }

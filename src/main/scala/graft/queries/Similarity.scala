@@ -132,6 +132,15 @@ object Similarity {
       |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
       |  for j in generate_series(0, 15)]) AS BIGINT)""".stripMargin
 
+  /** Hyperplane sign sketch + L2 norm over an arbitrary frame carrying an
+    * `embedding` array<float> column — the reusable sketching step behind
+    * `knnLsh`, exposed for pipeline stages (CorpusPipeline's semantic
+    * dedup) that bucket THEIR OWN corpora rather than the harness table.
+    */
+  def sketchNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+      .withColumn("sketch", expr(sketchExpr))
+
   val knnLsh: Q = (spark, dir) => {
     // Memoized like the norm scan: q_ann_recall embeds this pipeline as a
     // subplan and must reuse the same sketch cache, not pin a second copy.

@@ -1114,13 +1114,21 @@ object TextOps {
     * versions. Per-row map fused into the scan; the report is one small
     * aggregation.
     */
-  val splitAssign: Q = (spark, dir) => {
+  /** The train/val/test assignment of a `doc_id` column — ONE definition
+    * shared by the verified report (`q_split_assign`) and the pipeline
+    * output partitioner (CorpusRun), so the corpus a pipeline ships is
+    * split by exactly the rule the report verifies.
+    */
+  def splitAssignCol: org.apache.spark.sql.Column = {
     def digit(pos: Int) =
       s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
+    val bucket = expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)")
+    when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+  }
+
+  val splitAssign: Q = (spark, dir) => {
     documents(spark, dir)
-      .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
-      .withColumn("split", when(col("bucket") < 230, "train")
-        .when(col("bucket") < 243, "val").otherwise("test"))
+      .withColumn("split", splitAssignCol)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),

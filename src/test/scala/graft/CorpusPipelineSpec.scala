@@ -54,4 +54,66 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
     assert(dirs.length >= 3)
   }
+
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus_docs").toString
+    rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def freshText(tag: String): String =
+    (0 until 40).map(i => s"${tag}w$i").mkString(" ")
+
+  test("contamination stage drops benchmark-overlapping docs and logs ratios") {
+    import spark.implicits._
+    val benchText = freshText("bm")
+    val dir = stageDocs(Seq(
+      (1L, freshText("a")),
+      (2L, benchText),        // verbatim eval answer: every 8-gram hits
+      (3L, freshText("c"))))
+    val out = java.nio.file.Files.createTempDirectory("corpus_contam").toString
+    val bench = Seq(benchText).toDF("text")
+    val r = CorpusPipeline.run(spark, dir, out, benchmark = Some(bench))
+    assert(r.afterQuality == 3 && r.afterContam == 2,
+      s"exactly the planted verbatim doc must drop: $r")
+    assert(r.afterSemantic == 2, "no embeddings given: semantic stage is a pass-through")
+    val logged = spark.read.parquet(s"$out/contaminated").collect()
+    assert(logged.length == 1 && logged.head.getAs[Long]("doc_id") == 2L)
+    assert(logged.head.getAs[Double]("overlap_ratio") == 1.0)
+    assert(logged.head.getAs[String]("drop_reason") == "benchmark_8gram_overlap")
+    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L, 3L))
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("semantic stage drops the paraphrase pair token shingles cannot see") {
+    import spark.implicits._
+    // A and B share ZERO tokens (no shingle overlap — the near-dedup
+    // stage provably keeps both) but carry the same embedding: the
+    // paraphrase class only the semantic stage catches. C is orthogonal.
+    val dir = stageDocs(Seq(
+      (1L, freshText("a")),
+      (2L, freshText("b")),
+      (3L, freshText("c"))))
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1), (3L, e2)).toDF("doc_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("corpus_sem").toString
+    val r = CorpusPipeline.run(spark, dir, out, embeddings = Some(emb))
+    assert(r.afterNear == 3, "shingle dedup must not see the paraphrase pair")
+    assert(r.afterSemantic == 2, s"the paraphrase loser must drop: $r")
+    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L, 3L), "min-id doc survives, orthogonal doc untouched")
+    // The verified pair is exactly (1, 2) at cosine 1.
+    val pairs = CorpusPipeline.semanticNearDupPairs(spark, emb, 0.98).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Double]("cosine") == 1.0)
+    graft.queries.Det.releasePins(spark)
+  }
 }
