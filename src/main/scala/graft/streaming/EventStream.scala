@@ -323,13 +323,24 @@ object EventStream {
     * Bucket-eviction residuals inherit `nearDupPairsStream`'s contract:
     * the periodic batch sweep (`reconcileGroupsSweep`) catches a
     * near-dup of a long-evicted document and merges the repair into
-    * these standing labels.
+    * these standing labels. Pass `sweepEveryBatches = Some(n)` to run
+    * that sweep FROM WITHIN the stream on every n-th micro-batch
+    * (keyed on the checkpointed batchId, so the cadence survives a
+    * restart without double-sweeping a replayed batch — the sweep is
+    * idempotent anyway), instead of depending on an operator
+    * remembering to call it. The sweep runs at the end of the
+    * foreachBatch body — exactly the "between micro-batches" window
+    * its contract requires — and scans the corpus-so-far, so n trades
+    * repair latency against full-corpus sweep cost: a production
+    * stream picks n so the sweep period matches the daily batch
+    * window.
     */
   def dedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
                         maxFilesPerTrigger: Option[Int] = None,
-                        maxDocsPerBand: Int = 1000)
+                        maxDocsPerBand: Int = 1000,
+                        sweepEveryBatches: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val updateLabels: (DataFrame, Long) => Unit = (batch, _) => {
+    val updateLabels: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       val cand = batch.select(col("doc_a"), col("doc_b")).distinct()
       // Candidate gate BEFORE building the verification plan: cand is
@@ -381,6 +392,14 @@ object EventStream {
         }
       } finally verified.unpersist(blocking = false)
       }
+      // Scheduled repair: every n-th micro-batch (1-origin on the
+      // checkpointed id so n=1 sweeps every batch) runs the full
+      // reconciliation sweep AFTER this batch's own label update —
+      // eviction residuals this batch just created are already
+      // repairable, and the sweep's merge contract (labels ∪ sweep
+      // edges fixpoint) makes the call order-safe.
+      if (sweepEveryBatches.exists(n => (batchId + 1) % n == 0))
+        reconcileGroupsSweep(s, sourceDir, workDir)
     }
     nearDupPairsStream(spark, sourceDir, maxFilesPerTrigger, maxDocsPerBand).writeStream
       .option("checkpointLocation", s"$workDir/stream_ckpt")
@@ -413,8 +432,10 @@ object EventStream {
     */
   def runDedupGroupsStream(spark: SparkSession, sourceDir: String, workDir: String,
                            maxFilesPerTrigger: Option[Int] = None,
-                           maxDocsPerBand: Int = 1000): DataFrame = {
-    val q = dedupGroupsStream(spark, sourceDir, workDir, maxFilesPerTrigger, maxDocsPerBand)
+                           maxDocsPerBand: Int = 1000,
+                           sweepEveryBatches: Option[Int] = None): DataFrame = {
+    val q = dedupGroupsStream(spark, sourceDir, workDir, maxFilesPerTrigger,
+      maxDocsPerBand, sweepEveryBatches)
     q.processAllAvailable(); q.stop()
     streamedGroups(spark, workDir)
   }

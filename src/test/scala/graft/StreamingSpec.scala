@@ -240,6 +240,55 @@ class StreamingSpec extends SparkSpec {
       "second sweep must not re-append logged edges")
   }
 
+  test("scheduled in-stream sweep repairs the eviction miss with no manual call") {
+    import spark.implicits._
+    // Same adversarial corpus as the manual-sweep test (A evicted from
+    // every bucket by the searched below-gate collider B, so the stream
+    // can never pair A with its true near-dup C) — but here the stream
+    // itself is started with sweepEveryBatches=Some(3): three staged
+    // files at maxFilesPerTrigger=1 give batch ids 0,1,2, and the third
+    // batch (the one that delivers C) triggers the reconciliation sweep
+    // from inside foreachBatch. The A–C group must be in the standing
+    // labels when the stream drains, without reconcileGroupsSweep ever
+    // being called by the operator.
+    val aToks = (0 until 30).map(i => s"a$i").toVector
+    def bText(s: Int) = aToks.updated(14, s"b${s}p").updated(15, s"b${s}q").mkString(" ")
+    def cText(s: Int) = aToks.updated(29, s"c$s").mkString(" ")
+    val cands = Seq((1L, aToks.mkString(" "))) ++
+      (0 until 300).map(s => (1000L + s, bText(s))) ++
+      (0 until 10).map(s => (2000L + s, cText(s)))
+    val bandsByDoc = cands.toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(EventStream.shinglesSql))
+      .withColumn("sig", expr("minhash_sig(shingles)"))
+      .select(col("doc_id"), expr(EventStream.bandsSql).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val aBands = bandsByDoc(1L)
+    val bSeed = (0 until 300).find(s => bandsByDoc(1000L + s) == aBands)
+    assert(bSeed.isDefined, "no all-band collider below the jaccard gate in 300 candidates")
+    val cSeed = (0 until 10).find(s => bandsByDoc(2000L + s).exists(aBands.contains))
+    assert(cSeed.isDefined, "no near-dup variant sharing a band with A in 10 candidates")
+
+    def docsOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val eText = (0 until 20).map(i => s"e$i").mkString(" ")
+    val watched = java.nio.file.Files.createTempDirectory("docs_sched_src")
+    val workDir = java.nio.file.Files.createTempDirectory("sched_work").toString
+    stageFile(watched, "b1", docsOf(Seq(1L -> aToks.mkString(" "), 100L -> eText)), 0)
+    stageFile(watched, "b2", docsOf(Seq(50L -> bText(bSeed.get), 101L -> eText)), 10)
+    stageFile(watched, "b3", docsOf(Seq(2L -> cText(cSeed.get))), 20)
+
+    val groups = EventStream.runDedupGroupsStream(spark, watched.toString, workDir,
+      maxFilesPerTrigger = Some(1), maxDocsPerBand = 1,
+      sweepEveryBatches = Some(3)).collect()
+    val got = groups.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+      r.getAs[Long]("group_size"))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (100L, 100L, 2L), (101L, 100L, 2L)),
+      s"in-stream sweep must have repaired the A-C miss by drain time: ${groups.toSeq}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("sweep repairs labels left stale by a crash between edge append and label write") {
     import spark.implicits._
     // ADVICE r8: a crash AFTER a sweep/batch appended its verified edges
