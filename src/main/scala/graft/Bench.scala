@@ -20,12 +20,15 @@ import org.apache.spark.sql.SparkSession
   *   - Load self-attribution: the stdout line carries an "env" object
   *     (1-min loadavg at sweep start/end, max across all per-run
   *     samples, JVM procs, max heap) and BENCH_DETAIL.json per-run
-  *     "load_1m" AND "cpu_sec" arrays (this JVM's CPU time per run), so
-  *     an externally-contended sweep is self-evident from the record
+  *     "load_1m", "cpu_sec" (this JVM's CPU time per run) AND "gc_ms"
+  *     (stop-the-world collector time per run) arrays, so an
+  *     externally-contended sweep is self-evident from the record
   *     (r6: proving a 1.6×-inflated sweep was machine noise cost a
   *     judge round; r7 saw 10×+ wall spikes on single queries that
   *     loadavg barely registered — cpu_sec ≪ wall is descheduling,
-  *     cpu_sec ≈ wall is real work).
+  *     cpu_sec ≈ wall is real work; r8's storm burned 30-100× CPU on
+  *     identical work and gc_ms now decides GC spiral vs duplicated
+  *     compute).
   *   - The stdout line is ALSO written verbatim to SPARK_GRAFT_BENCH_LINE
   *     (default BENCH_LINE.json) and printed LAST — after spark.stop(), so
   *     no executor/cleaner log line lands after or inside it (r3-r5
@@ -92,6 +95,23 @@ object Bench {
       case _ => -1.0
     } catch { case _: Throwable => -1.0 }
 
+  /** Cumulative stop-the-world GC time (ms) across all collector beans —
+    * the third attribution axis (r8: a driver-sweep run burned 158-237
+    * CPU-sec on work my re-run did in 2s; with only cpu_sec recorded,
+    * "GC death spiral under heap pressure" vs "duplicated compute" was
+    * not decidable from the artifact). Per-run delta lands next to
+    * cpu_sec: gc_ms ≈ cpu_sec·1000 is a collector storm (suspect heap
+    * sizing / cache pressure, not the query plan); gc_ms ≪ wall with
+    * cpu_sec ≈ wall is real work. -1 when no collector bean reports.
+    */
+  private def gcMillis(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      val ts = beans.map(_.getCollectionTime).filter(_ >= 0)
+      if (ts.isEmpty) -1L else ts.sum
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -123,7 +143,7 @@ object Bench {
     var prevFamily: String = null
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.startsWith) }
-    val detail: Seq[(String, Seq[Double], Seq[Long], Seq[Double], Seq[Double], String)] =
+    val detail: Seq[(String, Seq[Double], Seq[Long], Seq[Double], Seq[Double], Seq[Long], String)] =
       sweep.map { case (name, fn) =>
         if (isolate == "query" ||
             (isolate == "family" && prevFamily != null && family(name) != prevFamily))
@@ -133,10 +153,12 @@ object Bench {
         val timed = (1 to n).map { _ =>
           val t0 = System.nanoTime()
           val c0 = processCpuSec()
+          val g0 = gcMillis()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => if (err == null) err = e.toString }
           ((System.nanoTime() - t0) / 1e9, storageUsedMb(spark), loadAvg1m(),
-            if (c0 < 0) -1.0 else processCpuSec() - c0)
+            if (c0 < 0) -1.0 else processCpuSec() - c0,
+            if (g0 < 0) -1L else gcMillis() - g0)
         }
         // Release memos whose last in-family consumer this query was —
         // within a family the memos otherwise accumulate for the family's
@@ -145,22 +167,23 @@ object Bench {
         // INTRA_RELEASE=0 restores the r4 behavior for A/B attribution.
         if (sys.env.getOrElse("SPARK_GRAFT_BENCH_INTRA_RELEASE", "1") != "0")
           graft.queries.Det.releaseAfter(spark, name)
-        (name, timed.map(_._1), timed.map(_._2), timed.map(_._3), timed.map(_._4), err)
+        (name, timed.map(_._1), timed.map(_._2), timed.map(_._3), timed.map(_._4),
+          timed.map(_._5), err)
       }
     graft.queries.Det.releasePins(spark) // pins live only for the sweep
     val loadEnd = loadAvg1m()
 
-    val detailJson = detail.map { case (name, runs, mbs, loads, cpus2, err) =>
+    val detailJson = detail.map { case (name, runs, mbs, loads, cpus2, gcs, err) =>
       val errJs = if (err == null) "null" else "\"" + jsonEscape(err) + "\""
-      s""""$name":{"runs":[${runs.map(fmt).mkString(",")}],"storage_mb":[${mbs.mkString(",")}],"load_1m":[${loads.map(fmt).mkString(",")}],"cpu_sec":[${cpus2.map(fmt).mkString(",")}],"err":$errJs}"""
+      s""""$name":{"runs":[${runs.map(fmt).mkString(",")}],"storage_mb":[${mbs.mkString(",")}],"load_1m":[${loads.map(fmt).mkString(",")}],"cpu_sec":[${cpus2.map(fmt).mkString(",")}],"gc_ms":[${gcs.mkString(",")}],"err":$errJs}"""
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detailJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
-    val ok = detail.filter(_._6 == null)
-    val errs = detail.collect { case (name, _, _, _, _, err) if err != null =>
+    val ok = detail.filter(_._7 == null)
+    val errs = detail.collect { case (name, _, _, _, _, _, err) if err != null =>
       s""""$name":"${jsonEscape(err.take(160))}""""
     }.mkString("{", ",", "}")
     val fams = ok.groupBy(t => family(t._1)).toSeq.sortBy(_._1).map { case (f, qsInFam) =>
