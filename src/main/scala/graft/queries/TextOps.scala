@@ -1154,44 +1154,96 @@ object TextOps {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
-  /** Per-TLD domain statistics — the crawl-curation step that decides
-    * which domains to keep/cap. URLs are synthesized deterministically
-    * from doc_id (the harness corpus carries none), then parsed BACK
-    * with the portable regexp the real operator would use on genuine
-    * URLs — the extraction is what's verified. Per-row maps + one
-    * aggregation; the distinct-domain count shuffles on tld only.
+  /** Two-label public suffixes — a representative subset of the PSL
+    * (publicsuffix.org): registrars sell names UNDER these, so the
+    * "site" a crawl should group/cap by is the label BEFORE the suffix,
+    * not before the last dot (`a.co.uk` and `b.co.uk` are different
+    * owners; `x.co.uk` and `www.x.co.uk` are the same). Production
+    * swaps in the full list — the plan shape is identical (a literal
+    * IN predicate folded into the per-row map; the list never
+    * shuffles, never joins).
     */
+  val publicSuffixes2: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz", "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "co.in", "net.in",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.kr", "or.kr", "co.za", "org.za", "co.th", "co.id")
+
+  /** Per-suffix domain statistics — the crawl-curation step that decides
+    * which domains to keep/cap. URLs are synthesized deterministically
+    * from doc_id (the harness corpus carries none) — including `co.uk`
+    * hosts and `www.` subdomains so the multi-label path is exercised —
+    * then parsed BACK with the portable rules the real operator would
+    * use on genuine URLs: host = scheme to first of /:?#, public suffix
+    * = last label unless the last TWO labels are on the PSL subset,
+    * site (eTLD+1) = suffix plus one label. `n_hosts` counts full
+    * hostnames, `n_sites` registrable domains — www.siteN.co.uk and
+    * siteN.co.uk collapse in the latter (the spec pins n_hosts >
+    * n_sites for co.uk). Per-row maps + one aggregation; the distinct
+    * counts shuffle on suffix only.
+    */
+  /** Adds `suffix` (public suffix) and `site` (eTLD+1, the registrable
+    * domain) to a frame carrying a `domain` hostname column. Public so
+    * the spec pins the parse on adversarial host shapes directly.
+    */
+  def withSuffixSite(df: DataFrame): DataFrame =
+    df.withColumn("labels", split(col("domain"), "\\."))
+      .withColumn("last2", expr(
+        "concat_ws('.', labels[size(labels)-2], labels[size(labels)-1])"))
+      .withColumn("suffix",
+        when(col("last2").isInCollection(publicSuffixes2), col("last2"))
+          .otherwise(expr("labels[size(labels)-1]")))
+      .withColumn("sl",
+        when(col("last2").isInCollection(publicSuffixes2), lit(2)).otherwise(lit(1)))
+      // slice() is 1-origin; greatest(1, …) covers a bare-suffix host.
+      .withColumn("site", expr(
+        "concat_ws('.', slice(labels, greatest(1, size(labels) - sl), sl + 1))"))
+      .drop("labels", "last2", "sl")
+
   val domainStats: Q = (spark, dir) =>
-    documents(spark, dir)
-      .withColumn("url", concat(lit("https://site"),
-        (col("doc_id") % 97).cast("string"), lit("."),
-        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+    withSuffixSite(documents(spark, dir)
+      .withColumn("url", concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 97).cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
           (col("doc_id") % 4 + 1).cast("int")),
         lit("/p/"), col("doc_id").cast("string")))
-      // Host = everything after the scheme up to the first of /:?# — so
-      // path-less URLs, ports, and query strings all extract correctly
-      // (TextOpsSpec pins the shapes); TLD = the last dotted label.
-      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1))
-      .withColumn("tld", regexp_extract(col("domain"), "\\.([a-z]+)$", 1))
-      .groupBy(col("tld"))
-      .agg(countDistinct(col("domain")).as("n_domains"),
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/:?#]+)", 1)))
+      .groupBy(col("suffix"))
+      .agg(countDistinct(col("domain")).as("n_hosts"),
+        countDistinct(col("site")).as("n_sites"),
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
-      .orderBy(col("tld"))
+      .orderBy(col("suffix"))
 
-  val domainStatsSql: String =
-    """WITH u AS (
-      |  SELECT text,
-      |    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.'
-      |      || (['com','org','net','io'])[CAST(doc_id % 4 AS INT) + 1]
-      |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
-      |  FROM documents),
-      |d AS (SELECT text, regexp_extract(url, '^https?://([^/:?#]+)', 1) AS domain FROM u),
-      |t AS (SELECT text, domain, regexp_extract(domain, '\.([a-z]+)$', 1) AS tld FROM d)
-      |SELECT tld, CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-      |FROM t GROUP BY tld ORDER BY tld""".stripMargin
+  val domainStatsSql: String = {
+    val psl = publicSuffixes2.map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT text,
+       |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+       |      || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+       |      || (['com','org','co.uk','io'])[CAST(doc_id % 4 AS INT) + 1]
+       |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |d AS (SELECT text, regexp_extract(url, '^https?://([^/:?#]+)', 1) AS domain FROM u),
+       |l AS (SELECT text, domain, string_split(domain, '.') AS labels FROM d),
+       |p AS (SELECT text, domain, labels,
+       |        labels[-2] || '.' || labels[-1] AS last2 FROM l),
+       |s AS (SELECT text, domain, labels,
+       |        CASE WHEN last2 IN ($psl) THEN last2 ELSE labels[-1] END AS suffix,
+       |        CASE WHEN last2 IN ($psl) THEN 2 ELSE 1 END AS sl FROM p),
+       |t AS (SELECT text, domain, suffix,
+       |        array_to_string(labels[greatest(1, len(labels) - sl):len(labels)], '.') AS site
+       |      FROM s)
+       |SELECT suffix, CAST(count(DISTINCT domain) AS BIGINT) AS n_hosts,
+       |  CAST(count(DISTINCT site) AS BIGINT) AS n_sites,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY suffix ORDER BY suffix""".stripMargin
+  }
 
   /** The per-doc frame behind `q_domain_cap`: URL → domain (same
     * synthesis + extraction as `domainStats`), token count, and the
