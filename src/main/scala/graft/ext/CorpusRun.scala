@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** One-command corpus build: gz-JSONL dump in, training corpus out.
   *
-  *   runMain graft.ext.CorpusRun in.jsonl.gz outDir [benchmarkDir]
+  *   runMain graft.ext.CorpusRun in.jsonl.gz outDir [benchmarkDir] [embeddingsParquet]
   *
   * Composes the pieces that each already exist — and that a user
   * previously had to wire by hand — into the chain a training-data drop
@@ -85,7 +85,8 @@ object CorpusRun {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CorpusRun <in.jsonl[.gz]> <outDir> [benchmarkDir]")
+    require(args.length >= 2,
+      "usage: CorpusRun <in.jsonl[.gz]> <outDir> [benchmarkDir] [embeddingsParquet]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -96,7 +97,10 @@ object CorpusRun {
       .appName("graft-corpus-run").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, args(0), args(1), args.drop(2).headOption)
+      // 4th arg: a (doc_id, embedding array<float>) parquet enabling the
+      // semantic dedup stage from the command line.
+      val emb = args.drop(3).headOption.map(p => spark.read.parquet(p))
+      val r = run(spark, args(0), args(1), args.drop(2).headOption, emb)
       println(s"[corpus-run] ingested=${r.ingested} quarantined=${r.quarantined} " +
         s"clean=${r.stages.afterSemantic} sequences=${r.stages.sequences} " +
         s"train=${r.trainDocs} val=${r.valDocs} test=${r.testDocs} -> ${args(1)}")

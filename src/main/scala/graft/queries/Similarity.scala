@@ -543,7 +543,7 @@ object Similarity {
     */
   private def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.kmcent:$dir",
-        Set("q_ann_recall_mp", "q_knn_ivf_kmeans")) {
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_ann_recall_pq")) {
       val vd = vdF(spark, dir)
       val dims = vd.select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
         .select(col("vec_id"), (col("pos") + 1).as("d"), col("val"))
@@ -563,7 +563,7 @@ object Similarity {
     */
   private def kmeansMembership(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.kmasg:$dir",
-        Set("q_ann_recall_mp", "q_knn_ivf_kmeans")) {
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_ann_recall_pq")) {
       kmAssign(vdF(spark, dir), kmeansCentroids(spark, dir))
     }
 
@@ -724,6 +724,343 @@ object Similarity {
        |LEFT JOIN h1 ON b.query_id = h1.query_id
        |LEFT JOIN h3 ON b.query_id = h3.query_id
        |LEFT JOIN hk ON b.query_id = hk.query_id
+       |ORDER BY b.query_id""".stripMargin
+
+  // ---- Product quantization (PQ): 8-byte codes + ADC search ----
+
+  /** PQ geometry: 64 dims → `pqM` = 8 subspaces × 8 dims, `pqK` = 16
+    * codes per subspace. A corpus vector compresses to 8 one-byte codes
+    * (32× smaller than the float array) — THE property that makes
+    * 100 TB ANN feasible: the code table for 10¹⁰ vectors is ~80 GB
+    * (scan-able, cache-resident per executor) where the raw vectors are
+    * 2.5 TB. Search never touches the floats: an 8×16 per-query lookup
+    * table of partial distances is broadcast and the approximate
+    * distance is 8 table hits per candidate.
+    */
+  private val pqM = 8
+  private val pqK = 16
+  private val pqDsub = 8
+
+  /** Per-subspace squared L2 as the same sequential fold (8 dims). */
+  private val pqDistExpr: String =
+    "aggregate(zip_with(subv, cent, (x, c) -> (x - c) * (x - c)), 0.0D, (acc, v) -> acc + v)"
+
+  private def duckPqDist(v: String, c: String): String =
+    s"list_reduce([($v[i] - $c[i]) * ($v[i] - $c[i]) for i in generate_series(1, $pqDsub)], (x, y) -> x + y)"
+
+  /** (vec_id, sub, subv: array<double>[8]) — each vector split into its
+    * `pqM` subvectors. One narrow map over the corpus.
+    */
+  private def pqSubv(vd: DataFrame): DataFrame =
+    vd.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
+      .as(Seq("sub", "subv")))
+
+  /** One PQ assignment pass: every (vector, subspace) to its nearest
+    * codebook entry — `sub` is just another group key, so this is the
+    * k-means assignment with a 128-row broadcast instead of a 10-row
+    * one. Ties to the smaller code.
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .withColumn("dist", expr(pqDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("code"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** One PQ update pass: per-(sub, code, dim) decimal mean, r6'd,
+    * re-assembled per (sub, code) — 1,024 cells total.
+    */
+  private def pqUpdate(subdims: DataFrame, asg: DataFrame): DataFrame =
+    subdims.join(asg, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("dsub"))
+      .agg(r6(davg(col("val"))).as("cval"))
+      .groupBy(col("sub"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dsub, cval))), s -> s.cval)")
+        .as("cent"))
+
+  /** PQ codebook train: fixed 3-round Lloyd's independently per
+    * subspace — the identical deterministic machinery as
+    * `kmeansCentroids` (md5-ranked seed vectors, decimal means, fixed
+    * rounds → finite unrolled oracle), with `sub` carried through every
+    * join and group key. Each round is one corpus scan + one 1,024-cell
+    * aggregation; the train cost is the k-means cost, not 8× it.
+    */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.pqcb:$dir",
+        Set("q_knn_pq", "q_knn_ivfpq", "q_ann_recall_pq")) {
+      val vd = vdF(spark, dir)
+      val sv = pqSubv(vd)
+      val subdims = sv.select(col("vec_id"), col("sub"),
+        posexplode(col("subv")).as(Seq("p", "val")))
+        .select(col("vec_id"), col("sub"), (col("p") + 1).as("dsub"), col("val"))
+      val seeds = vd
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":pqseed"))))
+        .orderBy(col("h"), col("vec_id")).limit(pqK)
+      val cent0 = seeds
+        .select(col("vec_id"), col("h"), posexplode(expr(
+            s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
+          .as(Seq("sub", "subv")))
+        .withColumn("code", row_number().over(
+          Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))).cast("long"))
+        .select(col("sub"), col("code"), col("subv").as("cent"))
+      (1 to 3).foldLeft(cent0)((cb, _) => pqUpdate(subdims, pqAssign(sv, cb)))
+    }
+
+  /** The code table: every corpus vector's 8 codes against the trained
+    * codebook — the 8-byte-per-vector index a production build writes
+    * to parquet in place of the embeddings. Public so the spec pins the
+    * index shape (8 codes per vector, codes within 1..pqK).
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.pqcode:$dir",
+        Set("q_knn_pq", "q_knn_ivfpq", "q_ann_recall_pq")) {
+      pqAssign(pqSubv(vdF(spark, dir)), pqCodebook(spark, dir))
+    }
+
+  /** Per-query ADC lookup table: partial squared distance from each
+    * query subvector to each codebook entry — Q × 8 × 16 rows, always
+    * broadcast.
+    */
+  private def pqLut(spark: SparkSession, dir: String): DataFrame =
+    pqSubv(vdF(spark, dir).filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("sub"), col("subv"))
+      .join(broadcast(pqCodebook(spark, dir)), "sub")
+      .withColumn("pdist", expr(pqDistExpr))
+      .select(col("query_id"), col("sub"), col("code"), col("pdist"))
+
+  /** ANN by asymmetric distance computation over the full code table:
+    * approximate distance = Σ over subspaces of the query's LUT entry
+    * for the candidate's code (decimal sum, r6). The scan touches ONLY
+    * (vec_id, sub, code) — never an embedding — and the LUT join is a
+    * broadcast: the flat-scan shape PQ exists for.
+    */
+  val knnPq: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    pqCodes(spark, dir)
+      .join(broadcast(pqLut(spark, dir)), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(r6(dsum(col("pdist"))).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The shared PQ CTE chain (train + encode + LUT), mirroring the
+    * Spark build step for step — `sub` as a key keeps the unrolled
+    * oracle the same size as the k-means one.
+    */
+  private val pqChainSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "pcent0" else s"pcent${r - 1}"
+      s"""pasg$r AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${duckPqDist("s.subv", "c.cent")}, c.code) AS rn
+         |    FROM sv s JOIN $prev c ON s.sub = c.sub) t WHERE rn = 1),
+         |pcent$r AS (
+         |  SELECT sub, code, list(cval ORDER BY dsub) AS cent FROM (
+         |    SELECT a.sub, a.code, d.dsub, ${sqlR6(sqlDavg("d.val"))} AS cval
+         |    FROM subdims d JOIN pasg$r a ON d.vec_id = a.vec_id AND d.sub = a.sub
+         |    GROUP BY a.sub, a.code, d.dsub) u
+         |  GROUP BY sub, code)""".stripMargin
+    }.mkString(",\n")
+    s"""vd AS (
+       |  SELECT vec_id, [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS emb_d
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, s AS sub, emb_d[(s * $pqDsub + 1):(s * $pqDsub + $pqDsub)] AS subv
+       |  FROM vd, (SELECT unnest(generate_series(0, ${pqM - 1})) AS s)),
+       |subdims AS (
+       |  SELECT vec_id, sub, generate_subscripts(subv, 1) AS dsub,
+       |    unnest(subv) AS val
+       |  FROM sv),
+       |pseeds AS (
+       |  SELECT vec_id, md5(vec_id::VARCHAR || ':pqseed') AS h
+       |  FROM vd ORDER BY h, vec_id LIMIT $pqK),
+       |pcent0 AS (
+       |  SELECT sv.sub,
+       |    CAST(row_number() OVER (PARTITION BY sv.sub ORDER BY p.h, p.vec_id) AS BIGINT) AS code,
+       |    sv.subv AS cent
+       |  FROM pseeds p JOIN sv ON sv.vec_id = p.vec_id),
+       |$rounds,
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT s.vec_id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${duckPqDist("s.subv", "c.cent")}, c.code) AS rn
+       |    FROM sv s JOIN pcent3 c ON s.sub = c.sub) t WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.code,
+       |    ${duckPqDist("s.subv", "c.cent")} AS pdist
+       |  FROM sv s JOIN pcent3 c ON s.sub = c.sub
+       |  WHERE s.vec_id < 10)""".stripMargin
+  }
+
+  val knnPqSql: String =
+    s"""WITH $pqChainSql,
+       |adist AS (
+       |  SELECT l.query_id, k.vec_id, ${sqlR6(sqlDsum("l.pdist"))} AS adist
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY l.query_id, k.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+       |  FROM adist)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ: the production composition — the learned coarse quantizer
+    * (k-means IVF, nprobe = 3) prunes the corpus to ~3/k of the
+    * inverted lists, and ADC ranks ONLY those candidates from their
+    * codes. At 100 TB this is the whole design: the coarse index
+    * decides which partitions are read at all, the code table is the
+    * only per-vector data the scan touches, and the floats never leave
+    * the index build.
+    */
+  val knnIvfPq: Q = (spark, dir) => {
+    val member = kmeansMembership(spark, dir)
+    val cent = kmeansCentroids(spark, dir)
+    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb_d"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(kmDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    pqCodes(spark, dir)
+      .join(member, "vec_id")
+      .join(broadcast(probed), col("cluster") === col("probed_cluster"))
+      .join(broadcast(pqLut(spark, dir)), Seq("query_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cluster"))
+      .agg(r6(dsum(col("pdist"))).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cluster").as("probed_cluster"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The k-means chain re-declared under km-prefixed CTE names so it
+    * composes with the PQ chain in one WITH (same text shape as
+    * `knnIvfKmeansSql`'s chain, different aliases).
+    */
+  private val kmChainSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "kcent0" else s"kcent${r - 1}"
+      s"""kasg$r AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+         |    FROM vd v, $prev c) t WHERE rn = 1),
+         |kcent$r AS (
+         |  SELECT cluster, list(cval ORDER BY d) AS cent FROM (
+         |    SELECT a.cluster, dm.d, ${sqlR6(sqlDavg("dm.val"))} AS cval
+         |    FROM dims dm JOIN kasg$r a ON dm.vec_id = a.vec_id
+         |    GROUP BY a.cluster, dm.d) u
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""dims AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings),
+       |kseeds AS (
+       |  SELECT vec_id, emb_d, md5(vec_id::VARCHAR || ':kmseed') AS h
+       |  FROM vd ORDER BY h, vec_id LIMIT 10),
+       |kcent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cluster,
+       |    emb_d AS cent
+       |  FROM kseeds),
+       |$rounds,
+       |member AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+       |    FROM vd v, kcent3 c) t WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, cluster AS probed_cluster FROM (
+       |    SELECT v.vec_id AS query_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+       |    FROM vd v, kcent3 c WHERE v.vec_id < 10) t WHERE rn <= 3)""".stripMargin
+  }
+
+  val knnIvfPqSql: String =
+    s"""WITH $pqChainSql,
+       |$kmChainSql,
+       |adist AS (
+       |  SELECT l.query_id, k.vec_id, m.cluster, ${sqlR6(sqlDsum("l.pdist"))} AS adist
+       |  FROM codes k
+       |  JOIN member m ON k.vec_id = m.vec_id
+       |  JOIN probed pr ON m.cluster = pr.probed_cluster
+       |  JOIN lut l ON l.query_id = pr.query_id AND k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> pr.query_id
+       |  GROUP BY l.query_id, k.vec_id, m.cluster),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cluster, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+       |  FROM adist)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  cluster AS probed_cluster, adist
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Measured PQ quality: recall of full-scan ADC and IVF-PQ against
+    * the exact brute-force top-5 — the verified form of "8-byte codes
+    * cost THIS much recall" (and, vs `annRecallMp`, of what the coarse
+    * pruning costs on top of quantization).
+    */
+  val annRecallPq: Q = (spark, dir) => {
+    val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val p = knnPq(spark, dir)
+      .select(col("query_id").as("qp"), col("neighbor_id").as("np"))
+    val ip = knnIvfPq(spark, dir)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val hp = brute.join(p,
+        brute("query_id") === p("qp") && brute("neighbor_id") === p("np"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("pq_hits"))
+    val hi = brute.join(ip,
+        brute("query_id") === ip("qi") && brute("neighbor_id") === ip("ni"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ivfpq_hits"))
+    base
+      .join(hp, Seq("query_id"), "left_outer")
+      .join(hi, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+        coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"),
+        r2(coalesce(col("pq_hits"), lit(0L)) / col("k").cast("double")).as("pq_recall"),
+        r2(coalesce(col("ivfpq_hits"), lit(0L)) / col("k").cast("double")).as("ivfpq_recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallPqSql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
+       |p AS (SELECT query_id AS qp, neighbor_id AS np FROM ($knnPqSql)),
+       |ip AS (SELECT query_id AS qi, neighbor_id AS ni FROM ($knnIvfPqSql)),
+       |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY query_id),
+       |hp AS (SELECT query_id, count(*) AS pq_hits FROM brute
+       |       JOIN p ON query_id = qp AND neighbor_id = np GROUP BY query_id),
+       |hi AS (SELECT query_id, count(*) AS ivfpq_hits FROM brute
+       |       JOIN ip ON query_id = qi AND neighbor_id = ni GROUP BY query_id)
+       |SELECT b.query_id,
+       |  coalesce(hp.pq_hits, 0) AS pq_hits,
+       |  coalesce(hi.ivfpq_hits, 0) AS ivfpq_hits,
+       |  ${sqlR2("coalesce(hp.pq_hits, 0) / CAST(b.k AS DOUBLE)")} AS pq_recall,
+       |  ${sqlR2("coalesce(hi.ivfpq_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivfpq_recall
+       |FROM base b
+       |LEFT JOIN hp ON b.query_id = hp.query_id
+       |LEFT JOIN hi ON b.query_id = hi.query_id
        |ORDER BY b.query_id""".stripMargin
 
   /** Measured ANN quality: per-probe recall of the LSH and IVF variants
@@ -994,6 +1331,9 @@ object Similarity {
     "q_knn_ivf" -> knnIvf,
     "q_knn_ivf_mp" -> knnIvfMp,
     "q_knn_ivf_kmeans" -> knnIvfKmeans,
+    "q_knn_pq" -> knnPq,
+    "q_knn_ivfpq" -> knnIvfPq,
+    "q_ann_recall_pq" -> annRecallPq,
     "q_ann_recall_mp" -> annRecallMp,
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
@@ -1010,6 +1350,9 @@ object Similarity {
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_ivf_mp" -> knnIvfMpSql,
     "q_knn_ivf_kmeans" -> knnIvfKmeansSql,
+    "q_knn_pq" -> knnPqSql,
+    "q_knn_ivfpq" -> knnIvfPqSql,
+    "q_ann_recall_pq" -> annRecallPqSql,
     "q_ann_recall_mp" -> annRecallMpSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,

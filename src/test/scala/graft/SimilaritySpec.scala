@@ -186,4 +186,48 @@ class SimilaritySpec extends SparkSpec {
     assert(k3 >= 0.8, s"kmeans3 recall on planted blobs must be near-perfect, got $k3")
     Det.releasePins(spark)
   }
+
+  test("PQ code table: exactly 8 codes per vector, every code within 1..16") {
+    import graft.queries.Det
+    val n = Tables.embeddings(spark, sfDir).count()
+    val codes = Similarity.pqCodes(spark, sfDir).collect()
+    assert(codes.length == n * 8, s"expected ${n * 8} (vec, sub) codes, got ${codes.length}")
+    assert(codes.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"))).distinct.length
+      == codes.length, "a (vector, subspace) pair must get exactly one code")
+    val cs = codes.map(_.getAs[Long]("code"))
+    assert(cs.forall(c => c >= 1 && c <= 16), s"code out of range: ${cs.min}..${cs.max}")
+    Det.releasePins(spark)
+  }
+
+  test("PQ keeps planted blob structure: every ADC neighbor is from the query's own blob") {
+    // Within a tight blob the exact cosines are near-ties, so top-5
+    // OVERLAP with brute force is not the robust property (tie order
+    // is arbitrary-but-deterministic on both sides); what quantization
+    // must preserve is the geometry: all ADC-ranked neighbors of a
+    // query live in the query's own blob — for the full code scan AND
+    // for the IVF-pruned composition.
+    import spark.implicits._
+    import graft.queries.Det
+    val pts = for (p <- 0 until 300) yield {
+      val blob = p % 10
+      val emb = Array.tabulate(64) { i =>
+        val proto = ((blob * 31 + i * 7) % 13 - 6).toFloat * 10f
+        val jitter = ((p * 17 + i * 3) % 5 - 2).toFloat * 0.01f
+        proto + jitter
+      }
+      (p.toLong, emb, blob)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqblobs").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (q <- Seq("q_knn_pq", "q_knn_ivfpq")) {
+      val rows = Similarity.queries(q)(spark, dir).collect()
+      assert(rows.length == 50, s"$q: 10 queries x top-5 expected, got ${rows.length}")
+      val strays = rows.filter(r =>
+        r.getAs[Long]("neighbor_id") % 10 != r.getAs[Long]("query_id") % 10)
+      assert(strays.isEmpty,
+        s"$q: ADC neighbor left the query's blob: ${strays.toSeq}")
+    }
+    Det.releasePins(spark)
+  }
 }
