@@ -29,7 +29,7 @@ object CorpusPipeline {
   final case class StageCounts(input: Long, afterQuality: Long,
                                afterContam: Long, afterExact: Long,
                                afterNear: Long, afterSemantic: Long,
-                               sequences: Long)
+                               afterCap: Long, sequences: Long)
 
   /** `benchmark`: eval-suite documents (a `text` column) — when given,
     * stage 1.5 drops any doc whose distinct 8-grams overlap the
@@ -40,12 +40,18 @@ object CorpusPipeline {
     * given, stage 3.5 drops semantic (paraphrase-class) near-dups the
     * token shingles cannot see, via hyperplane-sketch LSH buckets +
     * exact cosine ≥ `cosineThreshold` verify.
+    * `maxDocsPerSource`: when given, stage 3.7 caps each `source`'s
+    * surviving docs at the quota by the q_domain_cap md5-rank rule —
+    * dedup runs FIRST so duplicates never consume quota, and the
+    * hash-stable selection means a re-run (or growth in OTHER sources)
+    * keeps the same docs.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           minQuality: Double = 0.5, jaccardThreshold: Double = 0.8,
           benchmark: Option[DataFrame] = None,
           embeddings: Option[DataFrame] = None,
-          cosineThreshold: Double = 0.98): StageCounts = {
+          cosineThreshold: Double = 0.98,
+          maxDocsPerSource: Option[Int] = None): StageCounts = {
     // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
     // and packed sequences never embed an email/phone/id/IP (the order a
     // compliant pipeline requires: scrubbing after dedup would leave PII
@@ -150,19 +156,46 @@ object CorpusPipeline {
     }
     val nSem = sem.count()
 
+    // 3.7. per-source cap — over-represented sources (one crawl domain
+    // dominating the mix) are downsampled to a fixed quota AFTER dedup,
+    // so duplicates never consume it. Selection is the verified
+    // q_domain_cap rule: rank within source by md5(doc_id || ':domcap')
+    // and keep the first `cap` — a pure function of each doc's own id,
+    // so re-runs and growth in other sources keep the same docs.
+    // Dropped docs log to outDir/capped with their ranks (the same
+    // auditable-drop discipline as the contamination stage).
+    val capped = maxDocsPerSource match {
+      case None => sem
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("__caph"), col("doc_id"))
+        val ranked = sem
+          .withColumn("__caph", md5(concat(col("doc_id").cast("string"), lit(":domcap"))))
+          .withColumn("__caprnk", row_number().over(w))
+        ranked.filter(col("__caprnk") > cap)
+          .select(col("doc_id"), col("source"),
+            col("__caprnk").as("source_rank"),
+            lit("per_source_cap").as("drop_reason"))
+          .write.mode("overwrite").parquet(s"$outDir/capped")
+        ranked.filter(col("__caprnk") <= cap).drop("__caph", "__caprnk")
+    }
+    val nCap = capped.count()
+
     // 4. pack the cleaned stream into fixed-budget training sequences
-    val seqs = graft.queries.TextOps.packSequencesOver(sem, 256)
+    val seqs = graft.queries.TextOps.packSequencesOver(capped, 256)
     seqs.write.mode("overwrite").parquet(s"$outDir/sequences")
     val nSeqs = spark.read.parquet(s"$outDir/sequences").count()
 
     // 5. write partitioned by lang + report
-    sem.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nContam, nExact, nNear, nSem, nSeqs)
+    capped.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
+    val report = StageCounts(input, nQuality, nContam, nExact, nNear, nSem, nCap, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
       ("after_contamination", report.afterContam),
       ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
       ("after_semantic_dedup", report.afterSemantic),
+      ("after_source_cap", report.afterCap),
       ("training_sequences", report.sequences))
       .toDF("stage", "docs")
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$outDir/report")

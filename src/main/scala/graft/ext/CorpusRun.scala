@@ -37,7 +37,8 @@ object CorpusRun {
   def run(spark: SparkSession, inPath: String, outDir: String,
           benchmarkDir: Option[String] = None,
           embeddings: Option[DataFrame] = None,
-          landPartitions: Option[Int] = None): RunCounts = {
+          landPartitions: Option[Int] = None,
+          maxDocsPerSource: Option[Int] = None): RunCounts = {
     val lineage = new graft.etl.Lineage(spark, s"$outDir/lineage", "corpus_run",
       new java.sql.Timestamp(System.currentTimeMillis()))
 
@@ -53,9 +54,10 @@ object CorpusRun {
     val bench = benchmarkDir.map(d => graft.Tables.documents(spark, d))
     val pipeDir = s"$outDir/pipeline"
     val stages = CorpusPipeline.run(spark, ingestDir, pipeDir,
-      benchmark = bench, embeddings = embeddings)
+      benchmark = bench, embeddings = embeddings,
+      maxDocsPerSource = maxDocsPerSource)
     lineage.log(s"$ingestDir/documents.parquet", s"$pipeDir/corpus_clean",
-      5, stages.afterSemantic, "scrub+quality+contam+exact+near+semantic")
+      6, stages.afterCap, "scrub+quality+contam+exact+near+semantic+cap")
     lineage.log(s"$pipeDir/corpus_clean", s"$pipeDir/sequences",
       1, stages.sequences, "sequence packing (256-token budget)")
 
@@ -67,7 +69,7 @@ object CorpusRun {
     val finalDir = s"$outDir/corpus_final"
     clean.withColumn("split", graft.queries.TextOps.splitAssignCol)
       .write.mode(SaveMode.Overwrite).partitionBy("split").parquet(finalDir)
-    lineage.log(s"$pipeDir/corpus_clean", finalDir, 1, stages.afterSemantic,
+    lineage.log(s"$pipeDir/corpus_clean", finalDir, 1, stages.afterCap,
       "train/val/test split partitioning (md5-stable)")
 
     val bySplit = spark.read.parquet(finalDir)
@@ -86,7 +88,7 @@ object CorpusRun {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusRun <in.jsonl[.gz]> <outDir> [benchmarkDir] [embeddingsParquet]")
+      "usage: CorpusRun <in.jsonl[.gz]> <outDir> [benchmarkDir] [embeddingsParquet] [maxDocsPerSource]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -98,11 +100,13 @@ object CorpusRun {
     spark.sparkContext.setLogLevel("WARN")
     try {
       // 4th arg: a (doc_id, embedding array<float>) parquet enabling the
-      // semantic dedup stage from the command line.
+      // semantic dedup stage from the command line; 5th: per-source cap.
       val emb = args.drop(3).headOption.map(p => spark.read.parquet(p))
-      val r = run(spark, args(0), args(1), args.drop(2).headOption, emb)
+      val cap = args.drop(4).headOption.map(_.toInt)
+      val r = run(spark, args(0), args(1), args.drop(2).headOption, emb,
+        maxDocsPerSource = cap)
       println(s"[corpus-run] ingested=${r.ingested} quarantined=${r.quarantined} " +
-        s"clean=${r.stages.afterSemantic} sequences=${r.stages.sequences} " +
+        s"clean=${r.stages.afterCap} sequences=${r.stages.sequences} " +
         s"train=${r.trainDocs} val=${r.valDocs} test=${r.testDocs} -> ${args(1)}")
     } finally spark.stop()
   }

@@ -116,4 +116,48 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("cosine") == 1.0)
     graft.queries.Det.releasePins(spark)
   }
+
+  private def stageSourcedDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus_docs").toString
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("per-source cap stage enforces the quota, logs drops, and is growth-stable") {
+    import spark.implicits._
+    // s0 is over-represented (8 docs), s1 is under quota (2 docs).
+    val s0 = (1L to 8L).map(i => (i, freshText(s"s0d$i"), "s0"))
+    val s1 = Seq((20L, freshText("s1da"), "s1"), (21L, freshText("s1db"), "s1"))
+    val dir = stageSourcedDocs(s0 ++ s1)
+    val out = java.nio.file.Files.createTempDirectory("corpus_cap").toString
+    val r = CorpusPipeline.run(spark, dir, out, maxDocsPerSource = Some(3))
+    assert(r.afterSemantic == 10 && r.afterCap == 5,
+      s"8 -> 3 capped + 2 under quota expected: $r")
+    val clean = spark.read.parquet(s"$out/corpus_clean")
+    val bySrc = clean.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Long]("n")).toMap
+    assert(bySrc == Map("s0" -> 3L, "s1" -> 2L))
+    val keptS0 = clean.filter(col("source") === "s0")
+      .select("doc_id").as[Long].collect().toSet
+    // Drops are logged with rank and reason (the auditable-drop rule).
+    val logged = spark.read.parquet(s"$out/capped").collect()
+    assert(logged.length == 5 && logged.forall(
+      x => x.getAs[String]("drop_reason") == "per_source_cap"
+        && x.getAs[Int]("source_rank") > 3))
+    // Growth stability: new docs in OTHER sources never change s0's
+    // selection (the md5 rank is domain-local and id-pure).
+    val grown = stageSourcedDocs(s0 ++ s1 ++
+      Seq((30L, freshText("s2da"), "s2"), (31L, freshText("s2db"), "s2"),
+          (32L, freshText("s2dc"), "s2"), (33L, freshText("s2dd"), "s2")))
+    val out2 = java.nio.file.Files.createTempDirectory("corpus_cap2").toString
+    val r2 = CorpusPipeline.run(spark, grown, out2, maxDocsPerSource = Some(3))
+    assert(r2.afterCap == 8, s"3 + 2 + 3 expected: $r2")
+    val keptS0Grown = spark.read.parquet(s"$out2/corpus_clean")
+      .filter(col("source") === "s0").select("doc_id").as[Long].collect().toSet
+    assert(keptS0Grown == keptS0, "s0's kept set moved under unrelated growth")
+    graft.queries.Det.releasePins(spark)
+  }
 }
