@@ -543,7 +543,7 @@ object Similarity {
     */
   private def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.kmcent:$dir",
-        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_ann_recall_pq")) {
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_knn_ivfpq_res", "q_ann_recall_pq")) {
       val vd = vdF(spark, dir)
       val dims = vd.select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
         .select(col("vec_id"), (col("pos") + 1).as("d"), col("val"))
@@ -563,7 +563,7 @@ object Similarity {
     */
   private def kmeansMembership(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.kmasg:$dir",
-        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_ann_recall_pq")) {
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_knn_ivfpq_res", "q_ann_recall_pq")) {
       kmAssign(vdF(spark, dir), kmeansCentroids(spark, dir))
     }
 
@@ -786,26 +786,32 @@ object Similarity {
     * rounds → finite unrolled oracle), with `sub` carried through every
     * join and group key. Each round is one corpus scan + one 1,024-cell
     * aggregation; the train cost is the k-means cost, not 8× it.
+    * Input-generic: `vd` is any (vec_id, emb_d) frame — raw embeddings
+    * for plain PQ, coarse-quantizer residuals for IVFADC — and `salt`
+    * keys the seed hash so the two trains pick independent seeds.
     */
+  private def pqTrain(vd: DataFrame, salt: String): DataFrame = {
+    val sv = pqSubv(vd)
+    val subdims = sv.select(col("vec_id"), col("sub"),
+      posexplode(col("subv")).as(Seq("p", "val")))
+      .select(col("vec_id"), col("sub"), (col("p") + 1).as("dsub"), col("val"))
+    val seeds = vd
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(salt))))
+      .orderBy(col("h"), col("vec_id")).limit(pqK)
+    val cent0 = seeds
+      .select(col("vec_id"), col("h"), posexplode(expr(
+          s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
+        .as(Seq("sub", "subv")))
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))).cast("long"))
+      .select(col("sub"), col("code"), col("subv").as("cent"))
+    (1 to 3).foldLeft(cent0)((cb, _) => pqUpdate(subdims, pqAssign(sv, cb)))
+  }
+
   private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.pqcb:$dir",
         Set("q_knn_pq", "q_knn_ivfpq", "q_ann_recall_pq")) {
-      val vd = vdF(spark, dir)
-      val sv = pqSubv(vd)
-      val subdims = sv.select(col("vec_id"), col("sub"),
-        posexplode(col("subv")).as(Seq("p", "val")))
-        .select(col("vec_id"), col("sub"), (col("p") + 1).as("dsub"), col("val"))
-      val seeds = vd
-        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":pqseed"))))
-        .orderBy(col("h"), col("vec_id")).limit(pqK)
-      val cent0 = seeds
-        .select(col("vec_id"), col("h"), posexplode(expr(
-            s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
-          .as(Seq("sub", "subv")))
-        .withColumn("code", row_number().over(
-          Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))).cast("long"))
-        .select(col("sub"), col("code"), col("subv").as("cent"))
-      (1 to 3).foldLeft(cent0)((cb, _) => pqUpdate(subdims, pqAssign(sv, cb)))
+      pqTrain(vdF(spark, dir), ":pqseed")
     }
 
   /** The code table: every corpus vector's 8 codes against the trained
@@ -1014,6 +1020,195 @@ object Similarity {
        |  cluster AS probed_cluster, adist
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- Residual encoding (IVFADC proper) ----
+
+  /** Coarse-quantizer residuals: every corpus vector minus its
+    * cluster's centroid, re-exposed as (vec_id, emb_d) so the whole PQ
+    * train/encode machinery applies unchanged. Residuals are what the
+    * canonical IVFADC design quantizes: within an inverted list the
+    * vectors share the coarse offset, so the residual cloud is tighter
+    * than the raw corpus and the same 16 codes per subspace spend their
+    * resolution where the list actually varies. The subtraction is one
+    * broadcast join + zip_with — exact in IEEE doubles, so the oracle
+    * reproduces it bit-for-bit.
+    */
+  private def kmResiduals(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.kmres:$dir",
+        Set("q_knn_ivfpq_res", "q_ann_recall_pq")) {
+      vdF(spark, dir)
+        .join(kmeansMembership(spark, dir), "vec_id")
+        .join(broadcast(kmeansCentroids(spark, dir)), "cluster")
+        .select(col("vec_id"),
+          expr("zip_with(emb_d, cent, (x, c) -> x - c)").as("emb_d"))
+    }
+
+  /** Residual codebook: the same fixed-round per-subspace Lloyd's,
+    * trained on residuals with an independent seed salt.
+    */
+  private def pqResCodebook(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.pqrcb:$dir",
+        Set("q_knn_ivfpq_res", "q_ann_recall_pq")) {
+      pqTrain(kmResiduals(spark, dir), ":pqrseed")
+    }
+
+  /** Residual code table: 8 one-byte codes per vector, now encoding the
+    * vector's offset from its inverted list's centroid.
+    */
+  private def pqResCodes(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.pqrcode:$dir",
+        Set("q_knn_ivfpq_res", "q_ann_recall_pq")) {
+      pqAssign(pqSubv(kmResiduals(spark, dir)), pqResCodebook(spark, dir))
+    }
+
+  /** Residual ADC lookup tables are PER (query, probed cluster): the
+    * query's residual differs per cluster (q − centroid_c), so each
+    * probed list gets its own 8×16 table — Q × nprobe × 128 rows,
+    * still trivially broadcast. This is the part plain-PQ LUTs don't
+    * have and the reason IVFADC's accuracy survives the coarse prune.
+    */
+  private def pqResLut(spark: SparkSession, dir: String, probed: DataFrame): DataFrame = {
+    val qres = vdF(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb_d"))
+      .join(probed, "query_id")
+      .join(broadcast(kmeansCentroids(spark, dir)),
+        col("probed_cluster") === col("cluster"))
+      .select(col("query_id"), col("probed_cluster"),
+        expr("zip_with(emb_d, cent, (x, c) -> x - c)").as("emb_d"))
+    qres.select(col("query_id"), col("probed_cluster"), posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
+      .as(Seq("sub", "subv")))
+      .join(broadcast(pqResCodebook(spark, dir)), "sub")
+      .withColumn("pdist", expr(pqDistExpr))
+      .select(col("query_id"), col("probed_cluster"), col("sub"), col("code"), col("pdist"))
+  }
+
+  /** IVFADC: coarse quantizer prunes to nprobe = 3 inverted lists,
+    * residual codes rank candidates via the per-(query, cluster) LUT.
+    * Same scan shape as `knnIvfPq` — codes + membership only, floats
+    * never touched — but the quantization error is now relative to the
+    * candidate's own list centroid, the composition FAISS ships as the
+    * default IVF index. Measured caveat (q_ann_recall_pq): on the
+    * harness's near-random embeddings the residual cloud is no tighter
+    * than the raw corpus, so residual coding shows no lift there — the
+    * regime it exists for is clustered data, where SimilaritySpec's
+    * planted-blob test pins that every ADC neighbor stays in-blob.
+    */
+  val knnIvfPqRes: Q = (spark, dir) => {
+    val member = kmeansMembership(spark, dir)
+    val cent = kmeansCentroids(spark, dir)
+    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb_d"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(kmDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val lut = pqResLut(spark, dir, probed)
+      .withColumnRenamed("sub", "lsub").withColumnRenamed("code", "lcode")
+    pqResCodes(spark, dir)
+      .join(member, "vec_id")
+      .join(broadcast(lut),
+        col("cluster") === col("probed_cluster")
+          && col("sub") === col("lsub") && col("code") === col("lcode"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cluster"))
+      .agg(r6(dsum(col("pdist"))).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cluster").as("probed_cluster"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The residual chain as CTEs: residuals from the k-means chain, the
+    * per-subspace train re-run over them (r-prefixed aliases), and the
+    * per-(query, cluster) LUT.
+    */
+  private val resChainSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "rcent0" else s"rcent${r - 1}"
+      s"""rasg$r AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${duckPqDist("s.subv", "c.cent")}, c.code) AS rn
+         |    FROM rsv s JOIN $prev c ON s.sub = c.sub) t WHERE rn = 1),
+         |rcent$r AS (
+         |  SELECT sub, code, list(cval ORDER BY dsub) AS cent FROM (
+         |    SELECT a.sub, a.code, d.dsub, ${sqlR6(sqlDavg("d.val"))} AS cval
+         |    FROM rsubdims d JOIN rasg$r a ON d.vec_id = a.vec_id AND d.sub = a.sub
+         |    GROUP BY a.sub, a.code, d.dsub) u
+         |  GROUP BY sub, code)""".stripMargin
+    }.mkString(",\n")
+    s"""res AS (
+       |  SELECT v.vec_id,
+       |    [v.emb_d[i] - c.cent[i] for i in generate_series(1, 64)] AS remb
+       |  FROM vd v JOIN member m ON v.vec_id = m.vec_id
+       |  JOIN kcent3 c ON m.cluster = c.cluster),
+       |rsv AS (
+       |  SELECT vec_id, s AS sub, remb[(s * $pqDsub + 1):(s * $pqDsub + $pqDsub)] AS subv
+       |  FROM res, (SELECT unnest(generate_series(0, ${pqM - 1})) AS s)),
+       |rsubdims AS (
+       |  SELECT vec_id, sub, generate_subscripts(subv, 1) AS dsub,
+       |    unnest(subv) AS val
+       |  FROM rsv),
+       |rseeds AS (
+       |  SELECT vec_id, md5(vec_id::VARCHAR || ':pqrseed') AS h
+       |  FROM res ORDER BY h, vec_id LIMIT $pqK),
+       |rcent0 AS (
+       |  SELECT rsv.sub,
+       |    CAST(row_number() OVER (PARTITION BY rsv.sub ORDER BY p.h, p.vec_id) AS BIGINT) AS code,
+       |    rsv.subv AS cent
+       |  FROM rseeds p JOIN rsv ON rsv.vec_id = p.vec_id),
+       |$rounds,
+       |rcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT s.vec_id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${duckPqDist("s.subv", "c.cent")}, c.code) AS rn
+       |    FROM rsv s JOIN rcent3 c ON s.sub = c.sub) t WHERE rn = 1),
+       |qres AS (
+       |  SELECT pr.query_id, pr.probed_cluster,
+       |    [v.emb_d[i] - c.cent[i] for i in generate_series(1, 64)] AS remb
+       |  FROM probed pr JOIN vd v ON v.vec_id = pr.query_id
+       |  JOIN kcent3 c ON pr.probed_cluster = c.cluster),
+       |qrsv AS (
+       |  SELECT query_id, probed_cluster, s AS sub,
+       |    remb[(s * $pqDsub + 1):(s * $pqDsub + $pqDsub)] AS subv
+       |  FROM qres, (SELECT unnest(generate_series(0, ${pqM - 1})) AS s)),
+       |rlut AS (
+       |  SELECT q.query_id, q.probed_cluster, q.sub, c.code,
+       |    ${duckPqDist("q.subv", "c.cent")} AS pdist
+       |  FROM qrsv q JOIN rcent3 c ON q.sub = c.sub)""".stripMargin
+  }
+
+  private val vdDefSql: String =
+    """vd AS (
+      |  SELECT vec_id, [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS emb_d
+      |  FROM embeddings)""".stripMargin
+
+  val knnIvfPqResSql: String =
+    s"""WITH $vdDefSql,
+       |$kmChainSql,
+       |$resChainSql,
+       |adist AS (
+       |  SELECT l.query_id, k.vec_id, m.cluster, ${sqlR6(sqlDsum("l.pdist"))} AS adist
+       |  FROM rcodes k
+       |  JOIN member m ON k.vec_id = m.vec_id
+       |  JOIN rlut l ON l.probed_cluster = m.cluster
+       |    AND k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY l.query_id, k.vec_id, m.cluster),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cluster, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+       |  FROM adist)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  cluster AS probed_cluster, adist
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Measured PQ quality: recall of full-scan ADC and IVF-PQ against
     * the exact brute-force top-5 — the verified form of "8-byte codes
     * cost THIS much recall" (and, vs `annRecallMp`, of what the coarse
@@ -1025,6 +1220,8 @@ object Similarity {
       .select(col("query_id").as("qp"), col("neighbor_id").as("np"))
     val ip = knnIvfPq(spark, dir)
       .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    val ir = knnIvfPqRes(spark, dir)
+      .select(col("query_id").as("qr"), col("neighbor_id").as("nr"))
     val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
     val hp = brute.join(p,
         brute("query_id") === p("qp") && brute("neighbor_id") === p("np"))
@@ -1032,15 +1229,21 @@ object Similarity {
     val hi = brute.join(ip,
         brute("query_id") === ip("qi") && brute("neighbor_id") === ip("ni"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("ivfpq_hits"))
+    val hr = brute.join(ir,
+        brute("query_id") === ir("qr") && brute("neighbor_id") === ir("nr"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ivfpqr_hits"))
     base
       .join(hp, Seq("query_id"), "left_outer")
       .join(hi, Seq("query_id"), "left_outer")
+      .join(hr, Seq("query_id"), "left_outer")
       .select(
         col("query_id"),
         coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
         coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"),
+        coalesce(col("ivfpqr_hits"), lit(0L)).as("ivfpqr_hits"),
         r2(coalesce(col("pq_hits"), lit(0L)) / col("k").cast("double")).as("pq_recall"),
-        r2(coalesce(col("ivfpq_hits"), lit(0L)) / col("k").cast("double")).as("ivfpq_recall"))
+        r2(coalesce(col("ivfpq_hits"), lit(0L)) / col("k").cast("double")).as("ivfpq_recall"),
+        r2(coalesce(col("ivfpqr_hits"), lit(0L)) / col("k").cast("double")).as("ivfpqr_recall"))
       .orderBy(col("query_id"))
   }
 
@@ -1048,19 +1251,25 @@ object Similarity {
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
        |p AS (SELECT query_id AS qp, neighbor_id AS np FROM ($knnPqSql)),
        |ip AS (SELECT query_id AS qi, neighbor_id AS ni FROM ($knnIvfPqSql)),
+       |ir AS (SELECT query_id AS qr, neighbor_id AS nr FROM ($knnIvfPqResSql)),
        |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY query_id),
        |hp AS (SELECT query_id, count(*) AS pq_hits FROM brute
        |       JOIN p ON query_id = qp AND neighbor_id = np GROUP BY query_id),
        |hi AS (SELECT query_id, count(*) AS ivfpq_hits FROM brute
-       |       JOIN ip ON query_id = qi AND neighbor_id = ni GROUP BY query_id)
+       |       JOIN ip ON query_id = qi AND neighbor_id = ni GROUP BY query_id),
+       |hr AS (SELECT query_id, count(*) AS ivfpqr_hits FROM brute
+       |       JOIN ir ON query_id = qr AND neighbor_id = nr GROUP BY query_id)
        |SELECT b.query_id,
        |  coalesce(hp.pq_hits, 0) AS pq_hits,
        |  coalesce(hi.ivfpq_hits, 0) AS ivfpq_hits,
+       |  coalesce(hr.ivfpqr_hits, 0) AS ivfpqr_hits,
        |  ${sqlR2("coalesce(hp.pq_hits, 0) / CAST(b.k AS DOUBLE)")} AS pq_recall,
-       |  ${sqlR2("coalesce(hi.ivfpq_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivfpq_recall
+       |  ${sqlR2("coalesce(hi.ivfpq_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivfpq_recall,
+       |  ${sqlR2("coalesce(hr.ivfpqr_hits, 0) / CAST(b.k AS DOUBLE)")} AS ivfpqr_recall
        |FROM base b
        |LEFT JOIN hp ON b.query_id = hp.query_id
        |LEFT JOIN hi ON b.query_id = hi.query_id
+       |LEFT JOIN hr ON b.query_id = hr.query_id
        |ORDER BY b.query_id""".stripMargin
 
   /** Measured ANN quality: per-probe recall of the LSH and IVF variants
@@ -1333,6 +1542,7 @@ object Similarity {
     "q_knn_ivf_kmeans" -> knnIvfKmeans,
     "q_knn_pq" -> knnPq,
     "q_knn_ivfpq" -> knnIvfPq,
+    "q_knn_ivfpq_res" -> knnIvfPqRes,
     "q_ann_recall_pq" -> annRecallPq,
     "q_ann_recall_mp" -> annRecallMp,
     "q_knn_topk" -> knnTopKAgg,
@@ -1352,6 +1562,7 @@ object Similarity {
     "q_knn_ivf_kmeans" -> knnIvfKmeansSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
+    "q_knn_ivfpq_res" -> knnIvfPqResSql,
     "q_ann_recall_pq" -> annRecallPqSql,
     "q_ann_recall_mp" -> annRecallMpSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction

@@ -220,7 +220,7 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqblobs").toString
     pts.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    for (q <- Seq("q_knn_pq", "q_knn_ivfpq")) {
+    for (q <- Seq("q_knn_pq", "q_knn_ivfpq", "q_knn_ivfpq_res")) {
       val rows = Similarity.queries(q)(spark, dir).collect()
       assert(rows.length == 50, s"$q: 10 queries x top-5 expected, got ${rows.length}")
       val strays = rows.filter(r =>
