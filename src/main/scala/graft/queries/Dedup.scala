@@ -896,6 +896,189 @@ object Dedup {
        |FROM srcidx s LEFT JOIN dups d USING (doc_id)
        |WHERE NOT s.is_old ORDER BY s.doc_id""".stripMargin
 
+  // ---- Corpus-level source overlap ----
+
+  /** Per-(source, shingle) distinct postings — the corpus-level analogue
+    * of the doc shingle table: which 3-gram shingles each source
+    * contributes at all, regardless of how many of its docs carry them.
+    * One explode + distinct, shuffled on (source, shingle); shared by
+    * both overlap queries via a memo so the derivation runs once.
+    */
+  private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"dedup.srcsh:$dir",
+        Set("q_source_overlap", "q_source_overlap_sig")) {
+      withShingles(documents(spark, dir))
+        .select(col("source"), explode(col("shingles")).as("shingle"))
+        .distinct()
+    }
+
+  /** Exact source-overlap matrix: Jaccard between every two sources'
+    * distinct shingle sets — the corpus-curation question "which crawl
+    * sources duplicate each other" answered at the source level rather
+    * than the doc level (a mix audit runs this before choosing per-source
+    * caps). Pairs sharing zero shingles are absent (inner postings join).
+    * Scale: the postings self-join expands each shingle into
+    * C(sources-carrying-it, 2) pairs — bounded by the SOURCE count
+    * squared per shingle, not the doc count; when the source universe is
+    * itself huge (per-domain), q_source_overlap_sig is the constant-state
+    * scale path and this exact form is the verification baseline.
+    */
+  val sourceOverlap: Q = (spark, dir) => {
+    val ss = sourceShingles(spark, dir)
+    val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        r6(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH ss AS (
+       |  SELECT DISTINCT source, shingle FROM (
+       |    SELECT source,
+       |      unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |        for i in generate_series(1, len(toks) - 2)])) AS shingle
+       |    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT i.source_a, i.source_b, i.inter,
+       |  ${sqlR6("CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE)")} AS jaccard
+       |FROM inter i
+       |JOIN cnt ca ON i.source_a = ca.source
+       |JOIN cnt cb ON i.source_b = cb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** MinHash-signature source overlap: each source keeps 12 minima of
+    * md5(j ':' shingle) over its distinct shingle set — S×12 cells of
+    * state however large the corpus — and every pair's resemblance is
+    * estimated as matching coordinates / 12. The per-(source, j) min is
+    * a map-side-combining aggregate (no postings self-join anywhere), so
+    * this is the form that survives a source universe too big for
+    * q_source_overlap's exact join; that query is its accuracy oracle.
+    * All S² pairs appear (signature rows always join), including
+    * zero-match ones.
+    */
+  val sourceOverlapSig: Q = (spark, dir) => {
+    val ss = sourceShingles(spark, dir)
+    val sig = ss
+      .select(col("source"), col("shingle"), explode(sequence(lit(0), lit(11))).as("j"))
+      .withColumn("h", md5(concat(col("j").cast("string"), lit(":"), col("shingle"))))
+      .groupBy(col("source"), col("j")).agg(min(col("h")).as("mh"))
+    sig.as("a").join(sig.as("b"),
+        col("a.j") === col("b.j") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        (col("a.mh") === col("b.mh")).cast("long").as("m"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("m")).cast("long").as("sig_matches"))
+      .select(col("source_a"), col("source_b"), col("sig_matches"),
+        r6(col("sig_matches").cast("double") / lit(12.0)).as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSigSql: String =
+    s"""WITH ss AS (
+       |  SELECT DISTINCT source, shingle FROM (
+       |    SELECT source,
+       |      unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |        for i in generate_series(1, len(toks) - 2)])) AS shingle
+       |    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))),
+       |sig AS (
+       |  SELECT source, j, min(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+       |  FROM ss CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)
+       |  GROUP BY source, j)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches,
+       |  ${sqlR6("CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 12.0")} AS est_jaccard
+       |FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- Repeated-passage trim ----
+
+  /** Passage-level dedup (the within-corpus duplicate-span class of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"):
+    * a token is DUPLICATED when any 3-token shingle covering it occurs in
+    * ≥ 2 distinct documents, and the trimmed text keeps only
+    * non-duplicated tokens in order. Doc-level dedup can't touch this —
+    * boilerplate shared across otherwise-distinct pages survives every
+    * doc-hash — so production pipelines trim the shared spans themselves.
+    * Shape: positional shingles (n rows/doc, NOT distinct — position
+    * matters) → document frequency per shingle (one shuffle) →
+    * covered-position explode (≤ 3n) → left-join mark + ordered
+    * re-concat per doc. Every stage is a map or a keyed shuffle — linear
+    * at 100 TB. A production run widens the window (e.g. 50-gram rolling
+    * hashes, so only long verbatim spans trim); width 3 keeps the oracle
+    * tractable on the short synthetic docs, and the plan shape is
+    * width-independent.
+    */
+  val dedupPassage: Q = (spark, dir) => {
+    val base = documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+    val psh = base.filter(col("n") >= 3)
+      .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, CAST(n AS INT) - 2),
+            |          p -> named_struct('p', p, 's', concat_ws(' ', slice(toks, p, 3))))""".stripMargin))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.p").as("p"), col("ps.s").as("s"))
+    val dfc = psh.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val dup = psh.join(dfc, "s").filter(col("df") >= 2)
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 2)).as("i"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    base.select(col("doc_id"), col("n"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .withColumn("i", (col("i0") + 1).cast("int"))
+      .join(dup, Seq("doc_id", "i"), "left_outer")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        sum(when(col("dup"), 1L).otherwise(0L)).cast("long").as("n_dup_toks"),
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(
+            |  CASE WHEN dup IS NULL THEN named_struct('i', i, 'tok', tok) END)),
+            |          x -> x.tok)""".stripMargin)).as("trimmed_text"))
+      .select(col("doc_id"), col("n").as("n_toks"), col("n_dup_toks"), col("trimmed_text"),
+        r6(col("n_dup_toks").cast("double") / col("n").cast("double")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupPassageSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |pshp AS (
+       |  SELECT doc_id, unnest(generate_series(1, CAST(n AS INT) - 2)) AS p, toks
+       |  FROM base WHERE n >= 3),
+       |psh AS (SELECT doc_id, p, array_to_string(toks[p:p+2], ' ') AS s FROM pshp),
+       |dfc AS (SELECT s, count(DISTINCT doc_id) AS df FROM psh GROUP BY s),
+       |dup AS (
+       |  SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, unnest(generate_series(p, p + 2)) AS i
+       |    FROM psh JOIN dfc USING (s) WHERE df >= 2)),
+       |tok AS (
+       |  SELECT doc_id, n, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+       |  FROM base),
+       |marked AS (
+       |  SELECT t.doc_id, t.n, t.i, t.tok, d.i IS NOT NULL AS dup
+       |  FROM tok t LEFT JOIN dup d ON t.doc_id = d.doc_id AND t.i = d.i)
+       |SELECT doc_id, n AS n_toks,
+       |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_toks,
+       |  coalesce(array_to_string(list(tok ORDER BY i) FILTER (WHERE NOT dup), ' '), '') AS trimmed_text,
+       |  ${sqlR6("CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n AS DOUBLE)")} AS dup_ratio
+       |FROM marked GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_incremental" -> dedupIncremental,
     "q_graph_pagerank" -> graphPagerank,
@@ -905,7 +1088,10 @@ object Dedup {
     "q_dedup_ngram_capped" -> dedupNgramCapped,
     "q_dedup_simhash" -> dedupSimHash,
     "q_dedup_groups" -> dedupGroups,
-    "q_dedup_keep" -> dedupKeep
+    "q_dedup_keep" -> dedupKeep,
+    "q_dedup_passage" -> dedupPassage,
+    "q_source_overlap" -> sourceOverlap,
+    "q_source_overlap_sig" -> sourceOverlapSig
   )
 
   val oracles: Map[String, String] = Map(
@@ -917,6 +1103,9 @@ object Dedup {
     "q_dedup_ngram_capped" -> dedupNgramCappedSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_dedup_groups" -> dedupGroupsSql,
-    "q_dedup_keep" -> dedupKeepSql
+    "q_dedup_keep" -> dedupKeepSql,
+    "q_dedup_passage" -> dedupPassageSql,
+    "q_source_overlap" -> sourceOverlapSql,
+    "q_source_overlap_sig" -> sourceOverlapSigSql
   )
 }
