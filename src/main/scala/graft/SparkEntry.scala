@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Stats.queries ++
       graft.queries.Classic.queries ++
       graft.queries.Nested.queries ++
-      graft.queries.Sampling.queries
+      graft.queries.Sampling.queries ++
+      graft.queries.Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.Stats.oracles ++
       graft.queries.Classic.oracles ++
       graft.queries.Nested.oracles ++
-      graft.queries.Sampling.oracles
+      graft.queries.Sampling.oracles ++
+      graft.queries.Sketch.oracles
 }

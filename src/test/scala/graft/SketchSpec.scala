@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** KMV sketch semantics on planted fixtures: exact small-range answers,
+  * duplicate insensitivity, the union/merge law, and the bounded-buffer
+  * aggregator agreeing with the windowed bottom-k the oracle uses.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("small sources report exact counts; duplicates never inflate the sketch") {
+    // s0 has 4 distinct tokens spread over 2 docs WITH heavy repetition;
+    // s1 has 2. Both are below k=64, so est == exact and rel_err == 0.
+    val dir = stage(Seq(
+      (1L, "a b a b a b c", "s0"),
+      (2L, "c d c d c d", "s0"),
+      (3L, "x y x y", "s1")))
+    val rows = queries.Sketch.sketchKmv(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("k_used"),
+          r.getAs[Double]("est_distinct"), r.getAs[Double]("rel_err"))).toMap
+    assert(rows("s0") == (4L, 4L, 4.0, 0.0))
+    assert(rows("s1") == (2L, 2L, 2.0, 0.0))
+    queries.Det.releasePins(spark)
+  }
+
+  test("above k the estimate lands within the sketch's error regime") {
+    // One source with 1000 distinct tokens — k=64 ⇒ SE ≈ 13%; assert a
+    // generous 4-sigma band so the test pins sanity, not luck.
+    val toks = (1 to 1000).map(i => s"tok$i").mkString(" ")
+    val dir = stage(Seq((1L, toks, "big")))
+    val r = queries.Sketch.sketchKmv(spark, dir).collect().head
+    assert(r.getAs[Long]("n_exact") == 1000L)
+    assert(r.getAs[Long]("k_used") == 64L)
+    val est = r.getAs[Double]("est_distinct")
+    assert(est > 480 && est < 1520, s"est $est outside 1000 ± 52%")
+    queries.Det.releasePins(spark)
+  }
+
+  test("merge law: union of per-source sketches equals the direct global sketch") {
+    // Overlapping vocabularies across three sources, all above trivial
+    // size; the k-th minima must agree EXACTLY, not approximately.
+    val dir = stage(Seq(
+      (1L, (1 to 300).map(i => s"a$i").mkString(" "), "s0"),
+      (2L, (150 to 450).map(i => s"a$i").mkString(" "), "s1"),
+      (3L, (1 to 200).map(i => s"b$i").mkString(" "), "s2")))
+    val r = queries.Sketch.sketchKmvMerge(spark, dir).collect().head
+    assert(r.getAs[Boolean]("merge_exact"), "k-th minimum differed between paths")
+    assert(r.getAs[Double]("est_direct") == r.getAs[Double]("est_merged"))
+    assert(r.getAs[Long]("n_exact") == 650L) // 450 a's + 200 b's
+    queries.Det.releasePins(spark)
+  }
+
+  test("aggregator sketch is partitioning-invariant (1 vs 32 shuffle partitions)") {
+    val toks = (1 to 500).map(i => s"w$i").mkString(" ")
+    val dir = stage(Seq((1L, toks, "s0"), (2L, toks, "s1")))
+    val base = queries.Sketch.sketchKmv(spark, dir).collect().map(_.toString).toSeq
+    queries.Det.releasePins(spark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val single = queries.Sketch.sketchKmv(spark, dir).collect().map(_.toString).toSeq
+      assert(single == base, "sketch changed under repartitioning")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      queries.Det.releasePins(spark)
+    }
+  }
+}
