@@ -51,7 +51,8 @@ object Similarity {
     // read it, so holding it through their runs is pure storage
     // pressure). A later family re-pins fresh.
     Det.memoMulti(spark, s"sim.norm:$dir",
-        Set("q_ann_recall", "q_embed_neardup", "q_hard_negatives", "q_knn_topk")) {
+        Set("q_ann_recall", "q_embed_neardup", "q_hard_negatives", "q_knn_topk",
+          "q_knn_filtered", "q_ann_recall_filtered")) {
       embeddings(spark, dir)
         .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
     }
@@ -500,6 +501,21 @@ object Similarity {
     * and the argmin is a per-vector top-1 — the index-build shape that
     * survives 100 TB (nothing quadratic, nothing driver-side).
     */
+  /** Index-lifecycle access (ext.AnnIndex): the trained coarse
+    * quantizer, the assignment pass, and the widened-vector view are
+    * shared so a PERSISTED index is bit-identical to the in-session
+    * queries — the property AnnIndexSpec pins by comparing a
+    * loaded-index search to q_knn_ivf_kmeans row for row.
+    */
+  private[graft] def ivfCentroidsFor(spark: SparkSession, dir: String): DataFrame =
+    kmeansCentroids(spark, dir)
+  private[graft] def ivfAssign(vd: DataFrame, cent: DataFrame): DataFrame =
+    kmAssign(vd, cent)
+  private[graft] def vdOf(spark: SparkSession, dir: String): DataFrame =
+    vdF(spark, dir)
+  private[graft] def clusterRankExpr: String = kmDistExpr
+  private[graft] def dotProductExpr(a: String, b: String): String = dotExpr(a, b)
+
   private def kmAssign(vd: DataFrame, cent: DataFrame): DataFrame =
     vd.crossJoin(broadcast(cent))
       .withColumn("dist", expr(kmDistExpr))
@@ -543,7 +559,7 @@ object Similarity {
     */
   private def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.kmcent:$dir",
-        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_knn_ivfpq_res", "q_ann_recall_pq")) {
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_knn_ivfpq_res", "q_ann_recall_pq", "q_ann_recall_filtered")) {
       val vd = vdF(spark, dir)
       val dims = vd.select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
         .select(col("vec_id"), (col("pos") + 1).as("d"), col("val"))
@@ -563,7 +579,7 @@ object Similarity {
     */
   private def kmeansMembership(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sim.kmasg:$dir",
-        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_knn_ivfpq_res", "q_ann_recall_pq")) {
+        Set("q_ann_recall_mp", "q_knn_ivf_kmeans", "q_knn_ivfpq", "q_knn_ivfpq_res", "q_ann_recall_pq", "q_ann_recall_filtered")) {
       kmAssign(vdF(spark, dir), kmeansCentroids(spark, dir))
     }
 
@@ -724,6 +740,129 @@ object Similarity {
        |LEFT JOIN h1 ON b.query_id = h1.query_id
        |LEFT JOIN h3 ON b.query_id = h3.query_id
        |LEFT JOIN hk ON b.query_id = hk.query_id
+       |ORDER BY b.query_id""".stripMargin
+
+  // ---- Metadata-filtered ANN (filtered search) ----
+
+  /** Filtered brute-force kNN: top-5 cosine among corpus vectors
+    * PASSING a metadata predicate — here "same label as the query", the
+    * canonical vector-store filtered search (retrieve within a tenant /
+    * language / license class). Exact baseline: scan shape is knnBrute
+    * with the predicate applied BEFORE scoring, so the selectivity cuts
+    * compute instead of wasting it — at 100 TB the predicate is a
+    * partition/pushdown column and the scan prunes to the class.
+    */
+  val knnFiltered: Q = (spark, dir) => {
+    val v = withNorm(spark, dir)
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    v.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("label").as("neighbor_label"), r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnFilteredSql: String =
+    s"""WITH v AS ($duckNorm),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, label AS q_label
+       |      FROM v WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id, v.label,
+       |    ${duckDot("q.q_emb", "v.embedding")} / (q.q_norm * v.norm) AS cosine_raw
+       |  FROM v, q WHERE v.vec_id <> q.query_id AND v.label = q.q_label),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, label AS neighbor_label,
+       |  ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Filtered-search recall: the k-means IVF index probed at nprobe = 3
+    * with the label predicate applied POST-prune, against the filtered
+    * brute ground truth. `n_ivf` < `n_exact` is the filtered-ANN
+    * pathology this report measures — the probed lists need not contain
+    * k predicate-passing vectors at all — which is why production
+    * vector stores either over-probe proportionally to the filter's
+    * selectivity or pre-partition the index by the filter key; the
+    * verified number here is the honest cost of doing neither.
+    */
+  val annRecallFiltered: Q = (spark, dir) => {
+    val bf = knnFiltered(spark, dir)
+      .select(col("query_id").as("qb"), col("neighbor_id").as("nb"))
+    val v = withNorm(spark, dir)
+    val cent = kmeansCentroids(spark, dir)
+    val member = kmeansMembership(spark, dir)
+    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb_d"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(kmDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
+    val iv = v.join(member, "vec_id")
+      .join(broadcast(probed), col("cluster") === col("probed_cluster"))
+      .join(broadcast(probes), "query_id")
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
+      .withColumn("cosine_raw", expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id").as("qi"), col("vec_id").as("ni"))
+    val base = bf.groupBy(col("qb")).agg(count(lit(1)).as("n_exact"))
+      .select(col("qb").as("query_id"), col("n_exact"))
+    val nIvf = iv.groupBy(col("qi")).agg(count(lit(1)).as("n_ivf"))
+      .select(col("qi").as("query_id"), col("n_ivf"))
+    val hits = bf.join(iv, col("qb") === col("qi") && col("nb") === col("ni"))
+      .groupBy(col("qb")).agg(count(lit(1)).as("hits"))
+      .select(col("qb").as("query_id"), col("hits"))
+    base
+      .join(nIvf, Seq("query_id"), "left_outer")
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        r2(coalesce(col("hits"), lit(0L)) / col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  // lazy: composes kmChainSql/vdDefSql, declared further down the object.
+  lazy val annRecallFilteredSql: String =
+    s"""WITH v AS ($duckNorm),
+       |$vdDefSql,
+       |$kmChainSql,
+       |bf AS (SELECT query_id AS qb, neighbor_id AS nb FROM ($knnFilteredSql)),
+       |qf AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, label AS q_label
+       |       FROM v WHERE vec_id < 10),
+       |ivranked AS (
+       |  SELECT pr.query_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY pr.query_id
+       |      ORDER BY ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) DESC, v.vec_id) AS rank
+       |  FROM v JOIN member m ON v.vec_id = m.vec_id
+       |  JOIN probed pr ON m.cluster = pr.probed_cluster
+       |  JOIN qf p ON p.query_id = pr.query_id
+       |  WHERE v.vec_id <> pr.query_id AND v.label = p.q_label),
+       |iv AS (SELECT query_id AS qi, vec_id AS ni FROM ivranked WHERE rank <= 5),
+       |base AS (SELECT qb AS query_id, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qb),
+       |nivf AS (SELECT qi AS query_id, CAST(count(*) AS BIGINT) AS n_ivf FROM iv GROUP BY qi),
+       |h AS (SELECT qb AS query_id, CAST(count(*) AS BIGINT) AS hits FROM bf
+       |      JOIN iv ON qb = qi AND nb = ni GROUP BY qb)
+       |SELECT b.query_id, b.n_exact,
+       |  coalesce(n.n_ivf, CAST(0 AS BIGINT)) AS n_ivf,
+       |  coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+       |  ${sqlR2("coalesce(h.hits, 0) / CAST(b.n_exact AS DOUBLE)")} AS recall
+       |FROM base b
+       |LEFT JOIN nivf n ON b.query_id = n.query_id
+       |LEFT JOIN h ON b.query_id = h.query_id
        |ORDER BY b.query_id""".stripMargin
 
   // ---- Product quantization (PQ): 8-byte codes + ADC search ----
@@ -1545,6 +1684,8 @@ object Similarity {
     "q_knn_ivfpq_res" -> knnIvfPqRes,
     "q_ann_recall_pq" -> annRecallPq,
     "q_ann_recall_mp" -> annRecallMp,
+    "q_knn_filtered" -> knnFiltered,
+    "q_ann_recall_filtered" -> annRecallFiltered,
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
@@ -1565,6 +1706,8 @@ object Similarity {
     "q_knn_ivfpq_res" -> knnIvfPqResSql,
     "q_ann_recall_pq" -> annRecallPqSql,
     "q_ann_recall_mp" -> annRecallMpSql,
+    "q_knn_filtered" -> knnFilteredSql,
+    "q_ann_recall_filtered" -> annRecallFilteredSql,
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,

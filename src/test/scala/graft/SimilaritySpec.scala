@@ -230,4 +230,48 @@ class SimilaritySpec extends SparkSpec {
     }
     Det.releasePins(spark)
   }
+
+  test("filtered search: post-filter IVF returns ZERO results when the label lives in an unprobed blob") {
+    // The filtered-ANN pathology, planted: query 0 sits in blob A but
+    // its label-7 peers all live in blob B, 1000 away per dim. The
+    // coarse quantizer probes query 0's 3 nearest clusters — all blob-A
+    // clusters — so the post-filtered candidate set is EMPTY while the
+    // filtered brute finds 5 real neighbors in B. Control queries
+    // (label 1, peers in-blob) keep full result sets. This is the
+    // verified form of "post-filtering breaks on selective predicates;
+    // over-probe or partition the index by the filter key".
+    import spark.implicits._
+    import graft.queries.Det
+    val pts =
+      (0 until 60).map { p =>
+        val emb = Array.tabulate(64) { i =>
+          ((i * 7) % 13 - 6).toFloat * 10f +
+            ((p * 17 + i * 3) % 5 - 2).toFloat * 0.01f
+        }
+        (p.toLong, emb, if (p == 0) 7 else 1)
+      } ++
+      (60 until 90).map { p =>
+        val emb = Array.tabulate(64) { i =>
+          1000f + ((i * 11) % 9 - 4).toFloat * 10f +
+            ((p * 13 + i * 5) % 5 - 2).toFloat * 0.01f
+        }
+        (p.toLong, emb, 7)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_filtblobs").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Similarity.knnFiltered(spark, dir).collect()
+    val q0Brute = brute.filter(_.getAs[Long]("query_id") == 0L)
+    assert(q0Brute.length == 5 && q0Brute.forall(_.getAs[Long]("neighbor_id") >= 60L),
+      "filtered brute must find query 0's label-7 peers in blob B")
+    val rec = Similarity.annRecallFiltered(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_ivf"), r.getAs[Double]("recall"))).toMap
+    assert(rec(0L) == (5L, 0L, 0.0),
+      s"query 0 must hit the empty-post-filter pathology: ${rec(0L)}")
+    (1L to 9L).foreach { q =>
+      assert(rec(q)._2 == 5L, s"control query $q should keep a full result set: ${rec(q)}")
+    }
+    Det.releasePins(spark)
+  }
 }
