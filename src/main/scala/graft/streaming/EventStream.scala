@@ -662,6 +662,62 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming per-source admission quota ----
+
+  case class AdmitDoc(doc_id: Long, source: String)
+  case class AdmitState(admitted: Long)
+  case class AdmitOut(doc_id: Long, source: String, admitted: Boolean,
+                      source_seq: Long)
+
+  /** Streaming twin of CorpusPipeline's per-source cap (stage 3.7):
+    * ADMISSION CONTROL at ingest time. The batch cap selects its quota
+    * retrospectively by md5 rank because it sees the whole corpus; a
+    * stream cannot see the future, so the online contract is
+    * first-come-first-served — each source's first `quota` docs land,
+    * every later one is emitted with admitted=false (rejects stay in
+    * the output so drops remain auditable, the batch stage's logged-
+    * drop discipline). State per source is ONE counter — O(sources)
+    * total state however long the stream runs, the cheapest possible
+    * mapGroupsWithState shape. Docs process in doc_id order within a
+    * micro-batch and the counter checkpoints with the query, so a
+    * restart resumes the count instead of re-admitting; an id-ordered
+    * source therefore admits exactly its per-source id-prefix,
+    * batch-boundary-invariant (the spec proves it across a split).
+    */
+  def admitStream(spark: SparkSession, sourceDir: String, quota: Long,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+      .select(col("doc_id"), col("source")).as[AdmitDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[AdmitState, AdmitOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, docs: Iterator[AdmitDoc], state: GroupState[AdmitState]) =>
+          val sorted = docs.toSeq.sortBy(_.doc_id)
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = sorted.map { d =>
+            val ok = n < quota
+            if (ok) n += 1
+            AdmitOut(d.doc_id, source, ok, if (ok) n else -1L)
+          }
+          state.update(AdmitState(n))
+          out.iterator
+      }
+      .toDF()
+  }
+
+  def runAdmitStream(spark: SparkSession, sourceDir: String, queryName: String,
+                     quota: Long,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = admitStream(spark, sourceDir, quota, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Stream-stream interval join ----
 
   /** Click→purchase attribution as a stream-stream inner join: purchases

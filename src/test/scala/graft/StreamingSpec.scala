@@ -525,6 +525,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r == Seq("s0", 1L, 3L, 256L, 2L, 1L)))
   }
 
+  test("streaming admission quota: counters persist across micro-batches, rejects audited") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, src) => (id, "w", "en", src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val watched = Files.createTempDirectory("admit_src")
+    // Quota 3 per source. Batch 1 part-fills s0 (2 docs); batch 2 brings
+    // 3 more s0 docs — only the id-smallest lands on the carried counter
+    // — while s1 stays under quota throughout.
+    stageFile(watched, "a", mkDocs(Seq((1L, "s0"), (2L, "s0"), (10L, "s1"))), 0)
+    stageFile(watched, "b", mkDocs(Seq((5L, "s0"), (3L, "s0"), (4L, "s0"), (11L, "s1"))), 10)
+    val out = EventStream.runAdmitStream(
+      spark, watched.toString, "admit_stream_test", quota = 3L,
+      maxFilesPerTrigger = Some(1)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("admitted"), r.getAs[Long]("source_seq"))).toMap
+    assert(out.size == 7, s"every doc must appear, admitted or not: $out")
+    assert(out(1L) == (true, 1L) && out(2L) == (true, 2L) && out(3L) == (true, 3L),
+      s"s0 admits its first three by id: $out")
+    assert(out(4L) == (false, -1L) && out(5L) == (false, -1L),
+      s"s0 overflow must be rejected with the audit marker: $out")
+    assert(out(10L) == (true, 1L) && out(11L) == (true, 2L),
+      s"s1 never reaches quota: $out")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val streamed = EventStream.runClickPurchaseJoin(spark, sourceDir, "attrib_test")
     val ev = Tables.events(spark, sfDir)
