@@ -203,7 +203,13 @@ object Bench {
     // per-run times = external contention, not a code regression.
     val loadMax = (detail.flatMap(_._4) ++ Seq(loadStart, loadEnd)).max
     val procs = Runtime.getRuntime.availableProcessors
-    val env = s""""env":{"load_1m_start":${fmt(loadStart)},"load_1m_end":${fmt(loadEnd)},"load_1m_max":${fmt(loadMax)},"procs":$procs,"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)}}"""
+    // Runtime identity (r9 ADVICE: the committed baseline silently swapped
+    // environments — Spark 3.x→4.x, 16g→89g heap — and round-over-round
+    // deltas were unattributable): pin the versions INTO the line so a
+    // runtime change is visible in the artifact itself.
+    val sparkVer = jsonEscape(spark.version)
+    val javaVer = jsonEscape(System.getProperty("java.version", "?"))
+    val env = s""""env":{"load_1m_start":${fmt(loadStart)},"load_1m_end":${fmt(loadEnd)},"load_1m_max":${fmt(loadMax)},"procs":$procs,"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"spark":"$sparkVer","java":"$javaVer"}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"n_queries":${detail.size},"isolate":"$isolate",$env,"errors":$errs,"families":$fams,"sf":"$sfDir"}"""
     // File twin first (survives any stdout mangling), then the line as
     // the LAST thing on stdout — after spark.stop(), so no stop-time
@@ -215,5 +221,13 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
     println(line)
+    // rc=0 with a non-empty errors map let a 3-query regression pass any
+    // exit-code-keyed gate in round 9 (ADVICE): fail loudly AFTER the line
+    // and the file twin are both emitted, so the artifacts still parse.
+    val nErr = detail.count(_._7 != null)
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} errored — exiting non-zero")
+      sys.exit(1)
+    }
   }
 }

@@ -23,17 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads only as a
-    * raw nanosecond Long (spark.sql.legacy.parquet.nanosAsLong — set in
-    * Verify/Bench/test sessions). Truncating DIV 1000 to micros matches
-    * DuckDB's ns→µs truncation, so oracle timestamps agree. Integer DIV,
-    * not `/`: ns epoch values (~1.7e18) exceed double's 2^53 mantissa.
+  /** events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces that type
+    * changed across majors, so normalize BY OBSERVED TYPE, not by config:
+    *   - Spark 3.x + spark.sql.legacy.parquet.nanosAsLong: raw ns Long →
+    *     truncate DIV 1000 to micros (matches DuckDB's ns→µs truncation).
+    *     Integer DIV, not `/`: ns epoch (~1.7e18) exceeds double's 2^53.
+    *   - Spark 4.x ignores that legacy conf and reads TIMESTAMP(NANOS,
+    *     isAdjustedToUTC=false) as TIMESTAMP_NTZ (micros, ns truncated) —
+    *     cast to TIMESTAMP under the UTC session zone (same instant, and
+    *     unix_micros/window() require the zoned type). Round-9 regression:
+    *     every unix_micros(ts) query threw DATATYPE_MISMATCH on this path.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

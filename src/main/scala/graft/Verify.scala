@@ -25,6 +25,13 @@ object Verify {
     // Local-iteration filter (mirrors Bench's ONLY): dump only queries
     // whose name starts with the prefix. Never set by the driver.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    // Round-9 defect (ADVICE): failing queries were only logged to stderr,
+    // so they vanished from CORRECTNESS entirely and a 3-query regression
+    // read as 114/114 green. Now a failure (a) still writes a result dir —
+    // a 1-row frame whose single `__verify_error` column can never match
+    // any oracle, so the driver's compare surfaces it as a hard mismatch
+    // instead of an absence — and (b) lands in outDir/errors.json.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.startsWith) }
       .foreach { case (name, fn) =>
@@ -34,7 +41,16 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        failed(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(s"VERIFY ERROR: ${msg.take(500)}").toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,7 +69,19 @@ object Verify {
       .filter { case (k, _) => only.forall(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure record beside the dumps (empty obj = clean
+    // sweep) so the round report can distinguish "absent query" from
+    // "query errored" without parsing stderr.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     graft.queries.Det.releasePins(spark) // pins live only for the dump sweep
     spark.stop()
+    // Exit 0 even on failures: the error-marker dirs make them hard
+    // mismatches in the driver's compare, whereas a non-zero rc might
+    // make the driver skip the compare and re-hide them. The summary
+    // line is for humans tailing the log.
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")
   }
 }
