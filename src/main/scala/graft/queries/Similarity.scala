@@ -680,6 +680,236 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental IVF maintenance — the index-update path a growing corpus
+    * needs: the coarse quantizer is trained ONCE on the base corpus
+    * (vec_id % 5 ≠ 0, ~80%) with the same fixed-round Lloyd's as
+    * `kmeansCentroids`, then a new ingest batch (vec_id % 5 = 0) is
+    * assigned to the FROZEN centroids — one broadcast-join pass over the
+    * batch, no retrain. That asymmetry (train rarely, assign per batch)
+    * is what makes IVF viable at 100 TB: the per-batch cost is a single
+    * linear scan of the new vectors against k broadcast rows. The report
+    * keys on the trained centroid table (left joins, so a cluster that
+    * catches no new vectors still appears) and carries the mean assign
+    * distance of the new batch per cluster — the drift signal that tells
+    * an operator when the quantizer needs retraining.
+    */
+  /** The trained base-corpus quantizer and the per-vector frozen-centroid
+    * assignments (vec_id, cluster, dist, is_new) behind `q_knn_ivf_incr`
+    * — assignments are public to the spec, which pins that new-batch
+    * members land in clusters holding base members of their own blob.
+    */
+  private[graft] def ivfIncrParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val vd = vdF(spark, dir)
+    val base = vd.filter(col("vec_id") % 5 =!= 0)
+    val fresh = vd.filter(col("vec_id") % 5 === 0)
+    val cent = Det.memoMulti(spark, s"sim.kmcentincr:$dir", Set("q_knn_ivf_incr")) {
+      val dims = base
+        .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"), col("val"))
+      val seeds = base
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":kmseed"))))
+        .orderBy(col("h"), col("vec_id")).limit(10)
+      val cent0 = seeds
+        .withColumn("cluster", row_number().over(
+          Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+        .select(col("cluster"), col("emb_d").as("cent"))
+      (1 to 3).foldLeft(cent0)((c, _) => kmUpdate(dims, kmAssign(base, c)))
+    }
+    def assignWithDist(v: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .withColumn("dist", expr(kmDistExpr))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+    val asg = assignWithDist(base).withColumn("is_new", lit(false))
+      .unionByName(assignWithDist(fresh).withColumn("is_new", lit(true)))
+    (cent, asg)
+  }
+
+  val knnIvfIncr: Q = (spark, dir) => {
+    val (cent, asg) = ivfIncrParts(spark, dir)
+    val bCounts = asg.filter(!col("is_new"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val nCounts = asg.filter(col("is_new"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"), r6(davg(col("dist"))).as("mean_dist_new0"))
+    cent.select(col("cluster"))
+      .join(bCounts, Seq("cluster"), "left_outer")
+      .join(nCounts, Seq("cluster"), "left_outer")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n_total"),
+        coalesce(col("mean_dist_new0"), lit(0.0)).as("mean_dist_new"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Same 3-round unrolled Lloyd's CTEs as `knnIvfKmeansSql`, restricted
+    * to the base corpus, plus frozen-centroid assignment of the new batch.
+    */
+  val knnIvfIncrSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "cent0" else s"cent${r - 1}"
+      s"""asg$r AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+         |    FROM vdb v, $prev c) t WHERE rn = 1),
+         |cent$r AS (
+         |  SELECT cluster, list(cval ORDER BY d) AS cent FROM (
+         |    SELECT a.cluster, dm.d, ${sqlR6(sqlDavg("dm.val"))} AS cval
+         |    FROM dimsb dm JOIN asg$r a ON dm.vec_id = a.vec_id
+         |    GROUP BY a.cluster, dm.d) u
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vd AS (
+       |  SELECT vec_id, [embedding[i]::DOUBLE for i in generate_series(1, 64)] AS emb_d
+       |  FROM embeddings),
+       |vdb AS (SELECT * FROM vd WHERE vec_id % 5 <> 0),
+       |dimsb AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings WHERE vec_id % 5 <> 0),
+       |seeds AS (
+       |  SELECT vec_id, emb_d, md5(vec_id::VARCHAR || ':kmseed') AS h
+       |  FROM vdb ORDER BY h, vec_id LIMIT 10),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cluster,
+       |    emb_d AS cent
+       |  FROM seeds),
+       |$rounds,
+       |basea AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT v.vec_id, c.cluster, ${duckKmDist("v.emb_d", "c.cent")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+       |    FROM vdb v, cent3 c) t WHERE rn = 1),
+       |newa AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT v.vec_id, c.cluster, ${duckKmDist("v.emb_d", "c.cent")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
+       |    FROM vd v, cent3 c WHERE v.vec_id % 5 = 0) t WHERE rn = 1),
+       |bc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_base FROM basea GROUP BY cluster),
+       |nc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new,
+       |         ${sqlR6(sqlDavg("dist"))} AS mean_dist_new0 FROM newa GROUP BY cluster)
+       |SELECT c.cluster,
+       |  coalesce(bc.n_base, 0) AS n_base,
+       |  coalesce(nc.n_new, 0) AS n_new,
+       |  coalesce(bc.n_base, 0) + coalesce(nc.n_new, 0) AS n_total,
+       |  coalesce(nc.mean_dist_new0, 0.0) AS mean_dist_new
+       |FROM cent3 c LEFT JOIN bc ON c.cluster = bc.cluster
+       |LEFT JOIN nc ON c.cluster = nc.cluster
+       |ORDER BY c.cluster""".stripMargin
+  }
+
+  /** Signed-random-projection dimensionality reduction (64 → 16) with a
+    * measured recall report — the memory/IO knob a 100 TB embedding store
+    * turns before anything else: a 4× narrower vector cuts scan bytes 4×
+    * and the projection preserves relative distance in expectation
+    * (Johnson–Lindenstrauss; ±1 sign matrix per Achlioptas' database-
+    * friendly construction). The projection matrix is md5-derived
+    * (sign(j,i) = parity of hexdigit₁(md5("j:i")), the same no-RNG
+    * discipline as the LSH hyperplanes), so both engines materialize the
+    * identical matrix. Projected values are exact decimal sums
+    * (order-free), so the projected vectors — and therefore the top-k in
+    * projected space — are oracle-exact.
+    *
+    * Scale shape: the projection is one explode + 1024-row broadcast join
+    * + partial-aggregated (vec_id, j) sum — linear in corpus size with
+    * map-side combine; search in projected space then pays 16-dim folds
+    * instead of 64. Recall@5 vs the exact cosine top-5 is the verified
+    * quality number (expected LOW on these near-random embeddings — JL
+    * preserves metric structure, and near-random corpora have little;
+    * the spec plants clustered vectors to show the high-recall regime).
+    */
+  /** The projected-space top-5 table (qr, nr) — public to the spec,
+    * which pins the no-cross-blob-neighbor property on planted blobs.
+    */
+  private[graft] def rpTop5(spark: SparkSession, dir: String): DataFrame = {
+    val vd = vdF(spark, dir)
+    val dims = vd
+      .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("val"))
+    val mat = spark.range(1, 17).toDF("j")
+      .crossJoin(spark.range(1, 65).toDF("i"))
+      .withColumn("sgn", when(
+        expr("ascii(substring(md5(concat(cast(j AS string), ':', cast(i AS string))), 1, 1)) % 2 = 0"),
+        lit(1.0)).otherwise(lit(-1.0)))
+    val pvecs = dims.join(broadcast(mat), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(dsum(col("val") * col("sgn")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, p))), s -> s.p)").as("pvec"))
+    val qp = pvecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pvec").as("qvec"))
+    val pdist =
+      "aggregate(zip_with(qvec, pvec, (x, c) -> (x - c) * (x - c)), 0.0D, (acc, v) -> acc + v)"
+    val w = Window.partitionBy(col("query_id")).orderBy(col("pd"), col("vec_id"))
+    pvecs.crossJoin(broadcast(qp))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pd", expr(pdist))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id").as("qr"), col("vec_id").as("nr"))
+  }
+
+  val embedRp: Q = (spark, dir) => {
+    val rp5 = rpTop5(spark, dir)
+    val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val hits = brute.join(rp5,
+        brute("query_id") === rp5("qr") && brute("neighbor_id") === rp5("nr"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    base.join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("rp_hits"),
+        r2(coalesce(col("h"), lit(0L)) / col("k").cast("double")).as("rp_recall_at5"))
+      .orderBy(col("query_id"))
+  }
+
+  val embedRpSql: String = {
+    val duckPdist =
+      "list_reduce([(q.qvec[i] - p.pvec[i]) * (q.qvec[i] - p.pvec[i]) for i in generate_series(1, 16)], (x, y) -> x + y)"
+    s"""WITH dims AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings),
+       |mat AS (
+       |  SELECT j, i,
+       |    CASE WHEN ascii(substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM generate_series(1, 16) t1(j), generate_series(1, 64) t2(i)),
+       |proj AS (
+       |  SELECT d.vec_id, m.j, ${sqlDsum("d.val * m.sgn")} AS p
+       |  FROM dims d JOIN mat m ON d.i = m.i
+       |  GROUP BY d.vec_id, m.j),
+       |pvecs AS (
+       |  SELECT vec_id, list(p ORDER BY j) AS pvec FROM proj GROUP BY vec_id),
+       |qp AS (
+       |  SELECT vec_id AS query_id, pvec AS qvec FROM pvecs WHERE vec_id < 10),
+       |rp5 AS (
+       |  SELECT query_id AS qr, vec_id AS nr FROM (
+       |    SELECT q.query_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY $duckPdist, p.vec_id) AS rnk
+       |    FROM pvecs p, qp q WHERE p.vec_id <> q.query_id) t
+       |  WHERE rnk <= 5),
+       |brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
+       |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM brute GROUP BY query_id),
+       |hits AS (
+       |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM brute b JOIN rp5 r ON b.query_id = r.qr AND b.neighbor_id = r.nr
+       |  GROUP BY b.query_id)
+       |SELECT b.query_id,
+       |  coalesce(h.h, 0) AS rp_hits,
+       |  ${sqlR2("coalesce(h.h, 0) / CAST(b.k AS DOUBLE)")} AS rp_recall_at5
+       |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+       |ORDER BY b.query_id""".stripMargin
+  }
+
   /** Measured nprobe lift: single-probe vs 3-probe IVF recall against
     * the brute-force ground truth — the verified form of "nprobe is the
     * recall/cost knob".
@@ -1679,6 +1909,8 @@ object Similarity {
     "q_knn_ivf" -> knnIvf,
     "q_knn_ivf_mp" -> knnIvfMp,
     "q_knn_ivf_kmeans" -> knnIvfKmeans,
+    "q_knn_ivf_incr" -> knnIvfIncr,
+    "q_embed_rp" -> embedRp,
     "q_knn_pq" -> knnPq,
     "q_knn_ivfpq" -> knnIvfPq,
     "q_knn_ivfpq_res" -> knnIvfPqRes,
@@ -1701,6 +1933,8 @@ object Similarity {
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_ivf_mp" -> knnIvfMpSql,
     "q_knn_ivf_kmeans" -> knnIvfKmeansSql,
+    "q_knn_ivf_incr" -> knnIvfIncrSql,
+    "q_embed_rp" -> embedRpSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_knn_ivfpq_res" -> knnIvfPqResSql,

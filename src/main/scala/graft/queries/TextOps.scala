@@ -361,6 +361,40 @@ object TextOps {
       |  CAST(sum(contrib) AS DOUBLE) / 256 AS fill_ratio
       |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Packing-efficiency rollup — the per-shard report a pre-training
+    * pipeline watches to decide whether its sequence budget is right:
+    * sequences produced, tokens packed, fully-filled sequence count,
+    * mean fill ratio, and the straddle rate (what fraction of doc-slots
+    * cross a sequence boundary — the attention-mask complexity proxy).
+    * Pure aggregation over the q_pack_sequences frame: one extra
+    * hash-agg keyed on `source`, nothing new to shuffle at 100 TB.
+    * fill_ratio values are exact multiples of 1/256 (≤ 8 decimal
+    * digits), so the decimal mean is exact cross-engine.
+    */
+  val packStats: Q = (spark, dir) =>
+    packSequencesOver(documents(spark, dir), 256)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        sum(when(col("fill_ratio") === 1.0, 1L).otherwise(0L)).as("full_seqs"),
+        r4(davg(col("fill_ratio"))).as("mean_fill"),
+        sum(col("n_straddle")).as("n_straddle"),
+        sum(col("n_docs")).as("n_doc_slots"))
+      .withColumn("straddle_rate",
+        r4(col("n_straddle").cast("double") / col("n_doc_slots").cast("double")))
+      .orderBy(col("source"))
+
+  val packStatsSql: String =
+    s"""SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN fill_ratio = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS full_seqs,
+       |  ${sqlR4(sqlDavg("fill_ratio"))} AS mean_fill,
+       |  CAST(sum(n_straddle) AS BIGINT) AS n_straddle,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_doc_slots,
+       |  ${sqlR4("CAST(sum(n_straddle) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE)")} AS straddle_rate
+       |FROM ($packSequencesSql) GROUP BY source ORDER BY source""".stripMargin
+
   /** Tokenizer-aware sequence packing: the same concatenate-then-split
     * packing as q_pack_sequences, but on REAL tokenizer token counts —
     * an ordered BPE merge table applied per word — instead of the
@@ -1315,7 +1349,133 @@ object TextOps {
       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** URL canonicalization — the curation step before URL-keyed dedup: a
+    * crawl sees the same page as `HTTPS://WWW.Site7.com:443/p/12/?utm_
+    * source=feed#frag` and `https://site7.com/p/12`; keying dedup on the
+    * raw string under-merges. Canonical form: lowercase host, strip a
+    * leading `www.`, drop the default port, strip the fragment, drop
+    * `utm_*` tracking params (keeping real ones), and trim a trailing
+    * slash. URLs are synthesized from doc_id (documents carry no url
+    * column) with all five mess shapes planted on modular patterns, so
+    * several raw variants collapse per canonical key.
+    *
+    * Scale shape: per-row regexp maps (codegen'd, zero shuffle) + one
+    * hash aggregation on the canonical key — exactly q_dedup_exact's
+    * discipline with canon_url in place of the content hash.
+    */
+  val urlCanon: Q = (spark, dir) => {
+    val raw = documents(spark, dir)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("Site")).otherwise(lit("site")),
+        (col("doc_id") % 50).cast("string"), lit(".com"),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 200).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0, lit("?page=2&utm_source=feed"))
+          .when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_campaign=mix"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))))
+      .withColumn("host", regexp_replace(
+        lower(regexp_extract(col("url"), "^https?://([^/:?#]+)", 1)), "^www\\.", ""))
+      .withColumn("path", regexp_replace(
+        regexp_extract(col("url"), "^https?://[^/?#]+(/[^?#]*)", 1), "/$", ""))
+      .withColumn("qs", regexp_replace(
+        regexp_extract(col("url"), "\\?([^#]*)", 1), "(^|&)utm_[a-z]+=[^&#]*", ""))
+      .withColumn("qs", regexp_replace(col("qs"), "^&", ""))
+      .withColumn("canon_url", concat(lit("https://"), col("host"), col("path"),
+        when(col("qs") =!= "", concat(lit("?"), col("qs"))).otherwise(lit(""))))
+    raw.groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_variants"),
+        min(col("doc_id")).as("keeper_doc"))
+      .withColumn("is_dup_key", col("n_docs") > 1)
+      .orderBy(col("canon_url"))
+  }
+
+  val urlCanonSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://'
+      |      || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |      || (CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END)
+      |      || CAST(doc_id % 50 AS VARCHAR) || '.com'
+      |      || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+      |      || '/p/' || CAST(doc_id % 200 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+      |      || (CASE WHEN doc_id % 8 = 0 THEN '?page=2&utm_source=feed'
+      |          WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=mix'
+      |          ELSE '' END)
+      |      || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)), '^www\.', '') AS host,
+      |    regexp_replace(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1), '/$', '') AS path,
+      |    regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+      |      '(^|&)utm_[a-z]+=[^&#]*', '', 'g'), '^&', '') AS qs
+      |  FROM u),
+      |k AS (
+      |  SELECT doc_id, url,
+      |    'https://' || host || path
+      |      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canon_url
+      |  FROM c)
+      |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+      |  min(doc_id) AS keeper_doc,
+      |  count(*) > 1 AS is_dup_key
+      |FROM k GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
+  /** Hashed-feature linear quality model — the fasttext-shaped scorer a
+    * curation pipeline runs after the heuristic gate (`qualityGate`): each
+    * token hashes to a weight in [-0.5, 0.5] (md5 → two hex chars → an
+    * integer in [0, 100], shifted and scaled — a stand-in for trained
+    * weights with the exact runtime shape of the real thing), the doc
+    * score is 0.5 + mean(weight) clamped to [0, 1], keep = score ≥ 0.5.
+    *
+    * Determinism: the per-doc sum is a SEQUENTIAL left fold over the
+    * token array (Spark `aggregate` seed 0.0 ≡ DuckDB `list_reduce` —
+    * same op sequence, bit-identical; weights k/100.0 never produce -0.0
+    * so the seed is absorbed exactly). No transcendentals (NOTES rule 8):
+    * the link is clamp-linear, not sigmoid. Scale shape: pure per-row
+    * map, zero shuffles before the canonical sort — the scorer runs at
+    * scan speed over 100 TB.
+    */
+  val qualityModel: Q = (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("wsum", expr(
+        "aggregate(transform(toks, t -> CAST((ascii(substring(md5(t), 1, 1)) * 7" +
+          " + ascii(substring(md5(t), 2, 1)) * 13) % 101 - 50 AS DOUBLE) / 100.0D)," +
+          " 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("score_raw", lit(0.5) + col("wsum") / col("n_tokens").cast("double"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("wsum")).as("feat_sum"),
+        r6(greatest(lit(0.0), least(lit(1.0), col("score_raw")))).as("model_score"),
+        (col("score_raw") >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val qualityModelSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_transform(toks, t ->
+       |      CAST((ascii(substr(md5(t), 1, 1)) * 7
+       |        + ascii(substr(md5(t), 2, 1)) * 13) % 101 - 50 AS DOUBLE) / 100.0),
+       |      (acc, v) -> acc + v) AS wsum
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  ${sqlR6("wsum")} AS feat_sum,
+       |  ${sqlR6("greatest(0.0, least(1.0, 0.5 + wsum / CAST(n_tokens AS DOUBLE)))")} AS model_score,
+       |  (0.5 + wsum / CAST(n_tokens AS DOUBLE)) >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_url_canon" -> urlCanon,
+    "q_quality_model" -> qualityModel,
     "q_split_assign" -> splitAssign,
     "q_domain_stats" -> domainStats,
     "q_domain_cap" -> domainCap,
@@ -1330,6 +1490,7 @@ object TextOps {
     "q_text_bm25" -> textBm25,
     "q_text_chunks" -> textChunks,
     "q_pack_sequences" -> packSequences,
+    "q_pack_stats" -> packStats,
     "q_pack_bpe" -> packBpe,
     "q_pack_bpe2" -> packBpe2,
     "q_text_contamination" -> textContamination,
@@ -1338,6 +1499,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_url_canon" -> urlCanonSql,
+    "q_quality_model" -> qualityModelSql,
     "q_split_assign" -> splitAssignSql,
     "q_domain_stats" -> domainStatsSql,
     "q_domain_cap" -> domainCapSql,
@@ -1352,6 +1515,7 @@ object TextOps {
     "q_text_bm25" -> textBm25Sql,
     "q_text_chunks" -> textChunksSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_pack_stats" -> packStatsSql,
     "q_pack_bpe" -> packBpeSql,
     "q_pack_bpe2" -> packBpe2Sql,
     "q_text_contamination" -> textContaminationSql,

@@ -177,6 +177,31 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("quality model and URL canonicalization stay scan-shaped (minimal exchanges)") {
+    // qualityModel is a pure per-row map + canonical sort: exactly one
+    // (range) exchange. A hash-agg shuffle appearing here means the
+    // scorer stopped being a scan-speed map — the property that lets it
+    // run over 100 TB at read throughput.
+    val qm = planOf("q_quality_model")
+    assert("Exchange".r.findAllIn(qm).length <= 1,
+      s"quality model gained a shuffle:\n$qm")
+    // urlCanon: the exact count(DISTINCT url) plans the standard
+    // two-phase distinct aggregate (exchange on (canon_url, url), then
+    // on canon_url) + the canonical sort — 3 exchanges, nothing else.
+    val uc = planOf("q_url_canon")
+    assert("Exchange".r.findAllIn(uc).length <= 3,
+      s"url canonicalization plans extra shuffles:\n$uc")
+  }
+
+  test("random projection broadcasts the sign matrix into the dim join") {
+    // The 16×64 projection matrix is 1024 rows — it must ride a
+    // broadcast into the exploded-dims join, never shuffle the corpus
+    // side on `i`.
+    val plan = planOf("q_embed_rp")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"projection matrix join is not broadcast:\n$plan")
+  }
+
   test("no query in the suite plans a cartesian product") {
     // Broadcast nested-loop joins against tiny probe/block-pair sets are
     // legitimate; an actual CartesianProduct (both sides shuffled, n×m)

@@ -274,4 +274,105 @@ class SimilaritySpec extends SparkSpec {
     }
     Det.releasePins(spark)
   }
+
+  test("incremental IVF: base/new accounting is exact and keyed on the trained centroids") {
+    import graft.queries.Det
+    val emb = Tables.embeddings(spark, sfDir)
+    val nBase = emb.filter("vec_id % 5 <> 0").count()
+    val nNew = emb.filter("vec_id % 5 = 0").count()
+    val rows = Similarity.queries("q_knn_ivf_incr")(spark, sfDir).collect()
+    // k-means can drop an emptied cluster, never invent one.
+    assert(rows.length >= 1 && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length == rows.length)
+    // Every vector of both generations lands in exactly one cluster:
+    // the split accounting must reproduce the corpus partition exactly.
+    assert(rows.map(_.getAs[Long]("n_base")).sum == nBase)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nNew)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_new"))
+      assert(r.getAs[Double]("mean_dist_new") >= 0.0)
+    }
+    Det.releasePins(spark)
+  }
+
+  test("incremental IVF assigns a new batch to FROZEN centroids (blobs: no strays)") {
+    // The operator's contract is that ingesting a batch does NOT move
+    // the quantizer. Blobs are laid out CONSECUTIVELY (blob = p / 30) so
+    // the vec_id % 5 = 0 holdout takes 6 of every blob's 30 members —
+    // each blob contributes to training AND to the new batch. (With
+    // interleaved blobs = p % 10, the holdout would be blobs 0 and 5 in
+    // their entirety: a quantizer that never saw a blob legitimately
+    // assigns its points far away — that's retrain-needed drift, not a
+    // bug, and exactly what mean_dist_new exists to surface.)
+    import spark.implicits._
+    import graft.queries.Det
+    val pts = for (p <- 0 until 300) yield {
+      val blob = p / 30
+      val emb = Array.tabulate(64) { i =>
+        val proto = ((blob * 31 + i * 7) % 13 - 6).toFloat * 10f
+        val jitter = ((p * 17 + i * 3) % 5 - 2).toFloat * 0.01f
+        proto + jitter
+      }
+      (p.toLong, emb, blob)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_incrblobs").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.queries("q_knn_ivf_incr")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_base")).sum == 240L)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == 60L)
+    // Every blob's new members sit ~0.01 from the blob's own base
+    // members. Lloyd's may SPLIT a tight blob between two seeds or
+    // MERGE blobs into one cell — both are legitimate quantizer
+    // outcomes — but the frozen-centroid assignment must keep a new
+    // member with base members of its OWN blob: per cluster, the blob
+    // set of new members ⊆ the blob set of base members.
+    val asg = Similarity.ivfIncrParts(spark, dir)._2.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"), r.getAs[Boolean]("is_new")))
+    val baseBlobs = asg.filter(!_._3).groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(_._1 / 30).toSet }
+    asg.filter(_._3).foreach { case (v, c, _) =>
+      assert(baseBlobs.getOrElse(c, Set.empty).contains(v / 30),
+        s"new vec $v (blob ${v / 30}) landed in cluster $c with base blobs ${baseBlobs.get(c)}")
+    }
+    Det.releasePins(spark)
+  }
+
+  test("random projection preserves planted blob structure (no cross-blob neighbors)") {
+    // Same robust property as the PQ blob specs: within a blob the
+    // exact top-5 are near-ties (overlap with brute is tie-order
+    // noise), so what the 64→16 projection must preserve is the
+    // geometry — every projected-space neighbor stays in the query's
+    // own blob.
+    import spark.implicits._
+    import graft.queries.Det
+    val pts = for (p <- 0 until 300) yield {
+      val blob = p % 10
+      val emb = Array.tabulate(64) { i =>
+        val proto = ((blob * 31 + i * 7) % 13 - 6).toFloat * 10f
+        val jitter = ((p * 17 + i * 3) % 5 - 2).toFloat * 0.01f
+        proto + jitter
+      }
+      (p.toLong, emb, blob)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpblobs").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rp5 = Similarity.rpTop5(spark, dir).collect()
+    assert(rp5.length == 50, s"10 queries x top-5 expected, got ${rp5.length}")
+    val strays = rp5.filter(r =>
+      r.getAs[Long]("nr") % 10 != r.getAs[Long]("qr") % 10)
+    assert(strays.isEmpty, s"projected neighbor left the query's blob: ${strays.toSeq}")
+    // And the recall report agrees: the projected top-5 of a blob
+    // query can only hit same-blob members, all of which are genuine
+    // near-ties, so recall is well-defined in [0, 1] with full k.
+    val rec = Similarity.queries("q_embed_rp")(spark, dir).collect()
+    assert(rec.length == 10)
+    rec.foreach { r =>
+      val v = r.getAs[Double]("rp_recall_at5")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    Det.releasePins(spark)
+  }
 }

@@ -10,6 +10,8 @@ import graft.queries.TextOps
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private val sfDir = "/root/testdata/sf0.001"
+
   /** Writes a literal documents table into a temp sf-dir so the (spark,
     * dir) query surface is exercised end to end, scan included.
     */
@@ -309,5 +311,69 @@ class TextOpsSpec extends SparkSpec {
       s"round 2 must merge the round-1 piece; learned ${rules.mkString(", ")}")
     val reduced = TextOps.bpeReduce(wcount, rules).select("reduced").as[String].head()
     assert(reduced == "[the]", s"expected full collapse to one piece, got $reduced")
+  }
+
+  test("URL canonicalization: every mess shape is scrubbed and variants collapse") {
+    val rows = TextOps.queries("q_url_canon")(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    // Canonical keys are fully scrubbed: lowercase host, no www., no
+    // default port, no fragment, no tracking params, no trailing slash.
+    rows.foreach { r =>
+      val u = r.getAs[String]("canon_url")
+      assert(u == u.toLowerCase, s"case survived: $u")
+      assert(!u.contains("www.") && !u.contains(":443") && !u.contains("#")
+        && !u.contains("utm_") && !u.endsWith("/"), s"mess survived: $u")
+    }
+    // Real (non-tracking) query params survive canonicalization.
+    assert(rows.exists(_.getAs[String]("canon_url").contains("?page=2")),
+      "the page=2 param must survive utm-stripping")
+    // host = site(doc_id % 50), path = /p/(doc_id % 200), and 50 | 200,
+    // so doc_id % 200 determines the whole pre-query canonical key:
+    // with ≥ 200 docs every canonical path must have collapsed raw
+    // variants, and the doc accounting must be exhaustive.
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.exists(r => r.getAs[Long]("n_raw_variants") > 1L),
+      "raw variants (case/port/fragment/utm) must collapse onto one canonical key")
+    rows.foreach { r =>
+      val p = "/p/(\\d+)".r.findFirstMatchIn(r.getAs[String]("canon_url")).get.group(1).toLong
+      assert(r.getAs[Long]("keeper_doc") % 200 == p % 200,
+        s"keeper must share the canonical key's residue: $r")
+    }
+  }
+
+  test("quality model: md5-hashed weights match a hand computation (golden)") {
+    import spark.implicits._
+    def w(t: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((hex(0).toInt * 7 + hex(1).toInt * 13) % 101 - 50) / 100.0
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = docsDir(Seq(
+      (1L, "alpha beta", "en", "src0", 10L), (2L, "gamma", "en", "src0", 5L)))
+    val out = TextOps.queries("q_quality_model")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("feat_sum"), r.getAs[Double]("model_score"), r.getAs[Boolean]("keep"))).toMap
+    val s1 = w("alpha") + w("beta")
+    val s2 = w("gamma")
+    assert(out(1L)._1 == r6(s1), s"feat_sum mismatch: ${out(1L)._1} vs ${r6(s1)}")
+    assert(out(2L)._1 == r6(s2))
+    assert(out(1L)._2 == r6(math.max(0.0, math.min(1.0, 0.5 + s1 / 2))))
+    assert(out(1L)._3 == (0.5 + s1 / 2 >= 0.5))
+    assert(out(2L)._3 == (0.5 + s2 >= 0.5))
+  }
+
+  test("quality model: scores are clamped to [0,1] and keep agrees with the score") {
+    val rows = TextOps.queries("q_quality_model")(spark, sfDir).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("model_score")
+      assert(s >= 0.0 && s <= 1.0, s"score out of range: $r")
+      val keep = r.getAs[Boolean]("keep")
+      // r6 rounding can move a hairline score across 0.5; allow the ulp
+      // band, forbid any real disagreement.
+      if (math.abs(s - 0.5) > 1e-6) assert(keep == (s >= 0.5), s"keep/score disagree: $r")
+    }
   }
 }
