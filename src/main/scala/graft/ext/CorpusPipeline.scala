@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   final case class StageCounts(input: Long, afterQuality: Long,
+                               afterModel: Long,
                                afterContam: Long, afterExact: Long,
                                afterNear: Long, afterSemantic: Long,
                                afterCap: Long, sequences: Long)
@@ -45,13 +46,18 @@ object CorpusPipeline {
     * dedup runs FIRST so duplicates never consume quota, and the
     * hash-stable selection means a re-run (or growth in OTHER sources)
     * keeps the same docs.
+    * `modelMinScore`: when given, stage 1.2 drops docs whose
+    * q_quality_model hashed-linear score falls below the threshold,
+    * logging (doc_id, model_score, reason) to `outDir/model_dropped` —
+    * the learned-classifier pass after the cheap heuristic gate.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           minQuality: Double = 0.5, jaccardThreshold: Double = 0.8,
           benchmark: Option[DataFrame] = None,
           embeddings: Option[DataFrame] = None,
           cosineThreshold: Double = 0.98,
-          maxDocsPerSource: Option[Int] = None): StageCounts = {
+          maxDocsPerSource: Option[Int] = None,
+          modelMinScore: Option[Double] = None): StageCounts = {
     // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
     // and packed sequences never embed an email/phone/id/IP (the order a
     // compliant pipeline requires: scrubbing after dedup would leave PII
@@ -78,6 +84,31 @@ object CorpusPipeline {
       .select(docs.columns.map(col).toSeq: _*)
     val nQuality = quality.count()
 
+    // 1.2. model-scored gate — the learned-classifier pass a production
+    // pipeline runs AFTER the cheap heuristics (q_quality_model's
+    // hashed-linear scorer: per-row map, scan speed, no shuffle).
+    // Heuristics catch degenerate shape (length, repetition, stopword
+    // soup); the model ranks content. Dropped docs log to
+    // outDir/model_dropped with their scores — same auditable-drop
+    // discipline as every other curation stage.
+    val model = modelMinScore match {
+      case None => quality
+      case Some(minScore) =>
+        val ms = quality
+          .withColumn("__mtoks", split(col("text"), " "))
+          .withColumn("__mscore",
+            greatest(lit(0.0), least(lit(1.0), lit(0.5) +
+              expr(graft.queries.TextOps.modelWsumExpr("__mtoks")) /
+                size(col("__mtoks")).cast("double"))))
+        ms.filter(col("__mscore") < minScore)
+          .select(col("doc_id"), col("__mscore").as("model_score"),
+            lit("model_score_below_min").as("drop_reason"))
+          .write.mode("overwrite").parquet(s"$outDir/model_dropped")
+        ms.filter(col("__mscore") >= minScore)
+          .select(docs.columns.map(col).toSeq: _*)
+    }
+    val nModel = model.count()
+
     // 1.5. contamination gate — the decontamination pass q_text_
     // contamination verifies, as a DROP stage: any doc whose distinct
     // 8-grams overlap the benchmark suite's by > 10% is removed BEFORE
@@ -91,13 +122,13 @@ object CorpusPipeline {
       """array_distinct(transform(sequence(1, size(toks) - 7),
         |                         i -> concat_ws(' ', slice(toks, i, 8))))""".stripMargin
     val contam = benchmark match {
-      case None => quality
+      case None => model
       case Some(benchDocs) =>
         val bGrams = benchDocs
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 8)
           .select(explode(expr(gram8)).as("gram")).distinct()
-        val tGrams = quality
+        val tGrams = model
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 8)
           .select(col("doc_id"), explode(expr(gram8)).as("gram"))
@@ -113,7 +144,7 @@ object CorpusPipeline {
             coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("overlap_ratio"),
             lit("benchmark_8gram_overlap").as("drop_reason"))
           .write.mode("overwrite").parquet(s"$outDir/contaminated")
-        quality.join(dropped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        model.join(dropped.select(col("doc_id")), Seq("doc_id"), "left_anti")
     }
     val nContam = contam.count()
 
@@ -189,9 +220,10 @@ object CorpusPipeline {
 
     // 5. write partitioned by lang + report
     capped.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nContam, nExact, nNear, nSem, nCap, nSeqs)
+    val report = StageCounts(input, nQuality, nModel, nContam, nExact, nNear, nSem, nCap, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
+      ("after_model_score", report.afterModel),
       ("after_contamination", report.afterContam),
       ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
       ("after_semantic_dedup", report.afterSemantic),
@@ -282,6 +314,7 @@ object CorpusPipeline {
     try {
       val r = run(spark, sfDir, outDir)
       println(s"[corpus] input=${r.input} quality=${r.afterQuality} " +
+        s"model=${r.afterModel} " +
         s"contam=${r.afterContam} exact=${r.afterExact} near=${r.afterNear} " +
         s"semantic=${r.afterSemantic} sequences=${r.sequences} -> $outDir")
     } finally spark.stop()

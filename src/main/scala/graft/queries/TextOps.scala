@@ -1442,14 +1442,20 @@ object TextOps {
     * map, zero shuffles before the canonical sort — the scorer runs at
     * scan speed over 100 TB.
     */
+  /** The hashed-weight sum for a token-array column — shared by
+    * q_quality_model and CorpusPipeline's model-gate stage so the two
+    * surfaces score identically.
+    */
+  def modelWsumExpr(toksCol: String): String =
+    s"aggregate(transform($toksCol, t -> CAST((ascii(substring(md5(t), 1, 1)) * 7" +
+      " + ascii(substring(md5(t), 2, 1)) * 13) % 101 - 50 AS DOUBLE) / 100.0D)," +
+      " 0.0D, (acc, v) -> acc + v)"
+
   val qualityModel: Q = (spark, dir) =>
     documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("wsum", expr(
-        "aggregate(transform(toks, t -> CAST((ascii(substring(md5(t), 1, 1)) * 7" +
-          " + ascii(substring(md5(t), 2, 1)) * 13) % 101 - 50 AS DOUBLE) / 100.0D)," +
-          " 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("wsum", expr(modelWsumExpr("toks")))
       .withColumn("score_raw", lit(0.5) + col("wsum") / col("n_tokens").cast("double"))
       .select(col("doc_id"), col("n_tokens"),
         r6(col("wsum")).as("feat_sum"),

@@ -90,6 +90,41 @@ class CorpusPipelineSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("model-gate stage drops below-threshold docs with logged scores") {
+    import spark.implicits._
+    // The model is md5-hashed weights, so "good" and "bad" tokens are
+    // found by evaluating the SAME weight function the operator uses:
+    // build one doc from strongly-negative-weight tokens and one from
+    // strongly-positive ones, and the gate must separate them exactly.
+    def w(t: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((hex(0).toInt * 7 + hex(1).toInt * 13) % 101 - 50) / 100.0
+    }
+    val cands = (0 until 4000).map(i => s"tok$i")
+    // 40 tokens each so the heuristic gate (length, uniq, stopwords)
+    // passes BOTH docs — only the model separates them.
+    val negToks = cands.sortBy(w).take(40)
+    val posToks = cands.sortBy(t => -w(t)).take(40)
+    assert(negToks.map(w).sum / 40 < -0.1 && posToks.map(w).sum / 40 > 0.1,
+      "token search must find clearly-signed weights")
+    val dir = stageDocs(Seq(
+      (1L, posToks.mkString(" ")),
+      (2L, negToks.mkString(" "))))
+    val out = java.nio.file.Files.createTempDirectory("corpus_model").toString
+    val r = CorpusPipeline.run(spark, dir, out, modelMinScore = Some(0.5))
+    assert(r.afterQuality == 2, s"both docs must pass the heuristic gate: $r")
+    assert(r.afterModel == 1, s"exactly the negative-weight doc must drop: $r")
+    val logged = spark.read.parquet(s"$out/model_dropped").collect()
+    assert(logged.length == 1 && logged.head.getAs[Long]("doc_id") == 2L)
+    assert(logged.head.getAs[Double]("model_score") < 0.5)
+    assert(logged.head.getAs[String]("drop_reason") == "model_score_below_min")
+    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L))
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("semantic stage drops the paraphrase pair token shingles cannot see") {
     import spark.implicits._
     // A and B share ZERO tokens (no shingle overlap — the near-dedup
