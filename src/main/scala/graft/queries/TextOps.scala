@@ -895,6 +895,89 @@ object TextOps {
        |  ${sqlR6("CAST(kept_tokens AS DOUBLE) / CAST(sum(kept_tokens) OVER () AS DOUBLE)")} AS achieved_share
        |FROM j ORDER BY source""".stripMargin
 
+  /** Temperature-scaled mixture sampling (α = 0.5) — the standard
+    * multi-source pre-training knob between "natural mixture" (α = 1,
+    * big sources dominate) and "uniform" (α = 0, `mixResample`'s equal
+    * shares): target share_i ∝ source_tokens_i^α, so small sources are
+    * up-weighted RELATIVE to their size without drowning the large ones.
+    * Budget is half the corpus (same as mixResample); per-source rate =
+    * min(1, budget·share_i / source_tokens_i); docs keep by the same
+    * 256-way md5 bucket (hash-stable: identical rows both engines, kept
+    * docs stay kept under growth).
+    *
+    * Determinism: sqrt is IEEE-exact per element; the cross-source
+    * normalizer Σ√tokens is a DECIMAL window sum (order-free), so the
+    * shares — and therefore the keep thresholds — are bit-identical in
+    * both engines. Scale shape: |sources|-row rate table broadcast into
+    * a scan-fused per-row filter, one aggregation keyed on source.
+    */
+  val mixTemperature: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    def digit(pos: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
+    val docs = documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("source_tokens"))
+      .withColumn("w_raw", sqrt(col("source_tokens").cast("double")))
+      .withColumn("weight", col("w_raw") / dsumOver(col("w_raw"), w))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(0.5) * sum(col("source_tokens")).over(w).cast("double") *
+            col("weight") / col("source_tokens").cast("double")))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("rate"))), "source")
+      .filter(col("bucket").cast("double") < col("rate") * lit(256.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .withColumn("achieved_share",
+        r6(col("kept_tokens").cast("double") / sum(col("kept_tokens")).over(w).cast("double")))
+      .select(col("source"), col("source_tokens"),
+        r6(col("weight")).as("temp_weight"),
+        r6(col("rate")).as("sample_rate"),
+        col("kept_docs"), col("kept_tokens"), col("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+       |         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket
+       |  FROM documents),
+       |r0 AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens
+       |  FROM d GROUP BY source),
+       |r AS (
+       |  SELECT source, source_tokens,
+       |    sqrt(CAST(source_tokens AS DOUBLE)) /
+       |      ${sqlDsumOver("sqrt(CAST(source_tokens AS DOUBLE))", "()")} AS weight,
+       |    least(1.0,
+       |      0.5 * CAST(sum(source_tokens) OVER () AS DOUBLE) *
+       |        (sqrt(CAST(source_tokens AS DOUBLE)) /
+       |          ${sqlDsumOver("sqrt(CAST(source_tokens AS DOUBLE))", "()")}) /
+       |        CAST(source_tokens AS DOUBLE)) AS rate
+       |  FROM r0),
+       |k AS (
+       |  SELECT d.source, count(*) AS kept_docs, CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM d JOIN r ON d.source = r.source
+       |  WHERE CAST(d.bucket AS DOUBLE) < r.rate * 256.0
+       |  GROUP BY d.source),
+       |j AS (
+       |  SELECT r.source, r.source_tokens, r.weight, r.rate,
+       |    coalesce(k.kept_docs, 0) AS kept_docs, coalesce(k.kept_tokens, 0) AS kept_tokens
+       |  FROM r LEFT JOIN k ON r.source = k.source)
+       |SELECT source, source_tokens,
+       |  ${sqlR6("weight")} AS temp_weight,
+       |  ${sqlR6("rate")} AS sample_rate,
+       |  kept_docs, kept_tokens,
+       |  ${sqlR6("CAST(kept_tokens AS DOUBLE) / CAST(sum(kept_tokens) OVER () AS DOUBLE)")} AS achieved_share
+       |FROM j ORDER BY source""".stripMargin
+
   /** Vocabulary coverage: the top-50 tokens by corpus frequency with each
     * token's share and the cumulative share of all token occurrences —
     * the Zipf report that seeds a BPE vocabulary and sizes OOV handling.
@@ -1490,6 +1573,7 @@ object TextOps {
     "q_vocab_coverage" -> vocabCoverage,
     "q_text_repetition" -> textRepetition,
     "q_mix_resample" -> mixResample,
+    "q_mix_temperature" -> mixTemperature,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_fingerprint" -> textFingerprint,
@@ -1515,6 +1599,7 @@ object TextOps {
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_mix_resample" -> mixResampleSql,
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,

@@ -313,6 +313,28 @@ class TextOpsSpec extends SparkSpec {
     assert(reduced == "[the]", s"expected full collapse to one piece, got $reduced")
   }
 
+  test("temperature mixing up-weights small sources without inverting the order") {
+    val rows = TextOps.queries("q_mix_temperature")(spark, sfDir).collect()
+    assert(rows.length > 1)
+    // Weights form a distribution.
+    val wsum = rows.map(_.getAs[Double]("temp_weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must sum to 1, got $wsum")
+    val tot = rows.map(_.getAs[Long]("source_tokens")).sum.toDouble
+    val bySize = rows.sortBy(_.getAs[Long]("source_tokens"))
+    // The up-weight factor (temperature share / natural share) never
+    // increases with source size — α = 0.5 always favors the smaller
+    // source in relative terms…
+    val boost = bySize.map { r =>
+      r.getAs[Double]("temp_weight") / (r.getAs[Long]("source_tokens") / tot)
+    }
+    assert(boost.zip(boost.tail).forall { case (a, b) => a >= b - 1e-6 },
+      s"up-weight factor must be non-increasing in size: ${boost.toSeq}")
+    // …and the sampling rate follows (bigger source, smaller rate).
+    val rates = bySize.map(_.getAs[Double]("sample_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b - 1e-6 },
+      s"sample_rate must be non-increasing in size: ${rates.toSeq}")
+  }
+
   test("URL canonicalization: every mess shape is scrubbed and variants collapse") {
     val rows = TextOps.queries("q_url_canon")(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()
