@@ -828,7 +828,10 @@ object Similarity {
   /** The projected-space top-5 table (qr, nr) — public to the spec,
     * which pins the no-cross-blob-neighbor property on planted blobs.
     */
-  private[graft] def rpTop5(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def rpTop5(spark: SparkSession, dir: String): DataFrame =
+    rpTopK(spark, dir, 5)
+
+  private def rpTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val vd = vdF(spark, dir)
     val dims = vd
       .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
@@ -852,21 +855,104 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("pd", expr(pdist))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("query_id").as("qr"), col("vec_id").as("nr"))
+  }
+
+  /** Two-stage retrieve-rerank — the pattern every compressed-index
+    * deployment runs: a WIDE candidate set (top-20) retrieved in the
+    * cheap 16-dim projected space, then the exact 64-dim cosine reranks
+    * and keeps the top-5. The compressed pass bounds how much of the
+    * corpus the exact kernel ever touches (20/N here; at 100 TB the
+    * candidate set rides a broadcast back into the id-keyed embedding
+    * store, so the expensive reads are candidate-count-sized, never
+    * corpus-sized). Recall@5 of rerank ≥ recall@5 of raw projected
+    * top-5 BY CONSTRUCTION whenever the wide net catches the true
+    * neighbors — the measured lift lives in q_embed_rp's report.
+    */
+  val knnRpRerank: Q = (spark, dir) => {
+    val cand = rpTopK(spark, dir, 20)
+      .select(col("qr").as("query_id"), col("nr").as("vec_id"))
+    val v = withNorm(spark, dir)
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("vec_id"))
+    cand.join(v, "vec_id")
+      .join(broadcast(probes), "query_id")
+      .withColumn("cosine_raw",
+        expr(dotExpr("q_emb", "embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        r6(col("cosine_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnRpRerankSql: String = {
+    val duckPdist =
+      "list_reduce([(q.qvec[i] - p.pvec[i]) * (q.qvec[i] - p.pvec[i]) for i in generate_series(1, 16)], (x, y) -> x + y)"
+    s"""WITH v AS ($duckNorm),
+       |dims AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS val
+       |  FROM embeddings),
+       |mat AS (
+       |  SELECT j, i,
+       |    CASE WHEN ascii(substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM generate_series(1, 16) t1(j), generate_series(1, 64) t2(i)),
+       |proj AS (
+       |  SELECT d.vec_id, m.j, ${sqlDsum("d.val * m.sgn")} AS p
+       |  FROM dims d JOIN mat m ON d.i = m.i
+       |  GROUP BY d.vec_id, m.j),
+       |pvecs AS (
+       |  SELECT vec_id, list(p ORDER BY j) AS pvec FROM proj GROUP BY vec_id),
+       |qp AS (
+       |  SELECT vec_id AS query_id, pvec AS qvec FROM pvecs WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY $duckPdist, p.vec_id) AS rnk
+       |    FROM pvecs p, qp q WHERE p.vec_id <> q.query_id) t
+       |  WHERE rnk <= 20),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |  FROM v WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) AS cosine_raw,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY ${duckDot("p.q_emb", "v.embedding")} / (p.q_norm * v.norm) DESC,
+       |        v.vec_id) AS rank
+       |  FROM cand c JOIN v ON c.vec_id = v.vec_id
+       |  JOIN probes p ON c.query_id = p.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  ${sqlR6("cosine_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   val embedRp: Q = (spark, dir) => {
     val rp5 = rpTop5(spark, dir)
+    val rr5 = knnRpRerank(spark, dir)
+      .select(col("query_id").as("qq"), col("neighbor_id").as("nn"))
     val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
     val base = brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
     val hits = brute.join(rp5,
         brute("query_id") === rp5("qr") && brute("neighbor_id") === rp5("nr"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    val rhits = brute.join(rr5,
+        brute("query_id") === rr5("qq") && brute("neighbor_id") === rr5("nn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("rh"))
     base.join(hits, Seq("query_id"), "left_outer")
+      .join(rhits, Seq("query_id"), "left_outer")
       .select(col("query_id"),
         coalesce(col("h"), lit(0L)).as("rp_hits"),
-        r2(coalesce(col("h"), lit(0L)) / col("k").cast("double")).as("rp_recall_at5"))
+        r2(coalesce(col("h"), lit(0L)) / col("k").cast("double")).as("rp_recall_at5"),
+        coalesce(col("rh"), lit(0L)).as("rerank_hits"),
+        r2(coalesce(col("rh"), lit(0L)) / col("k").cast("double")).as("rerank_recall_at5"))
       .orderBy(col("query_id"))
   }
 
@@ -898,15 +984,23 @@ object Similarity {
        |    FROM pvecs p, qp q WHERE p.vec_id <> q.query_id) t
        |  WHERE rnk <= 5),
        |brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql)),
+       |rr5 AS (SELECT query_id AS qq, neighbor_id AS nn FROM ($knnRpRerankSql)),
        |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM brute GROUP BY query_id),
        |hits AS (
        |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
        |  FROM brute b JOIN rp5 r ON b.query_id = r.qr AND b.neighbor_id = r.nr
+       |  GROUP BY b.query_id),
+       |rhits AS (
+       |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS rh
+       |  FROM brute b JOIN rr5 r ON b.query_id = r.qq AND b.neighbor_id = r.nn
        |  GROUP BY b.query_id)
        |SELECT b.query_id,
        |  coalesce(h.h, 0) AS rp_hits,
-       |  ${sqlR2("coalesce(h.h, 0) / CAST(b.k AS DOUBLE)")} AS rp_recall_at5
+       |  ${sqlR2("coalesce(h.h, 0) / CAST(b.k AS DOUBLE)")} AS rp_recall_at5,
+       |  coalesce(rh.rh, 0) AS rerank_hits,
+       |  ${sqlR2("coalesce(rh.rh, 0) / CAST(b.k AS DOUBLE)")} AS rerank_recall_at5
        |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+       |LEFT JOIN rhits rh ON rh.query_id = b.query_id
        |ORDER BY b.query_id""".stripMargin
   }
 
@@ -1911,6 +2005,7 @@ object Similarity {
     "q_knn_ivf_kmeans" -> knnIvfKmeans,
     "q_knn_ivf_incr" -> knnIvfIncr,
     "q_embed_rp" -> embedRp,
+    "q_knn_rp_rerank" -> knnRpRerank,
     "q_knn_pq" -> knnPq,
     "q_knn_ivfpq" -> knnIvfPq,
     "q_knn_ivfpq_res" -> knnIvfPqRes,
@@ -1935,6 +2030,7 @@ object Similarity {
     "q_knn_ivf_kmeans" -> knnIvfKmeansSql,
     "q_knn_ivf_incr" -> knnIvfIncrSql,
     "q_embed_rp" -> embedRpSql,
+    "q_knn_rp_rerank" -> knnRpRerankSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
     "q_knn_ivfpq_res" -> knnIvfPqResSql,
