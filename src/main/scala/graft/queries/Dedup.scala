@@ -590,7 +590,12 @@ object Dedup {
     // repetitions reuse the materialized labels — a per-call pin re-ran
     // the whole iterative join loop for every consumer (r3 defect: ~22%
     // of the warm bench sweep).
-    val labels = Det.memo(spark, s"dedup.labels:$dir", Some("q_dedup_keep")) {
+    // memoMulti: q_dedup_keep AND q_dedup_sizes both consume the labels;
+    // the bench's releaseAfter frees the memo only after the LAST
+    // in-family consumer (sizes sorts after keep), so neither re-runs
+    // the fixpoint.
+    val labels = Det.memoMulti(spark, s"dedup.labels:$dir",
+        Set("q_dedup_keep", "q_dedup_sizes")) {
       connectedComponents(
         dedupMinHash(spark, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
@@ -645,6 +650,53 @@ object Dedup {
        |                     ORDER BY q.quality_score DESC, g.doc_id) = 1 AS keep
        |FROM ($dedupGroupsSql) g JOIN (${TextOps.textStatsSql}) q ON g.doc_id = q.doc_id
        |ORDER BY g.doc_id""".stripMargin
+
+  /** Duplication profile — the audit a curation run reads before
+    * deciding dedup budget: how much of the corpus sits in near-dup
+    * components of each size (n_groups, n_docs, corpus share per
+    * group_size), with the singleton mass (docs in NO component) as the
+    * group_size = 1 row so the profile partitions the whole corpus.
+    * Composes the memoized CC labels with two 1-row totals that ride
+    * broadcast nested loops — nothing corpus-sized beyond the fixpoint
+    * the other dedup queries already share.
+    */
+  val dedupSizes: Q = (spark, dir) => {
+    val g = dedupGroups(spark, dir)
+    val grouped = g.groupBy(col("group_size"))
+      .agg(countDistinct(col("group_id")).as("n_groups"),
+        count(lit(1)).as("n_docs"))
+    val totals = documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val gdocs = g.agg(count(lit(1)).as("n_grouped"))
+    val singleton = totals.crossJoin(gdocs)
+      .select(lit(1L).as("group_size"),
+        (col("n_total") - col("n_grouped")).as("n_groups"),
+        (col("n_total") - col("n_grouped")).as("n_docs"))
+    grouped.select(col("group_size"), col("n_groups"), col("n_docs"))
+      .unionByName(singleton)
+      .crossJoin(broadcast(totals))
+      .withColumn("corpus_share",
+        r6(col("n_docs").cast("double") / col("n_total").cast("double")))
+      .select(col("group_size"), col("n_groups"), col("n_docs"), col("corpus_share"))
+      .orderBy(col("group_size"))
+  }
+
+  val dedupSizesSql: String =
+    s"""WITH g AS ($dedupGroupsSql),
+       |gr AS (
+       |  SELECT group_size, CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM g GROUP BY group_size),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+       |gd AS (SELECT CAST(count(*) AS BIGINT) AS n_grouped FROM g),
+       |s AS (
+       |  SELECT CAST(1 AS BIGINT) AS group_size,
+       |    t.n_total - gd.n_grouped AS n_groups,
+       |    t.n_total - gd.n_grouped AS n_docs
+       |  FROM t, gd),
+       |u AS (SELECT * FROM gr UNION ALL SELECT * FROM s)
+       |SELECT u.group_size, u.n_groups, u.n_docs,
+       |  ${sqlR6("CAST(u.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)")} AS corpus_share
+       |FROM u, t ORDER BY u.group_size""".stripMargin
 
   /** PageRank centrality over the near-dup pair graph (5 fixed
     * iterations, damping 0.85): within a duplication cluster the
@@ -1089,6 +1141,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimHash,
     "q_dedup_groups" -> dedupGroups,
     "q_dedup_keep" -> dedupKeep,
+    "q_dedup_sizes" -> dedupSizes,
     "q_dedup_passage" -> dedupPassage,
     "q_source_overlap" -> sourceOverlap,
     "q_source_overlap_sig" -> sourceOverlapSig
@@ -1104,6 +1157,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_dedup_groups" -> dedupGroupsSql,
     "q_dedup_keep" -> dedupKeepSql,
+    "q_dedup_sizes" -> dedupSizesSql,
     "q_dedup_passage" -> dedupPassageSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_source_overlap_sig" -> sourceOverlapSigSql
