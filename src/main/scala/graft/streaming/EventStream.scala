@@ -718,6 +718,40 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming quality-model scoring — the q_quality_model hashed-linear
+    * scorer applied to documents AS THEY ARRIVE: a stateless per-row map
+    * (no watermark, no state store, no shuffle), so the scored stream
+    * equals the batch operator row for row and micro-batch boundaries
+    * are invisible (the spec pins stream ≡ batch across a file split).
+    * This is the admission gate a streaming ingest runs before a doc
+    * ever reaches the corpus — at 100 TB/day the scorer rides the
+    * ingest readers at scan speed.
+    */
+  def scoreStream(spark: SparkSession, sourceDir: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.queries.Det
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("wsum", expr(graft.queries.TextOps.modelWsumExpr("toks")))
+      .withColumn("score_raw",
+        lit(0.5) + col("wsum") / size(col("toks")).cast("double"))
+      .select(col("doc_id"), col("source"),
+        Det.r6(greatest(lit(0.0), least(lit(1.0), col("score_raw"))))
+          .as("model_score"),
+        (col("score_raw") >= 0.5).as("keep"))
+  }
+
+  def runScoreStream(spark: SparkSession, sourceDir: String, queryName: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = scoreStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Stream-stream interval join ----
 
   /** Click→purchase attribution as a stream-stream inner join: purchases

@@ -525,6 +525,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r == Seq("s0", 1L, 3L, 256L, 2L, 1L)))
   }
 
+  test("streaming model scoring equals the batch scorer across micro-batches") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+    val b2 = Seq((3L, "zeta eta theta iota"), (4L, "kappa"))
+    val watched = Files.createTempDirectory("score_src")
+    stageFile(watched, "a", mkDocs(b1), 0)
+    stageFile(watched, "b", mkDocs(b2), 10)
+    val streamed = EventStream.runScoreStream(
+      spark, watched.toString, "score_stream_test", maxFilesPerTrigger = Some(1))
+      .select("doc_id", "model_score", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    // Batch twin: the oracle-verified q_quality_model over the SAME docs.
+    val batchDir = Files.createTempDirectory("score_batch").toString
+    mkDocs(b1 ++ b2).write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+    val batch = graft.queries.TextOps.queries("q_quality_model")(spark, batchDir)
+      .select("doc_id", "model_score", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed.size == 4 && streamed == batch,
+      s"stream $streamed != batch $batch")
+  }
+
   test("streaming admission quota: counters persist across micro-batches, rejects audited") {
     import java.nio.file.Files
     import spark.implicits._
