@@ -437,10 +437,11 @@ object TextOps {
         .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
     }
 
-  val packBpe: Q = (spark, dir) => {
-    val words = documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("word"))
+  /** word → BPE piece count under the one-level top-16 bigram merge
+    * table — packBpe's tokenizer half, factored out so the fertility
+    * report tokenizes identically.
+    */
+  private def bpeWordTok(spark: SparkSession, dir: String): DataFrame = {
     val wcount = wordCounts(spark, dir)
     val bigrams = wcount
       .select(col("wcnt"), explode(expr(
@@ -458,18 +459,91 @@ object TextOps {
           expr("substr(bigram, 2, 1)"), lit("]")).as("pat"),
         concat(lit("["), col("bigram"), lit("]")).as("rep")).as("m"))
       .agg(array_sort(collect_list(col("m"))).as("rules"))
-    val wtok = wcount.crossJoin(broadcast(rules))
+    wcount.crossJoin(broadcast(rules))
       .withColumn("wrapped", regexp_replace(col("word"), "(.)", "[$1]"))
       .withColumn("reduced", expr(
         "aggregate(rules, wrapped, (acc, m) -> replace(acc, m.pat, m.rep))"))
       .select(col("word"),
         (length(col("reduced")) - length(expr("replace(reduced, '[', '')")))
           .cast("long").as("n_tok"))
-    val docTokens = words.join(wtok, "word")
+  }
+
+  val packBpe: Q = (spark, dir) => {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+    val docTokens = words.join(bpeWordTok(spark, dir), "word")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n_tok")).cast("long").as("n_tokens"))
     packOnCounts(docTokens, 256)
   }
+
+  /** Tokenizer fertility by source — the tokenizer-health metric a
+    * pre-training run tracks per corpus slice: BPE pieces per
+    * whitespace word (fertility; 1.0 = every word one piece, higher =
+    * the merge table fits this slice poorly) and characters per piece
+    * (compression). A slice whose fertility is an outlier either needs
+    * tokenizer retraining or is the wrong language/domain for the
+    * current vocabulary. Same Zipf shape as packBpe: the tokenizer
+    * runs per DISTINCT word, occurrences join the tiny word table and
+    * aggregate per source — one broadcast-ish join + one keyed
+    * aggregation, nothing vocabulary-sized shuffles.
+    */
+  val bpeFertility: Q = (spark, dir) => {
+    val words = documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    words.join(bpeWordTok(spark, dir), "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_pieces"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        r6(col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        r6(col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("source"))
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH words AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |wcount AS (SELECT word, count(*) AS wcnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |big AS (
+       |  SELECT substr(word, i, 2) AS bigram, sum(wcnt) AS cnt
+       |  FROM (SELECT word, wcnt,
+       |          unnest(generate_series(1, length(word) - 1)) AS i
+       |        FROM wcount)
+       |  GROUP BY 1),
+       |m AS (SELECT bigram, cnt FROM big ORDER BY cnt DESC, bigram LIMIT 16),
+       |rules AS (
+       |  SELECT list('[' || substr(bigram, 1, 1) || '][' || substr(bigram, 2, 1) || ']='
+       |              || '[' || bigram || ']'
+       |              ORDER BY cnt DESC, bigram) AS rl
+       |  FROM m),
+       |wtok AS (
+       |  SELECT word,
+       |    CAST(length(reduced) - length(replace(reduced, '[', '')) AS BIGINT) AS n_tok
+       |  FROM (
+       |    SELECT word,
+       |      list_reduce(
+       |        list_prepend(regexp_replace(word, '(.)', '[\\1]', 'g'),
+       |                     COALESCE((SELECT rl FROM rules), [])),
+       |        (acc, r) -> replace(acc, split_part(r, '=', 1), split_part(r, '=', 2))) AS reduced
+       |    FROM wcount)),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_pieces,
+       |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+       |  FROM words JOIN wtok USING (word)
+       |  GROUP BY source)
+       |SELECT source, n_words, n_pieces,
+       |  ${sqlR6("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS fertility,
+       |  ${sqlR6("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")} AS chars_per_piece
+       |FROM agg ORDER BY source""".stripMargin
 
   val packBpeSql: String =
     """WITH words AS (
@@ -1582,6 +1656,7 @@ object TextOps {
     "q_pack_sequences" -> packSequences,
     "q_pack_stats" -> packStats,
     "q_pack_bpe" -> packBpe,
+    "q_bpe_fertility" -> bpeFertility,
     "q_pack_bpe2" -> packBpe2,
     "q_text_contamination" -> textContamination,
     "q_text_chunk_dedup" -> textChunkDedup,
@@ -1608,6 +1683,7 @@ object TextOps {
     "q_pack_sequences" -> packSequencesSql,
     "q_pack_stats" -> packStatsSql,
     "q_pack_bpe" -> packBpeSql,
+    "q_bpe_fertility" -> bpeFertilitySql,
     "q_pack_bpe2" -> packBpe2Sql,
     "q_text_contamination" -> textContaminationSql,
     "q_text_chunk_dedup" -> textChunkDedupSql,

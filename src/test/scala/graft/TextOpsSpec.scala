@@ -313,6 +313,33 @@ class TextOpsSpec extends SparkSpec {
     assert(reduced == "[the]", s"expected full collapse to one piece, got $reduced")
   }
 
+  test("BPE fertility golden: 'the' is exactly 2 pieces under the learned table") {
+    // Corpus of one word: bigrams (t,h) and (h,e) tie; the lexicographic
+    // tie-break applies [h][e]→[he] first, consuming the h, so [t][h]
+    // never fires: [t][h][e] → [t][he] = 2 pieces. fertility = 2.0,
+    // chars/piece = 3/2 — checked per source against the hand numbers.
+    val dir = docsDir(Seq(
+      (1L, "the the the", "en", "s0", 11L), (2L, "the", "en", "s1", 3L)))
+    val rows = TextOps.queries("q_bpe_fertility")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+          r.getAs[Double]("fertility"), r.getAs[Double]("chars_per_piece")))).toMap
+    assert(rows("s0") == ((3L, 6L, 2.0, 1.5)), s"s0: ${rows("s0")}")
+    assert(rows("s1") == ((1L, 2L, 2.0, 1.5)), s"s1: ${rows("s1")}")
+  }
+
+  test("BPE fertility invariants on the harness corpus") {
+    val rows = TextOps.queries("q_bpe_fertility")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Every word is at least one piece; merges only shrink counts.
+      assert(r.getAs[Double]("fertility") >= 1.0, s"fertility < 1: $r")
+      // A piece carries at least one character.
+      assert(r.getAs[Double]("chars_per_piece") >= 1.0, s"empty pieces: $r")
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("temperature mixing up-weights small sources without inverting the order") {
     val rows = TextOps.queries("q_mix_temperature")(spark, sfDir).collect()
     assert(rows.length > 1)
