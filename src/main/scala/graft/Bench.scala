@@ -122,6 +122,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same session zone as Verify/tests (NOTES rule 7): Tables.events'
+      // Spark-4 path casts TIMESTAMP_NTZ under the session zone, so a
+      // non-UTC bench host would time event/asof/range queries on
+      // DIFFERENT window/session groupings than the oracle verified.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -138,7 +143,23 @@ object Bench {
     def family(name: String): String = name.split("_").take(2).mkString("_")
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "family")
 
+    // Quiet-host gate (r10 VERDICT: per-run spreads up to 2.9× traced to
+    // external load, not GC or the plan — family comparisons stay noisy
+    // round over round). If the machine is busier than LOAD_MAX at sweep
+    // start, wait up to QUIET_WAIT_SEC (polling every 10 s) for it to
+    // drain; whatever load remains is recorded as `contended` in the env
+    // block so a noisy sweep is flagged IN the artifact, not re-argued.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
+    val quietWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "90").toInt
+    val waitDeadline = System.nanoTime() + quietWaitSec * 1e9.toLong
+    while (loadAvg1m() > loadGate && System.nanoTime() < waitDeadline) {
+      System.err.println(s"[bench] host load ${loadAvg1m()} > $loadGate — waiting for quiet")
+      Thread.sleep(10000)
+    }
     val loadStart = loadAvg1m()
+    val contended = loadStart > loadGate
+    if (contended)
+      System.err.println(s"[bench] starting contended (load $loadStart > $loadGate after ${quietWaitSec}s)")
     // name -> (per-run wall sec, storage MB, 1m load, JVM cpu sec, first error or null)
     var prevFamily: String = null
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -209,7 +230,7 @@ object Bench {
     // runtime change is visible in the artifact itself.
     val sparkVer = jsonEscape(spark.version)
     val javaVer = jsonEscape(System.getProperty("java.version", "?"))
-    val env = s""""env":{"load_1m_start":${fmt(loadStart)},"load_1m_end":${fmt(loadEnd)},"load_1m_max":${fmt(loadMax)},"procs":$procs,"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"spark":"$sparkVer","java":"$javaVer"}"""
+    val env = s""""env":{"load_1m_start":${fmt(loadStart)},"load_1m_end":${fmt(loadEnd)},"load_1m_max":${fmt(loadMax)},"procs":$procs,"contended":$contended,"load_gate":${fmt(loadGate)},"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"spark":"$sparkVer","java":"$javaVer"}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"value_mean":${fmt(totalMean)},"n_queries":${detail.size},"isolate":"$isolate",$env,"errors":$errs,"families":$fams,"sf":"$sfDir"}"""
     // File twin first (survives any stdout mangling), then the line as
     // the LAST thing on stdout — after spark.stop(), so no stop-time

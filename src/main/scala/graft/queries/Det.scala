@@ -79,15 +79,24 @@ object Det {
            scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]]
   private val memoRegistry = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  // memo key -> the query names after which the memo is dead. A memo
-  // shared across bench families (sim.norm feeds q_ann/q_embed/q_hard/
-  // q_knn) has a different last in-family consumer per family, so the
-  // declaration is a SET: the memo is released when ANY of them finishes
-  // (each family's own tail stops paying storage for it; a later family
-  // that needs it re-pins fresh). Declared AT the memo site so the
-  // topology lives next to the code it describes; consulted by
-  // releaseAfter.
+  // memo key -> the declared consumer set: the query names that read the
+  // memo last (one per bench family when shared across families — sim.norm
+  // feeds q_ann/q_embed/q_hard/q_knn). The memo is released only when the
+  // set is EXHAUSTED: releaseAfter strikes the finished query from a
+  // per-key `remaining` set and frees the memo when it empties (r10
+  // ADVICE: release-on-ANY let q_dedup_keep free the labels memo while
+  // q_dedup_sizes still needed it, re-running the CC fixpoint once per
+  // sweep). Consumers that never run (BENCH_ONLY filter, a family-boundary
+  // releasePins) leave a non-empty remainder — releasePins clears it.
+  // Declared AT the memo site so the topology lives next to the code it
+  // describes; consulted by releaseAfter.
   private val lastConsumer = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Set[String]]
+  // memo key -> consumers that have NOT yet finished. Initialized when the
+  // memo is BUILT (not on every memoMulti call — later consumers re-invoke
+  // memoMulti with the same declaration, which must not reset the strike
+  // count). Entries die with the memo (releaseAfter / releasePins / sweep).
+  private val remaining = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), Set[String]]
 
   /** Drop entries owned by STOPPED sessions — a consumer that never
@@ -98,6 +107,7 @@ object Det {
   private def sweepStopped(): Unit = {
     memoRegistry.keys.filter(_._1.sparkContext.isStopped).foreach(memoRegistry.remove)
     lastConsumer.keys.filter(_._1.sparkContext.isStopped).foreach(lastConsumer.remove)
+    remaining.keys.filter(_._1.sparkContext.isStopped).foreach(remaining.remove)
     pinRegistry.keys.filter(_.sparkContext.isStopped).foreach(pinRegistry.remove)
   }
 
@@ -133,23 +143,35 @@ object Det {
           (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     memoMulti(spark, key, releaseAfterQuery.toSet)(build)
 
-  /** Memo whose last in-family consumer differs per bench family: released
-    * as soon as ANY of `releaseAfterAnyOf` finishes.
+  /** Memo with a multi-query consumer set: released only when EVERY name
+    * in `releaseAfterAllOf` has passed through `releaseAfter` (set
+    * exhausted). The bench's family-boundary `releasePins` still clears
+    * any remainder, so a consumer filtered out of the sweep cannot pin
+    * the memo past its family.
     */
   def memoMulti(spark: org.apache.spark.sql.SparkSession, key: String,
-                releaseAfterAnyOf: Set[String])
+                releaseAfterAllOf: Set[String])
                (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    if (releaseAfterAnyOf.nonEmpty) {
+    if (releaseAfterAllOf.nonEmpty) {
       // Last-writer-wins is fine when every site agrees; two sites
       // declaring DIFFERENT consumers for one key would make release
       // timing depend on call order — surface that instead of hiding it.
-      val prev = lastConsumer.put((spark, key), releaseAfterAnyOf)
-      prev.filter(_ != releaseAfterAnyOf).foreach { p =>
+      val prev = lastConsumer.put((spark, key), releaseAfterAllOf)
+      prev.filter(_ != releaseAfterAllOf).foreach { p =>
         System.err.println(
-          s"[Det] memo '$key' re-registered with releaseAfter=$releaseAfterAnyOf (was $p)")
+          s"[Det] memo '$key' re-registered with releaseAfter=$releaseAfterAllOf (was $p)")
       }
     }
-    memoRegistry.getOrElseUpdate((spark, key), pin(build))
+    memoRegistry.get((spark, key)) match {
+      case Some(df) => df
+      case None =>
+        val df = pin(build)
+        memoRegistry.put((spark, key), df)
+        // Strike-set born at build time; a re-build after release starts a
+        // fresh count (the memo is a new InMemoryRelation).
+        if (releaseAfterAllOf.nonEmpty) remaining.put((spark, key), releaseAfterAllOf)
+        df
+    }
   }
 
   /** Unpersist a released frame AND any persisted RDD a LogicalRDD in its
@@ -196,15 +218,20 @@ object Det {
     (fromMemos ++ fromPins).toSet
   }
 
-  /** Release every memo whose declared last consumers include `queryName`
-    * (unpersist + evict, so a later out-of-order reuse re-pins fresh).
+  /** Strike `queryName` from every owning memo's remaining-consumer set;
+    * release (unpersist + evict) the memos whose set is thereby exhausted,
+    * so a later out-of-order reuse re-pins fresh.
     */
   def releaseAfter(spark: org.apache.spark.sql.SparkSession, queryName: String): Unit = {
-    val released = lastConsumer.collect {
-      case (k @ (s, _), qs) if (s eq spark) && qs.contains(queryName) => k
-    }.flatMap { k =>
-      lastConsumer.remove(k)
-      memoRegistry.remove(k)
+    val released = remaining.collect {
+      case (k @ (s, _), qs) if (s eq spark) && qs.contains(queryName) => (k, qs - queryName)
+    }.flatMap { case (k, rest) =>
+      if (rest.nonEmpty) { remaining.update(k, rest); None }
+      else {
+        remaining.remove(k)
+        lastConsumer.remove(k)
+        memoRegistry.remove(k)
+      }
     }
     if (released.nonEmpty) {
       // A memo is ALSO a pin (memo() registers the built frame via
@@ -234,6 +261,7 @@ object Det {
     val memos = memoRegistry.keys.filter(_._1 eq spark).toList
       .flatMap(memoRegistry.remove)
     lastConsumer.keys.filter(_._1 eq spark).foreach(lastConsumer.remove)
+    remaining.keys.filter(_._1 eq spark).foreach(remaining.remove)
     memos.foreach(unpersistDeep(_))
     pinRegistry.remove(spark).foreach { buf =>
       buf.synchronized { buf.foreach(unpersistDeep(_)); buf.clear() }

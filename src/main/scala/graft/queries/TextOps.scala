@@ -505,51 +505,17 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  val bpeFertilitySql: String =
-    s"""WITH words AS (
-       |  SELECT source, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |wcount AS (SELECT word, count(*) AS wcnt FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  GROUP BY word),
-       |big AS (
-       |  SELECT substr(word, i, 2) AS bigram, sum(wcnt) AS cnt
-       |  FROM (SELECT word, wcnt,
-       |          unnest(generate_series(1, length(word) - 1)) AS i
-       |        FROM wcount)
-       |  GROUP BY 1),
-       |m AS (SELECT bigram, cnt FROM big ORDER BY cnt DESC, bigram LIMIT 16),
-       |rules AS (
-       |  SELECT list('[' || substr(bigram, 1, 1) || '][' || substr(bigram, 2, 1) || ']='
-       |              || '[' || bigram || ']'
-       |              ORDER BY cnt DESC, bigram) AS rl
-       |  FROM m),
-       |wtok AS (
-       |  SELECT word,
-       |    CAST(length(reduced) - length(replace(reduced, '[', '')) AS BIGINT) AS n_tok
-       |  FROM (
-       |    SELECT word,
-       |      list_reduce(
-       |        list_prepend(regexp_replace(word, '(.)', '[\\1]', 'g'),
-       |                     COALESCE((SELECT rl FROM rules), [])),
-       |        (acc, r) -> replace(acc, split_part(r, '=', 1), split_part(r, '=', 2))) AS reduced
-       |    FROM wcount)),
-       |agg AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
-       |    CAST(sum(n_tok) AS BIGINT) AS n_pieces,
-       |    CAST(sum(length(word)) AS BIGINT) AS n_chars
-       |  FROM words JOIN wtok USING (word)
-       |  GROUP BY source)
-       |SELECT source, n_words, n_pieces,
-       |  ${sqlR6("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS fertility,
-       |  ${sqlR6("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")} AS chars_per_piece
-       |FROM agg ORDER BY source""".stripMargin
-
-  val packBpeSql: String =
-    """WITH words AS (
-      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-      |  FROM documents),
-      |wcount AS (SELECT word, count(*) AS wcnt FROM words GROUP BY word),
+  /** The one-level BPE tokenizer as a DuckDB CTE block (wcount → big →
+    * m → rules → wtok), interpolated into BOTH `packBpeSql` and
+    * `bpeFertilitySql` so the two oracles cannot drift apart (r10
+    * ADVICE: a textual duplicate would let a merge-table change in one
+    * silently break the "fertility tokenizes identically to packBpe"
+    * contract the Scala side guarantees via the shared `bpeWordTok`).
+    */
+  private val bpeOneLevelTokCtes: String =
+    """wcount AS (SELECT word, count(*) AS wcnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word),
       |big AS (
       |  SELECT substr(word, i, 2) AS bigram, sum(wcnt) AS cnt
       |  FROM (SELECT word, wcnt,
@@ -571,7 +537,33 @@ object TextOps {
       |        list_prepend(regexp_replace(word, '(.)', '[\1]', 'g'),
       |                     COALESCE((SELECT rl FROM rules), [])),
       |        (acc, r) -> replace(acc, split_part(r, '=', 1), split_part(r, '=', 2))) AS reduced
-      |    FROM wcount)),
+      |    FROM wcount))""".stripMargin
+
+  // The shared block is spliced AFTER stripMargin (placeholder replace,
+  // not interpolation): its SQL `||` concat operators sit at line starts,
+  // which a second stripMargin pass would eat.
+  val bpeFertilitySql: String =
+    s"""WITH words AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |@BPE_TOK_CTES@,
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_pieces,
+       |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+       |  FROM words JOIN wtok USING (word)
+       |  GROUP BY source)
+       |SELECT source, n_words, n_pieces,
+       |  ${sqlR6("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS fertility,
+       |  ${sqlR6("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")} AS chars_per_piece
+       |FROM agg ORDER BY source""".stripMargin
+      .replace("@BPE_TOK_CTES@", bpeOneLevelTokCtes)
+
+  val packBpeSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |@BPE_TOK_CTES@,
       |t AS (
       |  SELECT doc_id, source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |  FROM words JOIN wtok USING (word)
@@ -595,6 +587,7 @@ object TextOps {
       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
       |  CAST(sum(contrib) AS DOUBLE) / 256 AS fill_ratio
       |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+      .replace("@BPE_TOK_CTES@", bpeOneLevelTokCtes)
 
   // ---- Multi-level BPE (the real recursion: merged pieces merge again) ----
 

@@ -70,6 +70,27 @@ class PinLifecycleSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("memoMulti releases only when the declared consumer set is exhausted") {
+    Det.releasePins(spark)
+    // r10 ADVICE: release-on-ANY let q_dedup_keep free the labels memo
+    // while q_dedup_sizes still needed it — the CC fixpoint re-ran once
+    // per sweep. The memo must survive the first consumer and die after
+    // the last, and a later consumer's re-invocation of memoMulti (same
+    // declaration) must NOT reset the strike count.
+    var builds = 0
+    def build() = { builds += 1; spark.range(100).toDF("id") }
+    val consumers = Set("q_mm_first", "q_mm_last")
+    Det.memoMulti(spark, "test.exhaust", consumers)(build()).count()
+    assert(builds == 1)
+    Det.releaseAfter(spark, "q_mm_first")
+    Det.memoMulti(spark, "test.exhaust", consumers)(build()).count()
+    assert(builds == 1, "memo must survive until the consumer set is exhausted")
+    Det.releaseAfter(spark, "q_mm_last")
+    Det.memoMulti(spark, "test.exhaust", consumers)(build()).count()
+    assert(builds == 2, "exhausted memo must rebuild fresh on later reuse")
+    Det.releasePins(spark)
+  }
+
   test("pins rebuild (not silently uncached) after release") {
     Det.releasePins(spark)
     val cm = spark.sharedState.cacheManager
