@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Classic.queries ++
       graft.queries.Nested.queries ++
       graft.queries.Sampling.queries ++
-      graft.queries.Sketch.queries
+      graft.queries.Sketch.queries ++
+      graft.ext.AnnIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Classic.oracles ++
       graft.queries.Nested.oracles ++
       graft.queries.Sampling.oracles ++
-      graft.queries.Sketch.oracles
+      graft.queries.Sketch.oracles ++
+      graft.ext.AnnIndex.oracles
 }

@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Similarity
+
+/** Persisted ANN index (r10 VERDICT #1): the trained IVF/PQ artifacts —
+  * k-means centroids, inverted-list membership, PQ codebook, PQ code
+  * table — written ONCE to parquet and served from disk thereafter, so a
+  * fresh session answers kNN queries with ZERO training jobs. In-session
+  * memos (queries/Det.scala) die with the session; at 100 TB the index
+  * build is a scheduled batch job and every serving session must read
+  * its output, not re-run Lloyd's. Reference analogue: the external
+  * parquet table Job 2 reads instead of re-running Job 1
+  * (/root/reference/generate-asset.scala:38-40).
+  *
+  * Layout under `idxDir` (all plain parquet, engine-portable):
+  *   centroids/    (cluster BIGINT, cent ARRAY<DOUBLE>)     k rows
+  *   membership/   (vec_id BIGINT, cluster BIGINT)          N rows
+  *   pq_codebook/  (sub INT, code BIGINT, cent ARRAY<DOUBLE>)  m*k rows
+  *   pq_codes/     (vec_id BIGINT, sub INT, code BIGINT)    N*m rows
+  *   meta/         (n_vectors, k, corpus_dir)               1 row, written LAST
+  *
+  * meta is the validity marker: it is written after every artifact, so a
+  * half-written index (killed save) reads as absent and rebuilds. A
+  * corpus swap under the same path is caught by comparing meta.n_vectors
+  * to the live embeddings count (cheap single-column scan) — matching
+  * count + path is taken as current, which holds for the immutable
+  * harness corpora this serves.
+  *
+  * Serving reuses the EXACT search bodies the oracle-verified in-session
+  * queries run (Similarity.ivfSearch / pqAdcSearch): the served result is
+  * bit-identical to q_knn_ivf_kmeans / q_knn_pq by construction, which is
+  * why both served queries reuse those queries' DuckDB oracles verbatim.
+  */
+object AnnIndex {
+
+  /** Default per-corpus index location: md5(corpusDir) under a root that
+    * is env-overridable (SPARK_GRAFT_INDEX_ROOT) and defaults to the JVM
+    * tmpdir — the only writable location the harness guarantees.
+    */
+  def defaultIndexDir(corpusDir: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
+      sys.props("java.io.tmpdir") + "/graft_ann_index")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/$h"
+  }
+
+  private def metaPath(idxDir: String) = s"$idxDir/meta"
+
+  /** A complete index exists iff meta's _SUCCESS marker does (meta is
+    * written last — see object doc).
+    */
+  def isBuilt(idxDir: String): Boolean =
+    new java.io.File(s"${metaPath(idxDir)}/_SUCCESS").exists()
+
+  /** Train (via the session's memoized chains — shared with the
+    * in-session queries, so a sweep never trains twice) and persist all
+    * four artifacts, meta last.
+    */
+  def save(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
+    Similarity.ivfCentroidsFor(spark, corpusDir)
+      .write.mode("overwrite").parquet(s"$idxDir/centroids")
+    Similarity.ivfMembershipFor(spark, corpusDir)
+      .write.mode("overwrite").parquet(s"$idxDir/membership")
+    Similarity.pqCodebookFor(spark, corpusDir)
+      .write.mode("overwrite").parquet(s"$idxDir/pq_codebook")
+    Similarity.pqCodes(spark, corpusDir)
+      .write.mode("overwrite").parquet(s"$idxDir/pq_codes")
+    val n = graft.Tables.embeddings(spark, corpusDir).count()
+    spark.createDataFrame(Seq((n, corpusDir)))
+      .toDF("n_vectors", "corpus_dir")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(idxDir))
+  }
+
+  /** Current = built AND meta matches the live corpus (row count +
+    * path). Count is one column-pruned scan — negligible next to any
+    * search, and the difference between "serve stale clusters" and
+    * "retrain" when a fixture dir is rewritten between runs.
+    */
+  private def isCurrent(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
+    isBuilt(idxDir) && {
+      val meta = spark.read.parquet(metaPath(idxDir)).head()
+      meta.getAs[Long]("n_vectors") ==
+        graft.Tables.embeddings(spark, corpusDir).count() &&
+        meta.getAs[String]("corpus_dir") == corpusDir
+    }
+
+  /** Build-if-absent. Returns true iff this call TRAINED (the spec's
+    * observable for "a fresh session answers from disk").
+    */
+  def ensure(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
+    if (isCurrent(spark, corpusDir, idxDir)) false
+    else { save(spark, corpusDir, idxDir); true }
+
+  // ---- loaded artifacts (plain parquet reads — nothing to train) ----
+  def centroids(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(s"$idxDir/centroids")
+  def membership(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(s"$idxDir/membership")
+  def pqCodebook(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(s"$idxDir/pq_codebook")
+  def pqCodes(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(s"$idxDir/pq_codes")
+
+  /** IVF search served from the loaded index: the same search body as
+    * q_knn_ivf_kmeans over parquet-read centroids + membership. The only
+    * per-query work is probe ranking (k-row broadcast), the pruned
+    * inverted-list join, and the exact re-rank — no Lloyd's anywhere in
+    * the plan (AnnIndexSpec asserts the absence of the seed-hash
+    * expression).
+    */
+  def searchIvf(spark: SparkSession, corpusDir: String, idxDir: String): DataFrame =
+    Similarity.ivfSearch(spark, corpusDir,
+      centroids(spark, idxDir), membership(spark, idxDir))
+
+  /** PQ ADC search served from the loaded index: codes + codebook read
+    * from parquet; the floats are touched only to build the per-query
+    * LUT (10 probe vectors) — the corpus scan is codes-only, the shape
+    * PQ exists for at 100 TB.
+    */
+  def searchPq(spark: SparkSession, corpusDir: String, idxDir: String): DataFrame =
+    Similarity.pqAdcSearch(pqCodes(spark, idxDir),
+      Similarity.pqLutFor(spark, corpusDir, pqCodebook(spark, idxDir)))
+
+  /** Verified entries: build-if-absent then serve FROM DISK. First call
+    * in a cold environment pays one training+save; every later call (and
+    * every warm bench run) is pure serving. Oracles are the in-session
+    * queries' own SQL — the served path must reproduce them exactly.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_served" -> ((spark, dir) => {
+      ensure(spark, dir, defaultIndexDir(dir))
+      searchIvf(spark, dir, defaultIndexDir(dir))
+    }),
+    "q_knn_served_pq" -> ((spark, dir) => {
+      ensure(spark, dir, defaultIndexDir(dir))
+      searchPq(spark, dir, defaultIndexDir(dir))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_served" -> Similarity.knnIvfKmeansSql,
+    "q_knn_served_pq" -> Similarity.knnPqSql)
+}

@@ -296,6 +296,29 @@ class SimilaritySpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("incremental PQ: per-subspace holdout accounting is exact; drift is a finite positive ratio") {
+    import graft.queries.Det
+    val emb = Tables.embeddings(spark, sfDir)
+    val nBase = emb.filter("vec_id % 5 <> 0").count()
+    val nNew = emb.filter("vec_id % 5 = 0").count()
+    val rows = Similarity.queries("q_knn_pq_incr")(spark, sfDir).collect()
+    // All 8 subspaces report, each exactly once; every vector of both
+    // generations is encoded in every subspace — the holdout split must
+    // reproduce the corpus partition per subspace, not just in total.
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("sub")).sorted.toSeq == (0L to 7L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_base") == nBase)
+      assert(r.getAs[Long]("n_new") == nNew)
+      assert(r.getAs[Double]("mse_base") >= 0.0)
+      assert(r.getAs[Double]("mse_new") >= 0.0)
+      val drift = r.getAs[Double]("drift_ratio")
+      assert(drift > 0.0 && !drift.isInfinite && !drift.isNaN,
+        s"drift must be a finite positive ratio, got $drift")
+    }
+    Det.releasePins(spark)
+  }
+
   test("incremental IVF assigns a new batch to FROZEN centroids (blobs: no strays)") {
     // The operator's contract is that ingesting a batch does NOT move
     // the quantizer. Blobs are laid out CONSECUTIVELY (blob = p / 30) so
