@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   *   0. PII scrub     — per-row regexp map (TextOps.scrubPii), before
   *                      any hash/shingle derivation can embed PII;
   *   1. quality gate  — per-row map, no shuffle, drops low-quality docs;
+  *   1.8. URL dedup   — when the corpus carries a `url` column: keep min
+  *                      doc_id per TextOps.canonUrlCol canonical key
+  *                      (refetches under tracking-param/www/port/fragment
+  *                      variants die before any text hashing);
   *   2. exact dedup   — one shuffle on the normalized content hash;
   *   3. near dedup    — MinHash/LSH bucket join, keeps min-id per pair
   *                      cluster (union-find-free greedy: drop any doc
@@ -28,7 +32,8 @@ object CorpusPipeline {
 
   final case class StageCounts(input: Long, afterQuality: Long,
                                afterModel: Long,
-                               afterContam: Long, afterExact: Long,
+                               afterContam: Long, afterUrl: Long,
+                               afterExact: Long,
                                afterNear: Long, afterSemantic: Long,
                                afterCap: Long, sequences: Long)
 
@@ -46,6 +51,10 @@ object CorpusPipeline {
     * dedup runs FIRST so duplicates never consume quota, and the
     * hash-stable selection means a re-run (or growth in OTHER sources)
     * keeps the same docs.
+    * `urlDedup` (default on): stage 1.8 — when the ingested corpus has a
+    * `url` column, collapse canonical-URL duplicates (keep min doc_id),
+    * logging (doc_id, url, canon_url, keeper_doc, reason) to
+    * `outDir/url_dropped`; docs with a NULL url always pass through.
     * `modelMinScore`: when given, stage 1.2 drops docs whose
     * q_quality_model hashed-linear score falls below the threshold,
     * logging (doc_id, model_score, reason) to `outDir/model_dropped` —
@@ -57,7 +66,8 @@ object CorpusPipeline {
           embeddings: Option[DataFrame] = None,
           cosineThreshold: Double = 0.98,
           maxDocsPerSource: Option[Int] = None,
-          modelMinScore: Option[Double] = None): StageCounts = {
+          modelMinScore: Option[Double] = None,
+          urlDedup: Boolean = true): StageCounts = {
     // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
     // and packed sequences never embed an email/phone/id/IP (the order a
     // compliant pipeline requires: scrubbing after dedup would leave PII
@@ -148,12 +158,42 @@ object CorpusPipeline {
     }
     val nContam = contam.count()
 
+    // 1.8. URL-canonical dedup — a real crawl dedups on canonical URL
+    // BEFORE touching text: refetches of the same page under tracking-
+    // param / www / port / fragment variants are the cheapest duplicate
+    // class to kill (one string key vs a full content hash or shingle
+    // set), and dropping them here shrinks every text stage downstream.
+    // Runs only when the ingested corpus carries a `url` column (the
+    // harness `documents` table does not; JSONL crawl drops do) and the
+    // switch is on. Key = TextOps.canonUrlCol — the exact rule
+    // q_url_canon oracle-verifies — keep min doc_id per canonical key,
+    // drops audited to outDir/url_dropped with their canonical key and
+    // keeper (the same discipline as every other curation stage).
+    val url = if (urlDedup && contam.columns.contains("url")) {
+      // Null url = "no crawl provenance": such docs must pass through
+      // untouched (a shared NULL canonical key would collapse every
+      // url-less doc into one survivor).
+      val keyed = contam.withColumn("__canon",
+        when(col("url").isNotNull,
+          graft.queries.TextOps.canonUrlCol(col("url"))))
+      val ranked = keyed.withColumn("__keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__canon"))))
+      ranked.filter(col("url").isNotNull && col("doc_id") =!= col("__keeper"))
+        .select(col("doc_id"), col("url"), col("__canon").as("canon_url"),
+          col("__keeper").as("keeper_doc"),
+          lit("url_canonical_dup").as("drop_reason"))
+        .write.mode("overwrite").parquet(s"$outDir/url_dropped")
+      ranked.filter(col("url").isNull || col("doc_id") === col("__keeper"))
+        .drop("__canon", "__keeper")
+    } else contam
+    val nUrl = url.count()
+
     // 2. exact dedup — keep min doc_id per TRUE content hash. (The
     // sorted-distinct-token normalized hash of q_dedup_exact is too
     // aggressive as a removal rule on a small-vocabulary corpus —
     // unrelated docs can share a token SET; permuted near-dups are the
     // near-dedup stage's job.)
-    val exact = contam
+    val exact = url
       .withColumn("content_hash", md5(col("text")))
       .withColumn("canonical", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
@@ -220,11 +260,12 @@ object CorpusPipeline {
 
     // 5. write partitioned by lang + report
     capped.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nModel, nContam, nExact, nNear, nSem, nCap, nSeqs)
+    val report = StageCounts(input, nQuality, nModel, nContam, nUrl, nExact, nNear, nSem, nCap, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
       ("after_model_score", report.afterModel),
       ("after_contamination", report.afterContam),
+      ("after_url_dedup", report.afterUrl),
       ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
       ("after_semantic_dedup", report.afterSemantic),
       ("after_source_cap", report.afterCap),
@@ -315,7 +356,8 @@ object CorpusPipeline {
       val r = run(spark, sfDir, outDir)
       println(s"[corpus] input=${r.input} quality=${r.afterQuality} " +
         s"model=${r.afterModel} " +
-        s"contam=${r.afterContam} exact=${r.afterExact} near=${r.afterNear} " +
+        s"contam=${r.afterContam} url=${r.afterUrl} " +
+        s"exact=${r.afterExact} near=${r.afterNear} " +
         s"semantic=${r.afterSemantic} sequences=${r.sequences} -> $outDir")
     } finally spark.stop()
   }

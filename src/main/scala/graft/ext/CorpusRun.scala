@@ -38,7 +38,8 @@ object CorpusRun {
           benchmarkDir: Option[String] = None,
           embeddings: Option[DataFrame] = None,
           landPartitions: Option[Int] = None,
-          maxDocsPerSource: Option[Int] = None): RunCounts = {
+          maxDocsPerSource: Option[Int] = None,
+          urlDedup: Boolean = true): RunCounts = {
     val lineage = new graft.etl.Lineage(spark, s"$outDir/lineage", "corpus_run",
       new java.sql.Timestamp(System.currentTimeMillis()))
 
@@ -55,9 +56,9 @@ object CorpusRun {
     val pipeDir = s"$outDir/pipeline"
     val stages = CorpusPipeline.run(spark, ingestDir, pipeDir,
       benchmark = bench, embeddings = embeddings,
-      maxDocsPerSource = maxDocsPerSource)
+      maxDocsPerSource = maxDocsPerSource, urlDedup = urlDedup)
     lineage.log(s"$ingestDir/documents.parquet", s"$pipeDir/corpus_clean",
-      6, stages.afterCap, "scrub+quality+contam+exact+near+semantic+cap")
+      7, stages.afterCap, "scrub+quality+contam+url+exact+near+semantic+cap")
     lineage.log(s"$pipeDir/corpus_clean", s"$pipeDir/sequences",
       1, stages.sequences, "sequence packing (256-token budget)")
 

@@ -30,14 +30,18 @@ import org.apache.spark.sql.types._
 object JsonlIngest {
 
   /** The documents-table contract for JSONL ingest (doc_id and text are
-    * required; lang/source/n_chars optional-with-default downstream).
+    * required; lang/source/n_chars optional-with-default downstream;
+    * url optional — when present, CorpusPipeline's stage 1.8 dedups on
+    * its TextOps.canonUrlCol canonical form, and absent/null urls pass
+    * that stage untouched).
     */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
-    StructField("n_chars", LongType)
+    StructField("n_chars", LongType),
+    StructField("url", StringType)
   ))
 
   /** Read `path` as JSONL against `schema`, returning (clean, quarantine).

@@ -744,17 +744,18 @@ object TextOps {
     * gram (at a 100 TB corpus with a big benchmark suite the broadcast
     * becomes a bloom-filter pre-pass in front of the same join).
     */
-  val textContamination: Q = (spark, dir) => {
-    val grams = documents(spark, dir)
+  /** Shared by the contamination pair: (doc_id, gram) per distinct
+    * 8-gram, and the per-doc report tail over (train grams, hit counts).
+    */
+  private def contamGrams(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(toks) - 7),
           |                         i -> concat_ws(' ', slice(toks, i, 8))))""".stripMargin)).as("gram"))
-    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
-    val train = grams.filter(col("doc_id") >= 20)
-    val hits = train.join(broadcast(bench), Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+
+  private def contamReport(train: DataFrame, hits: DataFrame): DataFrame = {
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     totals.join(hits, Seq("doc_id"), "left_outer")
       .select(
@@ -765,6 +766,48 @@ object TextOps {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double") > 0.1)
           .as("is_contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  val textContamination: Q = (spark, dir) => {
+    val grams = contamGrams(spark, dir)
+    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") >= 20)
+    val hits = train.join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    contamReport(train, hits)
+  }
+
+  /** The contamination check with the bloom pre-pass in front of the
+    * exact join — the 100 TB shape the plain variant's scaladoc
+    * promises. Identical output by construction: the bloom admits a
+    * superset of the true hit grams (false positives only, never false
+    * negatives), and the exact broadcast semi-join behind it removes
+    * the false positives; the report tail counts totals from the
+    * UNFILTERED train side.
+    *
+    * Materialization follows Spark's own `InjectRuntimeFilter`: the
+    * filter is BUILT distributed (one `bloom_agg` aggregation over the
+    * bench grams), the O(numBits/8) artifact — ~100 KB here, a model
+    * artifact like the BPE rule table — comes to the driver once, and
+    * is redistributed as a fold-constant literal so the per-gram probe
+    * (`bloom_might_contain`, Spark's codegen'd `BloomFilterMightContain`)
+    * runs inside WholeStageCodegen at scan speed. At a big benchmark
+    * suite the win is that only pre-pass survivors (≈ true overlap +
+    * fpp·|train|) reach the hash join, instead of every train gram.
+    */
+  val textContaminationBloom: Q = (spark, dir) => {
+    val grams = contamGrams(spark, dir)
+    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") >= 20)
+    val bf = bench.agg(expr("bloom_agg(xxhash64(gram), 100000L, 800000L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // Empty bench → null bloom → the probe is null → filter admits
+    // nothing, which IS the exact semantics (no bench grams, no hits).
+    val pre = train.filter(
+      call_function("bloom_might_contain", lit(bf), xxhash64(col("gram"))))
+    val hits = pre.join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    contamReport(train, hits)
   }
 
   val textContaminationSql: String =
@@ -1513,6 +1556,22 @@ object TextOps {
     * hash aggregation on the canonical key — exactly q_dedup_exact's
     * discipline with canon_url in place of the content hash.
     */
+  /** Canonical form of a raw-URL column — the exact rule q_url_canon
+    * verifies, shared with CorpusPipeline's URL-dedup stage so the
+    * pipeline keys on the oracle-checked canonicalization. Pure per-row
+    * regexp maps (codegen'd, zero shuffle).
+    */
+  def canonUrlCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^https?://([^/:?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^https?://[^/?#]+(/[^?#]*)", 1), "/$", "")
+    val qs = regexp_replace(regexp_replace(
+      regexp_extract(url, "\\?([^#]*)", 1), "(^|&)utm_[a-z]+=[^&#]*", ""), "^&", "")
+    concat(lit("https://"), host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   val urlCanon: Q = (spark, dir) => {
     val raw = documents(spark, dir)
       .withColumn("url", concat(
@@ -1527,15 +1586,7 @@ object TextOps {
           .when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_campaign=mix"))
           .otherwise(lit("")),
         when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))))
-      .withColumn("host", regexp_replace(
-        lower(regexp_extract(col("url"), "^https?://([^/:?#]+)", 1)), "^www\\.", ""))
-      .withColumn("path", regexp_replace(
-        regexp_extract(col("url"), "^https?://[^/?#]+(/[^?#]*)", 1), "/$", ""))
-      .withColumn("qs", regexp_replace(
-        regexp_extract(col("url"), "\\?([^#]*)", 1), "(^|&)utm_[a-z]+=[^&#]*", ""))
-      .withColumn("qs", regexp_replace(col("qs"), "^&", ""))
-      .withColumn("canon_url", concat(lit("https://"), col("host"), col("path"),
-        when(col("qs") =!= "", concat(lit("?"), col("qs"))).otherwise(lit(""))))
+      .withColumn("canon_url", canonUrlCol(col("url")))
     raw.groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url")).as("n_raw_variants"),
@@ -1652,6 +1703,7 @@ object TextOps {
     "q_bpe_fertility" -> bpeFertility,
     "q_pack_bpe2" -> packBpe2,
     "q_text_contamination" -> textContamination,
+    "q_text_contamination_bloom" -> textContaminationBloom,
     "q_text_chunk_dedup" -> textChunkDedup,
     "q_corpus_mix" -> corpusMix
   )
@@ -1679,6 +1731,9 @@ object TextOps {
     "q_bpe_fertility" -> bpeFertilitySql,
     "q_pack_bpe2" -> packBpe2Sql,
     "q_text_contamination" -> textContaminationSql,
+    // The bloom variant is output-identical by construction; its oracle
+    // is the SAME SQL — DuckDB checks the exact semantics either way.
+    "q_text_contamination_bloom" -> textContaminationSql,
     "q_text_chunk_dedup" -> textChunkDedupSql,
     "q_corpus_mix" -> corpusMixSql
   )

@@ -67,6 +67,54 @@ class CorpusPipelineSpec extends SparkSpec {
   private def freshText(tag: String): String =
     (0 until 40).map(i => s"${tag}w$i").mkString(" ")
 
+  private def stageDocsWithUrl(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus_docs_url").toString
+    rows.map { case (id, t, u) => (id, t, "en", "s0", t.length.toLong, u) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("URL-dedup stage collapses canonical-URL variants, null urls pass through") {
+    import spark.implicits._
+    // Three DISTINCT texts (so no text-dedup stage can touch them) whose
+    // urls all canonicalize to https://example.com/a — only the URL
+    // stage can collapse them. Doc 4 has a null url (must survive), doc
+    // 5 a genuinely different url (must survive).
+    val dir = stageDocsWithUrl(Seq(
+      (1L, freshText("a"), "https://WWW.Example.com:443/a/?utm_source=x#f"),
+      (2L, freshText("b"), "https://example.com/a"),
+      (3L, freshText("c"), "https://example.com/a/?utm_campaign=y"),
+      (4L, freshText("d"), null),
+      (5L, freshText("e"), "https://example.com/other")))
+    val out = java.nio.file.Files.createTempDirectory("corpus_url").toString
+    val r = CorpusPipeline.run(spark, dir, out)
+    assert(r.afterContam == 5, s"all five docs reach the URL stage: $r")
+    assert(r.afterUrl == 3, s"exactly the two url-variant losers drop: $r")
+    assert(r.afterExact == 3 && r.afterNear == 3,
+      "text stages see already-distinct texts: no further drops")
+    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L, 4L, 5L), s"keep min-id per canon key: $cleanIds")
+    val dropped = spark.read.parquet(s"$out/url_dropped").collect()
+    assert(dropped.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 3L))
+    assert(dropped.forall(_.getAs[Long]("keeper_doc") == 1L))
+    assert(dropped.forall(_.getAs[String]("canon_url") == "https://example.com/a"))
+    assert(dropped.forall(_.getAs[String]("drop_reason") == "url_canonical_dup"))
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("urlDedup switch off: url column present but stage is a pass-through") {
+    val dir = stageDocsWithUrl(Seq(
+      (1L, freshText("a"), "https://example.com/a"),
+      (2L, freshText("b"), "https://WWW.example.com/a/")))
+    val out = java.nio.file.Files.createTempDirectory("corpus_url_off").toString
+    val r = CorpusPipeline.run(spark, dir, out, urlDedup = false)
+    assert(r.afterContam == 2 && r.afterUrl == 2, s"switch off must not drop: $r")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("contamination stage drops benchmark-overlapping docs and logs ratios") {
     import spark.implicits._
     val benchText = freshText("bm")

@@ -16,6 +16,9 @@ class CorpusRunSpec extends SparkSpec {
   private def jline(id: Long, text: String): String =
     s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s0", "n_chars": ${text.length}}"""
 
+  private def jlineU(id: Long, text: String, url: String): String =
+    s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s0", "n_chars": ${text.length}, "url": "$url"}"""
+
   test("full chain from a dirty gz dump: stage counts exact, split stable, lineage recorded") {
     import spark.implicits._
     val benchText = freshText("bm")
@@ -29,6 +32,10 @@ class CorpusRunSpec extends SparkSpec {
         jline(111L, nearTwin),
         jline(120L, "the a of and to in the a of"), // fails the quality score
         jline(130L, benchText),                   // verbatim benchmark: contam drop
+        jlineU(140L, freshText("ua"),             // url pair: DISTINCT texts,
+          "https://example.com/p/1"),             // same canonical url —
+        jlineU(141L, freshText("ub"),             // 141 drops at the URL stage
+          "https://WWW.Example.com/p/1/?utm_source=x"),
         """{"broken json line""")                 // quarantined at ingest
     val srcDir = java.nio.file.Files.createTempDirectory("corpusrun_src")
     val gz = new java.util.zip.GZIPOutputStream(
@@ -45,21 +52,28 @@ class CorpusRunSpec extends SparkSpec {
       benchmarkDir = Some(benchDir))
 
     // Every planted defect drops at exactly its own stage.
-    assert(r.ingested == 36 && r.quarantined == 1, s"got $r")
-    assert(r.stages.input == 36)
-    assert(r.stages.afterQuality == 35, "the stopword-soup doc fails the score")
-    assert(r.stages.afterContam == 34, "the verbatim benchmark doc drops")
-    assert(r.stages.afterExact == 33, "one exact twin drops")
-    assert(r.stages.afterNear == 32, "one near twin drops")
-    assert(r.stages.afterSemantic == 32, "no embeddings: pass-through")
+    assert(r.ingested == 38 && r.quarantined == 1, s"got $r")
+    assert(r.stages.input == 38)
+    assert(r.stages.afterQuality == 37, "the stopword-soup doc fails the score")
+    assert(r.stages.afterContam == 36, "the verbatim benchmark doc drops")
+    assert(r.stages.afterUrl == 35, "one canonical-url twin drops")
+    assert(r.stages.afterExact == 34, "one exact twin drops")
+    assert(r.stages.afterNear == 33, "one near twin drops")
+    assert(r.stages.afterSemantic == 33, "no embeddings: pass-through")
     assert(r.stages.sequences > 0)
-    assert(r.trainDocs + r.valDocs + r.testDocs == 32)
+    assert(r.trainDocs + r.valDocs + r.testDocs == 33)
 
-    // Survivors are exactly the corpus minus the four planted losers.
+    // Survivors are exactly the corpus minus the five planted losers.
     val finalDf = spark.read.parquet(s"$out/corpus_final")
     val ids = finalDf.select("doc_id").as[Long].collect().toSet
-    val expected = (0 until 30).map(_.toLong).toSet ++ Set(100L, 110L)
+    val expected = (0 until 30).map(_.toLong).toSet ++ Set(100L, 110L, 140L)
     assert(ids == expected, s"got $ids")
+
+    // The URL drop is auditable with its canonical key + keeper.
+    val urlDropped = spark.read.parquet(s"$out/pipeline/url_dropped").collect()
+    assert(urlDropped.map(_.getAs[Long]("doc_id")).toSeq == Seq(141L))
+    assert(urlDropped.head.getAs[Long]("keeper_doc") == 140L)
+    assert(urlDropped.head.getAs[String]("canon_url") == "https://example.com/p/1")
 
     // Split-stable ids: the on-disk partition equals the md5 rule
     // recomputed here — the q_split_assign contract on the shipped data.

@@ -193,6 +193,24 @@ class PlanSpec extends SparkSpec {
       s"url canonicalization plans extra shuffles:\n$uc")
   }
 
+  test("contamination bloom pre-pass probes inside codegen before the exact join") {
+    // The probe must be a codegen'd Filter on the train-gram side (a
+    // constant-bloom predicate evaluated at scan speed), with the exact
+    // broadcast semi-join still behind it to kill false positives.
+    // Codegen wrapping only shows in the FINAL adaptive plan — execute
+    // this df's own queryExecution first (same idiom as the agg test).
+    val df = SparkEntry.queries("q_text_contamination_bloom")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val probeLines = plan.linesIterator
+      .filter(l => l.contains("might_contain") && l.contains("Filter")).toSeq
+    assert(probeLines.nonEmpty, s"no bloom probe Filter in plan:\n${plan.take(4000)}")
+    assert(probeLines.exists(_.contains("*(")),
+      s"bloom probe left whole-stage codegen:\n${probeLines.mkString("\n").take(4000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact verify join no longer broadcasts:\n${plan.take(4000)}")
+  }
+
   test("random projection broadcasts the sign matrix into the dim join") {
     // The 16×64 projection matrix is 1024 rows — it must ride a
     // broadcast into the exploded-dims join, never shuffle the corpus

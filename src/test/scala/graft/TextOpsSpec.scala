@@ -413,6 +413,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L)._3 == (0.5 + s2 >= 0.5))
   }
 
+  test("bloom contamination pre-pass is output-identical to the exact check") {
+    val plain = TextOps.queries("q_text_contamination")(spark, sfDir).collect()
+    val bloom = TextOps.queries("q_text_contamination_bloom")(spark, sfDir).collect()
+    assert(plain.nonEmpty)
+    assert(plain.toSeq == bloom.toSeq,
+      "bloom pre-pass changed the contamination report")
+  }
+
+  test("bloom_agg/bloom_might_contain: zero false negatives, few false positives") {
+    // Build a bloom over 200 member hashes, probe members + 2000
+    // non-members: every member must pass (the no-false-negative law the
+    // pre-pass correctness rests on); false positives must be far below
+    // the non-member count (the shrink that makes the pre-pass worth
+    // running — at 800k bits / 200 items fpp is ≈ 0).
+    val members = (0 until 200).map(i => s"member_gram_$i")
+    val bf = members.toDF("g")
+      .agg(expr("bloom_agg(xxhash64(g), 100000L, 800000L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val memberPass = members.toDF("g")
+      .filter(call_function("bloom_might_contain", lit(bf), xxhash64(col("g"))))
+      .count()
+    assert(memberPass == 200, s"false negative: only $memberPass/200 members pass")
+    val outsiderPass = (0 until 2000).map(i => s"outsider_gram_$i").toDF("g")
+      .filter(call_function("bloom_might_contain", lit(bf), xxhash64(col("g"))))
+      .count()
+    assert(outsiderPass < 100, s"bloom admits $outsiderPass/2000 outsiders — no shrink")
+  }
+
   test("quality model: scores are clamped to [0,1] and keep agrees with the score") {
     val rows = TextOps.queries("q_quality_model")(spark, sfDir).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())
