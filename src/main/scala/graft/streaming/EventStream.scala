@@ -752,6 +752,117 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // ---- Streaming IVF assignment (frozen-quantizer maintenance) ----
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming IVF assignment — the stream twin of q_knn_ivf_incr's
+    * maintenance path (Similarity.ivfIncrParts): new vectors arrive as
+    * files and every micro-batch is assigned to the FROZEN coarse
+    * quantizer. The quantizer (≤ k rows — trained in-session or loaded
+    * from the persisted AnnIndex.centroids) is collected once and
+    * embedded as a fold-constant literal array, so the per-vector argmin
+    * is a PURE per-row map: no join, no shuffle, no state store — the
+    * strongest scale shape for the per-batch path (train rarely, assign
+    * per batch at ingest speed; `ivfDriftStream` below tells the
+    * operator when to retrain).
+    *
+    * Assignment reproduces the batch operator bit-for-bit: the distance
+    * is the same sequential-fold squared L2 (identical op order ⇒
+    * identical doubles) and `array_min` over struct(dist, cluster) ≡
+    * the batch `ORDER BY dist, cluster` row_number tie-break.
+    * StreamingSpec pins stream ≡ batch on the assignment table.
+    */
+  def ivfAssignStream(spark: SparkSession, sourceDir: String, centroids: DataFrame,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val cent = centroids.select(col("cluster"), col("cent")).collect()
+      .sortBy(_.getAs[Long]("cluster"))
+    require(cent.nonEmpty, "frozen quantizer is empty")
+    val centArr = array(cent.map { r =>
+      struct(lit(r.getAs[Long]("cluster")).as("cluster"),
+        array(r.getAs[scala.collection.Seq[Double]]("cent").toSeq.map(lit(_)): _*).as("cent"))
+    }: _*)
+    val reader = spark.readStream.schema(embSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
+      .withColumn("best", array_min(transform(centArr, c =>
+        struct(
+          aggregate(zip_with(col("emb_d"), c.getField("cent"),
+            (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, v) => acc + v).as("dist"),
+          c.getField("cluster").as("cluster")))))
+      .select(col("vec_id"),
+        col("best.cluster").as("cluster"), col("best.dist").as("dist"))
+  }
+
+  case class VecAssign(vec_id: Long, cluster: Long, dist: Double)
+  /** sumDist8 holds the running distance sum in 1e-8 units (each dist
+    * quantized exactly as Det's decimal(28,8) cast: HALF_UP at scale 8),
+    * so the accumulated sum is exact integer arithmetic — order-free
+    * across micro-batches the way the batch decimal sum is order-free
+    * across partitions. Overflow headroom: 9.2e18 units ≈ 9.2e10 in
+    * distance, far above any real cluster's sum.
+    */
+  case class ClusterState(n: Long, sumDist8: Long)
+  case class ClusterDrift(cluster: Long, n_new: Long, mean_dist_new: Double)
+
+  /** Per-cluster drift monitor over the assignment stream: running count
+    * and mean assign-distance per cluster in the state store — state is
+    * O(k) (one row per cluster), nothing grows with the stream. Each
+    * micro-batch re-emits the running totals of the clusters it touched
+    * (Update mode); `n_new` is monotone per cluster, so the row with max
+    * n_new is the current signal. The emitted mean reproduces the batch
+    * report's `r6(davg(dist))` exactly: exact 1e-8-unit sum → double →
+    * one IEEE division → the shared floor-round.
+    */
+  def ivfDriftStream(spark: SparkSession, sourceDir: String, centroids: DataFrame,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    ivfAssignStream(spark, sourceDir, centroids, maxFilesPerTrigger)
+      .as[VecAssign]
+      .groupByKey(_.cluster)
+      .mapGroupsWithState[ClusterState, ClusterDrift](GroupStateTimeout.NoTimeout()) {
+        (cluster: Long, rows: Iterator[VecAssign], state: GroupState[ClusterState]) =>
+          val prev = state.getOption.getOrElse(ClusterState(0L, 0L))
+          var n = prev.n
+          var sum8 = prev.sumDist8
+          for (r <- rows) {
+            n += 1
+            sum8 += java.math.BigDecimal.valueOf(r.dist)
+              .setScale(8, java.math.RoundingMode.HALF_UP)
+              .movePointRight(8).longValueExact()
+          }
+          val next = ClusterState(n, sum8)
+          state.update(next)
+          val mean = new java.math.BigDecimal(sum8).movePointLeft(8)
+            .doubleValue() / n.toDouble
+          ClusterDrift(cluster, n, math.floor(mean * 1e6 + 0.5) / 1e6)
+      }.toDF()
+  }
+
+  def runIvfDriftStream(spark: SparkSession, sourceDir: String, queryName: String,
+                        centroids: DataFrame,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = ivfDriftStream(spark, sourceDir, centroids, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
+  def runIvfAssignStream(spark: SparkSession, sourceDir: String, queryName: String,
+                         centroids: DataFrame,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = ivfAssignStream(spark, sourceDir, centroids, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Stream-stream interval join ----
 
   /** Click→purchase attribution as a stream-stream inner join: purchases

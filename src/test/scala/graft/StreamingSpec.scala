@@ -664,6 +664,53 @@ class StreamingSpec extends SparkSpec {
       "checkpointed dedup state must survive the restart")
   }
 
+  test("streaming IVF assignment equals the batch frozen-centroid table, cross-batch") {
+    import spark.implicits._
+    // The frozen quantizer + the batch truth (ivfIncrParts: centroids
+    // trained on the base corpus; asg holds every vector's frozen-
+    // centroid assignment with is_new marking the ingest batch).
+    val (cent, asg) = graft.queries.Similarity.ivfIncrParts(spark, sfDir)
+    val batchNew = asg.filter(col("is_new"))
+      .select("vec_id", "cluster", "dist").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(batchNew.nonEmpty)
+    // The new batch arrives as a 2-file stream → ≥2 micro-batches.
+    val src = java.nio.file.Files.createTempDirectory("ivf_assign_src").toString
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 === 0)
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val streamed = EventStream.runIvfAssignStream(spark, src, "ivf_assign_test",
+        cent, maxFilesPerTrigger = Some(1))
+      .select("vec_id", "cluster", "dist").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(streamed.toSeq == batchNew.toSeq,
+      "streaming frozen-centroid assignment diverged from the batch table")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("streaming IVF drift monitor converges to the batch incremental report") {
+    import spark.implicits._
+    val (cent, _) = graft.queries.Similarity.ivfIncrParts(spark, sfDir)
+    val batch = graft.queries.Similarity.queries("q_knn_ivf_incr")(spark, sfDir)
+      .filter(col("n_new") > 0)
+      .select("cluster", "n_new", "mean_dist_new").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    val src = java.nio.file.Files.createTempDirectory("ivf_drift_src").toString
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 === 0)
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val drift = EventStream.runIvfDriftStream(spark, src, "ivf_drift_test",
+      cent, maxFilesPerTrigger = Some(1))
+    // Update mode re-emits a cluster's running totals every touched
+    // batch; n_new is monotone, so max(n_new) per cluster is the
+    // converged row.
+    val last = drift.groupBy(col("cluster"))
+      .agg(max(struct(col("n_new"), col("mean_dist_new"))).as("s"))
+      .select(col("cluster"), col("s.n_new"), col("s.mean_dist_new"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(last.toSeq == batch.toSeq,
+      s"converged stream drift != batch report:\nstream ${last.toSeq}\nbatch  ${batch.toSeq}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val sessions = EventStream.runSessionize(spark, sourceDir, "sess_test")
     // Closed sessions emitted by the stream + one open session per user
