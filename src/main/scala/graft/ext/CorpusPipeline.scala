@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *                      doc_id per TextOps.canonUrlCol canonical key
   *                      (refetches under tracking-param/www/port/fragment
   *                      variants die before any text hashing);
+  *   1.9. boilerplate — optional C4-style segment cut (boilerplateMinDocs):
+  *                      corpus-frequent segments removed from every doc
+  *                      BEFORE hashing, so navbar-only differences
+  *                      collapse into exact duplicates;
   *   2. exact dedup   — one shuffle on the normalized content hash;
   *   3. near dedup    — MinHash/LSH bucket join, keeps min-id per pair
   *                      cluster (union-find-free greedy: drop any doc
@@ -33,6 +37,7 @@ object CorpusPipeline {
   final case class StageCounts(input: Long, afterQuality: Long,
                                afterModel: Long,
                                afterContam: Long, afterUrl: Long,
+                               afterBoiler: Long,
                                afterExact: Long,
                                afterNear: Long, afterSemantic: Long,
                                afterCap: Long, sequences: Long)
@@ -67,7 +72,8 @@ object CorpusPipeline {
           cosineThreshold: Double = 0.98,
           maxDocsPerSource: Option[Int] = None,
           modelMinScore: Option[Double] = None,
-          urlDedup: Boolean = true): StageCounts = {
+          urlDedup: Boolean = true,
+          boilerplateMinDocs: Option[Int] = None): StageCounts = {
     // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
     // and packed sequences never embed an email/phone/id/IP (the order a
     // compliant pipeline requires: scrubbing after dedup would leave PII
@@ -188,12 +194,38 @@ object CorpusPipeline {
     } else contam
     val nUrl = url.count()
 
+    // 1.9. boilerplate removal — the C4 line-dedup pass (q_text_
+    // boilerplate's exact rule): segments occurring verbatim in ≥
+    // `boilerplateMinDocs` surviving docs are cut from EVERY carrier
+    // before content hashing, so two pages differing only in a shared
+    // navbar/footer become exact duplicates stage 2 can kill (boilerplate
+    // inflates shingle similarity AND masks exact duplication — cutting
+    // it first makes both dedup stages sharper, the order C4 runs).
+    // Docs whose every segment is boilerplate come out empty and drop.
+    // Rewrites + drops log to outDir/boiler_removed per audit discipline.
+    val boil = boilerplateMinDocs match {
+      case None => url
+      case Some(minDocs) =>
+        val cleaned = graft.queries.TextOps.boilerplateCleanOver(url, minDocs)
+          .select(col("doc_id"), col("n_seg"), col("n_boiler"), col("clean_text"))
+        val joined = url.drop("text").join(cleaned, Seq("doc_id"))
+        joined.filter(col("n_boiler") > 0)
+          .select(col("doc_id"), col("n_seg"), col("n_boiler"),
+            when(length(col("clean_text")) === 0, "all_boilerplate")
+              .otherwise("boilerplate_segments_cut").as("drop_reason"))
+          .write.mode("overwrite").parquet(s"$outDir/boiler_removed")
+        joined.filter(length(col("clean_text")) > 0)
+          .withColumn("text", col("clean_text"))
+          .select(url.columns.map(col).toSeq: _*)
+    }
+    val nBoiler = boil.count()
+
     // 2. exact dedup — keep min doc_id per TRUE content hash. (The
     // sorted-distinct-token normalized hash of q_dedup_exact is too
     // aggressive as a removal rule on a small-vocabulary corpus —
     // unrelated docs can share a token SET; permuted near-dups are the
     // near-dedup stage's job.)
-    val exact = url
+    val exact = boil
       .withColumn("content_hash", md5(col("text")))
       .withColumn("canonical", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
@@ -260,12 +292,13 @@ object CorpusPipeline {
 
     // 5. write partitioned by lang + report
     capped.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nModel, nContam, nUrl, nExact, nNear, nSem, nCap, nSeqs)
+    val report = StageCounts(input, nQuality, nModel, nContam, nUrl, nBoiler, nExact, nNear, nSem, nCap, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
       ("after_model_score", report.afterModel),
       ("after_contamination", report.afterContam),
       ("after_url_dedup", report.afterUrl),
+      ("after_boilerplate", report.afterBoiler),
       ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
       ("after_semantic_dedup", report.afterSemantic),
       ("after_source_cap", report.afterCap),

@@ -39,7 +39,8 @@ object CorpusRun {
           embeddings: Option[DataFrame] = None,
           landPartitions: Option[Int] = None,
           maxDocsPerSource: Option[Int] = None,
-          urlDedup: Boolean = true): RunCounts = {
+          urlDedup: Boolean = true,
+          boilerplateMinDocs: Option[Int] = None): RunCounts = {
     val lineage = new graft.etl.Lineage(spark, s"$outDir/lineage", "corpus_run",
       new java.sql.Timestamp(System.currentTimeMillis()))
 
@@ -56,9 +57,10 @@ object CorpusRun {
     val pipeDir = s"$outDir/pipeline"
     val stages = CorpusPipeline.run(spark, ingestDir, pipeDir,
       benchmark = bench, embeddings = embeddings,
-      maxDocsPerSource = maxDocsPerSource, urlDedup = urlDedup)
+      maxDocsPerSource = maxDocsPerSource, urlDedup = urlDedup,
+      boilerplateMinDocs = boilerplateMinDocs)
     lineage.log(s"$ingestDir/documents.parquet", s"$pipeDir/corpus_clean",
-      7, stages.afterCap, "scrub+quality+contam+url+exact+near+semantic+cap")
+      8, stages.afterCap, "scrub+quality+contam+url+boiler+exact+near+semantic+cap")
     lineage.log(s"$pipeDir/corpus_clean", s"$pipeDir/sequences",
       1, stages.sequences, "sequence packing (256-token budget)")
 

@@ -83,13 +83,97 @@ object Sampling {
       |FROM r WHERE draw_rank <= 20
       |ORDER BY o_orderstatus, draw_rank""".stripMargin
 
+  /** Deterministic global shuffle into training shards — the last step of
+    * a corpus build: every document gets a shard (first hex digit of a
+    * salted md5 → 16 shards) and a position within it (rank of the hash
+    * inside the shard), which together define the shuffled read order a
+    * training job consumes (WebDataset/TFRecord shard semantics). Salted
+    * independently of `q_split_assign`'s bucket digits so shard and
+    * train/val/test split are uncorrelated, and hash-stable the same
+    * way: a document's (shard, relative order) never changes when the
+    * corpus grows — only positions after the insertion point slide.
+    *
+    * Scale shape: hash + shard are per-row maps fused into the scan; the
+    * position is one row_number window partitioned on shard_id — one
+    * shuffle, each partition ~|corpus|/16, exactly the write pattern of
+    * a sharded output job (df.repartition(shard).sortWithinPartitions).
+    */
+  private val shardSalt = ":shard"
+
+  val shardShuffle: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(shardSalt))).as("h"))
+      .withColumn("shard_id",
+        expr("CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos_in_shard"), col("n_tokens"))
+      .orderBy(col("shard_id"), col("pos_in_shard"))
+  }
+
+  val shardShuffleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || '$shardSalt') AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tokens, h,
+       |    CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) AS shard_id
+       |  FROM h)
+       |SELECT doc_id, shard_id,
+       |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos_in_shard,
+       |  n_tokens
+       |FROM s ORDER BY shard_id, pos_in_shard""".stripMargin
+
+  /** Shard balance report over the same assignment: doc/token counts and
+    * token share per shard — the skew check run before shipping shards
+    * (a hot shard starves data-parallel readers). Bounded 16-row output;
+    * the token_share window is over the post-agg table.
+    */
+  val shardStats: Q = (spark, dir) => {
+    val w = Window.partitionBy()
+    documents(spark, dir)
+      .select(
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(shardSalt))).as("h"))
+      .withColumn("shard_id",
+        expr("CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("token_share",
+        Det.r6(col("shard_tokens").cast("double") /
+          sum(col("shard_tokens")).over(w).cast("double")))
+      .orderBy(col("shard_id"))
+  }
+
+  val shardStatsSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(instr('0123456789abcdef',
+       |      substr(md5(CAST(doc_id AS VARCHAR) || '$shardSalt'), 1, 1)) - 1 AS BIGINT) AS shard_id
+       |  FROM documents),
+       |a AS (
+       |  SELECT shard_id, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+       |  FROM h GROUP BY shard_id)
+       |SELECT shard_id, n_docs, shard_tokens,
+       |  ${Det.sqlR6("CAST(shard_tokens AS DOUBLE) / CAST(sum(shard_tokens) OVER () AS DOUBLE)")} AS token_share
+       |FROM a ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sample_hash" -> sampleHash,
-    "q_sample_stratified" -> sampleStratified
+    "q_sample_stratified" -> sampleStratified,
+    "q_shard_shuffle" -> shardShuffle,
+    "q_shard_stats" -> shardStats
   )
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> sampleHashSql,
-    "q_sample_stratified" -> sampleStratifiedSql
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_shard_shuffle" -> shardShuffleSql,
+    "q_shard_stats" -> shardStatsSql
   )
 }

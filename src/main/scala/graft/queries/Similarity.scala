@@ -513,6 +513,10 @@ object Similarity {
     kmeansMembership(spark, dir)
   private[graft] def pqCodebookFor(spark: SparkSession, dir: String): DataFrame =
     pqCodebook(spark, dir)
+  private[graft] def pqResCodebookFor(spark: SparkSession, dir: String): DataFrame =
+    pqResCodebook(spark, dir)
+  private[graft] def pqResCodesFor(spark: SparkSession, dir: String): DataFrame =
+    pqResCodes(spark, dir)
   private[graft] def ivfAssign(vd: DataFrame, cent: DataFrame): DataFrame =
     kmAssign(vd, cent)
   private[graft] def vdOf(spark: SparkSession, dir: String): DataFrame =
@@ -1661,18 +1665,19 @@ object Similarity {
     * still trivially broadcast. This is the part plain-PQ LUTs don't
     * have and the reason IVFADC's accuracy survives the coarse prune.
     */
-  private def pqResLut(spark: SparkSession, dir: String, probed: DataFrame): DataFrame = {
+  private def pqResLut(spark: SparkSession, dir: String, probed: DataFrame,
+                       cent: DataFrame, rcb: DataFrame): DataFrame = {
     val qres = vdF(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb_d"))
       .join(probed, "query_id")
-      .join(broadcast(kmeansCentroids(spark, dir)),
+      .join(broadcast(cent),
         col("probed_cluster") === col("cluster"))
       .select(col("query_id"), col("probed_cluster"),
         expr("zip_with(emb_d, cent, (x, c) -> x - c)").as("emb_d"))
     qres.select(col("query_id"), col("probed_cluster"), posexplode(expr(
         s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
       .as(Seq("sub", "subv")))
-      .join(broadcast(pqResCodebook(spark, dir)), "sub")
+      .join(broadcast(rcb), "sub")
       .withColumn("pdist", expr(pqDistExpr))
       .select(col("query_id"), col("probed_cluster"), col("sub"), col("code"), col("pdist"))
   }
@@ -1688,9 +1693,20 @@ object Similarity {
     * regime it exists for is clustered data, where SimilaritySpec's
     * planted-blob test pins that every ADC neighbor stays in-blob.
     */
-  val knnIvfPqRes: Q = (spark, dir) => {
-    val member = kmeansMembership(spark, dir)
-    val cent = kmeansCentroids(spark, dir)
+  val knnIvfPqRes: Q = (spark, dir) =>
+    ivfAdcSearch(spark, dir, kmeansCentroids(spark, dir), kmeansMembership(spark, dir),
+      pqResCodebook(spark, dir), pqResCodes(spark, dir))
+
+  /** The IVFADC search body, parameterized over where the four trained
+    * artifacts come from — the in-session memo chain (`knnIvfPqRes`) or
+    * a persisted index loaded from parquet (ext.AnnIndex.searchRes).
+    * One body means the served residual path is bit-identical to the
+    * oracle-verified one by construction (the ivfSearch/pqAdcSearch
+    * pattern applied to the last still-session-bound training chain).
+    */
+  private[graft] def ivfAdcSearch(spark: SparkSession, dir: String,
+                                  cent: DataFrame, member: DataFrame,
+                                  rcb: DataFrame, rcodes: DataFrame): DataFrame = {
     val probed = vdF(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb_d"))
       .crossJoin(broadcast(cent))
@@ -1700,9 +1716,9 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("cluster").as("probed_cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    val lut = pqResLut(spark, dir, probed)
+    val lut = pqResLut(spark, dir, probed, cent, rcb)
       .withColumnRenamed("sub", "lsub").withColumnRenamed("code", "lcode")
-    pqResCodes(spark, dir)
+    rcodes
       .join(member, "vec_id")
       .join(broadcast(lut),
         col("cluster") === col("probed_cluster")

@@ -884,6 +884,158 @@ object TextOps {
        |GROUP BY chunk_hash HAVING count(*) > 1
        |ORDER BY chunk_hash""".stripMargin
 
+  /** C4-style boilerplate removal: the corpus-frequency pass that strips
+    * segments (8-token stride-aligned spans — the "lines" of a corpus
+    * whose documents carry no newlines) occurring verbatim in ≥ 3
+    * distinct documents, the way C4 dropped any line repeated three
+    * times across the crawl (Raffel et al. 2020 §2.2's "three-sentence
+    * span" rule re-expressed at segment granularity). Unlike
+    * `textChunkDedup` — which REPORTS duplicated chunks — this REWRITES
+    * each document: boilerplate segments are cut and the survivors
+    * reassembled in position order, with per-document audit counts.
+    *
+    * Scale shape: one explode + one shuffle on the segment text builds
+    * the document-frequency table; the hot set (df ≥ 3) is bounded by
+    * |corpus segments| / 3 in theory but is tiny in practice (navbars,
+    * license headers, cookie banners — ~20 segments here), so it
+    * broadcasts back and the rewrite is a per-row map + one final
+    * aggregation on doc_id. At 100 TB the broadcast would be gated on
+    * measured cardinality exactly like Dedup's survivors hint
+    * (spark.graft.dedup.survivorsBroadcastMaxRows); the df table itself
+    * is the artifact a real crawl pipeline persists and reuses across
+    * snapshots.
+    */
+  private val BoilerSegTokens = 8
+  private val BoilerMinDocs = 3
+
+  /** The rewrite core, parameterized by input frame (any (doc_id, text))
+    * and threshold so CorpusPipeline's stage 1.9 applies the exact rule
+    * the oracle verifies. Returns (doc_id, n_seg, n_boiler, clean_text).
+    */
+  def boilerplateCleanOver(docs: DataFrame, minDocs: Int = BoilerMinDocs): DataFrame = {
+    val seg = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks), $BoilerSegTokens), " +
+          s"i -> concat_ws(' ', slice(toks, i, $BoilerSegTokens)))")).as(Seq("pos", "seg")))
+    val hot = seg.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("seg"), lit(true).as("is_hot"))
+    seg.join(broadcast(hot), Seq("seg"), "left")
+      .withColumn("is_boiler", coalesce(col("is_hot"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT is_boiler THEN named_struct('p', pos, 's', seg) END)), x -> x.s)"))
+          .as("clean_text"))
+  }
+
+  val textBoilerplate: Q = (spark, dir) =>
+    boilerplateCleanOver(documents(spark, dir))
+      .select(col("doc_id"), col("n_seg"), col("n_boiler"),
+        r6(col("n_boiler").cast("double") / col("n_seg").cast("double")).as("boiler_frac"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val textBoilerplateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |x AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $BoilerSegTokens)) AS i FROM t),
+       |seg AS (
+       |  SELECT doc_id, CAST((i - 1) // $BoilerSegTokens AS BIGINT) AS pos,
+       |    array_to_string(toks[i : i + ${BoilerSegTokens - 1}], ' ') AS seg
+       |  FROM x),
+       |hot AS (
+       |  SELECT seg FROM (
+       |    SELECT seg, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY seg) d
+       |  WHERE ndocs >= $BoilerMinDocs),
+       |m AS (
+       |  SELECT doc_id, pos, seg, seg IN (SELECT seg FROM hot) AS is_boiler
+       |  FROM seg),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_seg,
+       |    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |    array_to_string(list(seg ORDER BY pos) FILTER (WHERE NOT is_boiler), ' ') AS clean_text
+       |  FROM m GROUP BY doc_id)
+       |SELECT doc_id, n_seg, n_boiler,
+       |  ${sqlR6("CAST(n_boiler AS DOUBLE) / CAST(n_seg AS DOUBLE)")} AS boiler_frac,
+       |  coalesce(clean_text, '') AS clean_text
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Exact per-source top-k vocabulary: the most frequent tokens of each
+    * source shard — the corpus-inspection table (tokenizer audits,
+    * boilerplate spotting, source drift) every curation run prints.
+    * Exact, not sketched: the two-stage shape (map-side partial count on
+    * (source, token), then a row_number window over each source's
+    * VOCABULARY — orders of magnitude smaller than the corpus) is the
+    * same aggregate-then-rank pattern as q_window_rank, and at 100 TB
+    * the window input is |sources| × |vocab| rows, not tokens. Ties
+    * break on the token itself, so ranks are engine-stable.
+    */
+  val topTerms: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("token"))
+    documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val topTermsSql: String =
+    """WITH c AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |g AS (SELECT source, token, count(*) AS cnt FROM c GROUP BY source, token),
+      |r AS (
+      |  SELECT source, token, cnt,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS BIGINT) AS rank
+      |  FROM g)
+      |SELECT source, token, cnt, rank FROM r
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
+  /** Per-source document-length deciles: each source's docs ranked by
+    * token count and cut into 10 equal-frequency buckets (ntile over the
+    * deterministic (n_tokens, doc_id) order), rolled up to per-bucket
+    * count/min/max/mean — the length-distribution table that drives
+    * packing budgets and truncation policy. One shuffle on source for
+    * the window, one bounded aggregation; at 100 TB the per-source sort
+    * is the same shard-local sort the packer already pays.
+    */
+  val lenDeciles: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        r2(davg(col("n_tokens").cast("double"))).as("mean_tokens"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val lenDecilesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |d AS (
+       |  SELECT source, n_tokens,
+       |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS decile
+       |  FROM t)
+       |SELECT source, decile, count(*) AS n_docs,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       |  ${sqlR2(sqlDavg("CAST(n_tokens AS DOUBLE)"))} AS mean_tokens
+       |FROM d GROUP BY source, decile ORDER BY source, decile""".stripMargin
+
   /** Corpus-mixture report: per (lang, source) document and token
     * counts with each cell's share of total tokens — the data-mixture
     * table a training run is configured against. One aggregation plus
@@ -1736,6 +1888,9 @@ object TextOps {
     "q_text_contamination" -> textContamination,
     "q_text_contamination_bloom" -> textContaminationBloom,
     "q_text_chunk_dedup" -> textChunkDedup,
+    "q_text_boilerplate" -> textBoilerplate,
+    "q_top_terms" -> topTerms,
+    "q_len_deciles" -> lenDeciles,
     "q_corpus_mix" -> corpusMix
   )
 
@@ -1766,6 +1921,9 @@ object TextOps {
     // is the SAME SQL — DuckDB checks the exact semantics either way.
     "q_text_contamination_bloom" -> textContaminationSql,
     "q_text_chunk_dedup" -> textChunkDedupSql,
+    "q_text_boilerplate" -> textBoilerplateSql,
+    "q_top_terms" -> topTermsSql,
+    "q_len_deciles" -> lenDecilesSql,
     "q_corpus_mix" -> corpusMixSql
   )
 }

@@ -76,6 +76,34 @@ class AnnIndexSpec extends SparkSpec {
     Det.releasePins(fresh)
   }
 
+  test("residual IVFADC serves from disk: equal to the trained chain, no training in the plan") {
+    AnnIndex.ensure(spark, sfDir, idxDir)
+    val trained = Similarity.queries("q_knn_ivfpq_res")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val fresh = spark.newSession()
+    assert(!AnnIndex.ensure(fresh, sfDir, idxDir),
+      "fresh session must find the v2 index current (no retrain)")
+    val served = AnnIndex.searchRes(fresh, sfDir, idxDir)
+    assert(served.collect().map(_.toSeq).toSeq == trained.toSeq,
+      "served residual ADC must equal the in-session q_knn_ivfpq_res")
+    val plan = AnnIndex.searchRes(fresh, sfDir, idxDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("kmseed") && !plan.contains("pqrseed"),
+      "serving the residual chain must train NEITHER the coarse quantizer nor the residual codebook")
+    Det.releasePins(fresh)
+  }
+
+  test("a pre-v2 index layout reads as stale and rebuilds (schema_version gate)") {
+    val tmpIdx = java.nio.file.Files.createTempDirectory("graft_annidx_v1").toString
+    assert(AnnIndex.ensure(spark, sfDir, tmpIdx))
+    // Rewrite meta WITHOUT the schema_version column — the v1 layout.
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    spark.createDataFrame(Seq((n, sfDir))).toDF("n_vectors", "corpus_dir")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpIdx/meta")
+    assert(AnnIndex.ensure(spark, sfDir, tmpIdx),
+      "an index written by an older layout must rebuild, not serve a partial artifact set")
+  }
+
   test("a corpus swap under the same path invalidates the index (count mismatch retrains)") {
     val tmpIdx = java.nio.file.Files.createTempDirectory("graft_annidx2").toString
     assert(AnnIndex.ensure(spark, sfDir, tmpIdx))

@@ -115,6 +115,55 @@ class CorpusPipelineSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("boilerplate stage: banner cut everywhere, banner-only doc drops, cut texts collapse in exact dedup") {
+    import spark.implicits._
+    // An 8-token banner in every doc (df = 6 ≥ 3 → boilerplate). Docs
+    // 1-3 carry unique tails; docs 4 and 5 share an IDENTICAL tail, so
+    // after the banner cut they become exact duplicates — the C4
+    // ordering rationale (boilerplate masks exact duplication). Doc 6
+    // is banner-only → empty after the cut → dropped.
+    val banner = "cookie notice accept all to continue reading here"
+    val tail45 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val dir = stageDocs(Seq(
+      (1L, s"$banner a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, s"$banner b1 b2 b3 b4 b5 b6 b7 b8"),
+      (3L, s"$banner c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, s"$banner $tail45"),
+      (5L, s"$banner $tail45"),
+      (6L, banner)))
+    val out = java.nio.file.Files.createTempDirectory("corpus_boiler").toString
+    val r = CorpusPipeline.run(spark, dir, out, boilerplateMinDocs = Some(3))
+    assert(r.afterUrl == 6, s"all six docs reach the boilerplate stage: $r")
+    assert(r.afterBoiler == 5, s"exactly the banner-only doc drops: $r")
+    assert(r.afterExact == 4, s"de-bannered twins collapse in exact dedup: $r")
+    val clean = spark.read.parquet(s"$out/corpus_clean")
+    val texts = clean.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts.keySet == Set(1L, 2L, 3L, 4L))
+    assert(texts(1L) == "a1 a2 a3 a4 a5 a6 a7 a8", s"banner must be cut: ${texts(1L)}")
+    assert(texts(4L) == tail45)
+    val log = spark.read.parquet(s"$out/boiler_removed").collect()
+    assert(log.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val reasons = log.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(reasons(6L) == "all_boilerplate")
+    assert(reasons(1L) == "boilerplate_segments_cut")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("boilerplate stage off by default: same fixture passes through untouched") {
+    val banner = "cookie notice accept all to continue reading here"
+    val dir = stageDocs(Seq(
+      (1L, s"$banner a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, s"$banner b1 b2 b3 b4 b5 b6 b7 b8"),
+      (3L, s"$banner c1 c2 c3 c4 c5 c6 c7 c8")))
+    val out = java.nio.file.Files.createTempDirectory("corpus_boiler_off").toString
+    val r = CorpusPipeline.run(spark, dir, out)
+    assert(r.afterBoiler == r.afterUrl, s"default off: no boilerplate drops: $r")
+    val texts = spark.read.parquet(s"$out/corpus_clean")
+      .select("text").collect().map(_.getString(0))
+    assert(texts.forall(_.startsWith(banner)), "default off: text untouched")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("contamination stage drops benchmark-overlapping docs and logs ratios") {
     import spark.implicits._
     val benchText = freshText("bm")

@@ -441,6 +441,51 @@ class TextOpsSpec extends SparkSpec {
     assert(outsiderPass < 100, s"bloom admits $outsiderPass/2000 outsiders — no shrink")
   }
 
+  test("boilerplate removal: planted banner cut from every carrier, unique text survives") {
+    // An 8-token banner planted in 3 docs (>= BoilerMinDocs) + unique
+    // tails; doc 4 shares a DIFFERENT segment with only doc 5 (df = 2,
+    // below threshold — must survive).
+    val banner = "follow us on social media for more updates"
+    val pair = "this part appears in exactly two documents only"
+    val dir = docsDir(Seq(
+      (1L, s"$banner u1 u2 u3 u4 u5 u6 u7 u8", "en", "s0", 10L),
+      (2L, s"$banner v1 v2 v3 v4 v5 v6 v7 v8", "en", "s0", 10L),
+      (3L, s"$banner w1 w2 w3 w4 w5 w6 w7 w8", "en", "s0", 10L),
+      (4L, s"$pair x1 x2 x3 x4 x5 x6 x7 x8", "en", "s0", 10L),
+      (5L, s"$pair y1 y2 y3 y4 y5 y6 y7 y8", "en", "s0", 10L)))
+    val r = TextOps.textBoilerplate(spark, dir).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r.size == 5)
+    // Banner docs: 2 segments, 1 boiler, clean text = the unique tail.
+    Seq(1L -> "u", 2L -> "v", 3L -> "w").foreach { case (id, p) =>
+      val row = r(id)
+      assert(row.getAs[Long]("n_seg") == 2L && row.getAs[Long]("n_boiler") == 1L)
+      assert(row.getAs[Double]("boiler_frac") == 0.5)
+      assert(row.getAs[String]("clean_text") ==
+        (1 to 8).map(i => s"$p$i").mkString(" "))
+    }
+    // df=2 segment survives: nothing removed from docs 4/5.
+    Seq(4L, 5L).foreach { id =>
+      assert(r(id).getAs[Long]("n_boiler") == 0L, s"df=2 segment wrongly cut in doc $id")
+      assert(r(id).getAs[String]("clean_text").startsWith(pair))
+    }
+  }
+
+  test("boilerplate removal reassembles segments in position order (multi-segment doc)") {
+    // 3 segments, middle one is the planted banner — clean text must be
+    // head + tail in original order, not sorted text.
+    val banner = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dir = docsDir(Seq(
+      (1L, s"h1 h2 h3 h4 h5 h6 h7 h8 $banner t1 t2 t3 t4 t5 t6 t7 t8", "en", "s0", 10L),
+      (2L, s"$banner q1 q2 q3 q4 q5 q6 q7 q8", "en", "s0", 10L),
+      (3L, s"$banner r1 r2 r3 r4 r5 r6 r7 r8", "en", "s0", 10L)))
+    val d1 = TextOps.textBoilerplate(spark, dir).collect()
+      .find(_.getAs[Long]("doc_id") == 1L).get
+    assert(d1.getAs[Long]("n_seg") == 3L && d1.getAs[Long]("n_boiler") == 1L)
+    assert(d1.getAs[String]("clean_text") ==
+      "h1 h2 h3 h4 h5 h6 h7 h8 t1 t2 t3 t4 t5 t6 t7 t8")
+  }
+
   test("quality model: scores are clamped to [0,1] and keep agrees with the score") {
     val rows = TextOps.queries("q_quality_model")(spark, sfDir).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())
