@@ -905,22 +905,37 @@ object TextOps {
     * is the artifact a real crawl pipeline persists and reuses across
     * snapshots.
     */
-  private val BoilerSegTokens = 8
-  private val BoilerMinDocs = 3
+  private[graft] val BoilerSegTokens = 8
+  private[graft] val BoilerMinDocs = 3
+
+  /** Stride-aligned segment explode shared by the batch rewrite and the
+    * hot-set derivation (and, width-wise, the streaming twin).
+    */
+  private def boilerSegments(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks), $BoilerSegTokens), " +
+          s"i -> concat_ws(' ', slice(toks, i, $BoilerSegTokens)))")).as(Seq("pos", "seg")))
+
+  /** The trained artifact of the boilerplate pass: segments occurring in
+    * ≥ minDocs distinct documents. This is what a streaming ingest
+    * freezes and applies per batch (EventStream.boilerStream) — the same
+    * train-rarely / apply-per-batch asymmetry as the IVF quantizer.
+    */
+  def boilerHotSegments(docs: DataFrame, minDocs: Int = BoilerMinDocs): DataFrame =
+    boilerSegments(docs).groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("seg"))
 
   /** The rewrite core, parameterized by input frame (any (doc_id, text))
     * and threshold so CorpusPipeline's stage 1.9 applies the exact rule
     * the oracle verifies. Returns (doc_id, n_seg, n_boiler, clean_text).
     */
   def boilerplateCleanOver(docs: DataFrame, minDocs: Int = BoilerMinDocs): DataFrame = {
-    val seg = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks), $BoilerSegTokens), " +
-          s"i -> concat_ws(' ', slice(toks, i, $BoilerSegTokens)))")).as(Seq("pos", "seg")))
-    val hot = seg.groupBy(col("seg"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= minDocs)
+    val seg = boilerSegments(docs)
+    val hot = boilerHotSegments(docs, minDocs)
       .select(col("seg"), lit(true).as("is_hot"))
     seg.join(broadcast(hot), Seq("seg"), "left")
       .withColumn("is_boiler", coalesce(col("is_hot"), lit(false)))
@@ -962,6 +977,83 @@ object TextOps {
        |SELECT doc_id, n_seg, n_boiler,
        |  ${sqlR6("CAST(n_boiler AS DOUBLE) / CAST(n_seg AS DOUBLE)")} AS boiler_frac,
        |  coalesce(clean_text, '') AS clean_text
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Count-based bigram language-model scoring — the perplexity-filter
+    * family (KenLM-gated corpus cleaning) re-expressed in rationals so
+    * it verifies hash-exact: a bigram LM is trained ON the corpus (c12 =
+    * corpus count of the bigram, c1 = corpus count of its context as a
+    * context), and every document is scored by the mean conditional
+    * probability of its bigram occurrences, mean over occurrences of
+    * p(w2|w1) = c12/c1 — high = the doc walks well-trodden corpus
+    * paths (templated), low = unusual transitions (novel or gibberish).
+    * No logs: log-perplexity needs libm and rule 8 forbids
+    * transcendentals; the mean-probability ordering carries the same
+    * filter signal and every division is one IEEE op. Alongside: the
+    * fraction of the doc's bigram TYPES that occur in no other document
+    * (df = 1) — the novelty ratio a dedup-adjacent gate reads.
+    *
+    * Scale shape: one bigram explode feeds three partial-aggregated
+    * counts (occurrence counts keyed on the gram, context totals keyed
+    * on w1, document frequency keyed on the gram); the LM table — the
+    * persisted model artifact at 100 TB — joins back to per-doc gram
+    * counts on the gram key, then one per-doc rollup. Everything
+    * shuffles on gram/doc keys with map-side combine; nothing is
+    * quadratic and nothing collects.
+    */
+  val lmScore: Q = (spark, dir) => {
+    val bg = documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', element_at(toks, i), 'gram', concat_ws(' ', slice(toks, i, 2))))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.gram").as("gram"))
+    val cnt = bg.groupBy(col("gram"), col("w1")).agg(count(lit(1)).as("c12"))
+    val ctx = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val lm = cnt.join(ctx, "w1")
+      .select(col("gram"), (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+    val df = bg.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("gdf"))
+    val docGrams = bg.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+    docGrams.join(lm, "gram").join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_occ")).as("n_bigrams"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("novel_types"),
+        (dsum(col("p") * col("n_occ").cast("double")) /
+          sum(col("n_occ")).cast("double")).as("mp"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_types"), col("novel_types"),
+        r6(col("novel_types").cast("double") / col("n_types").cast("double")).as("novel_frac"),
+        r6(col("mp")).as("mean_prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, u.w1, u.gram FROM (
+       |    SELECT doc_id, unnest([{'w1': toks[i], 'gram': array_to_string(toks[i : i + 1], ' ')}
+       |                           for i in generate_series(1, len(toks) - 1)]) AS u
+       |    FROM t WHERE len(toks) >= 2) s),
+       |cnt AS (SELECT gram, w1, count(*) AS c12 FROM bg GROUP BY gram, w1),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1),
+       |lm AS (
+       |  SELECT gram, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+       |  FROM cnt JOIN ctx USING (w1)),
+       |gdfs AS (SELECT gram, count(DISTINCT doc_id) AS gdf FROM bg GROUP BY gram),
+       |dg AS (SELECT doc_id, gram, count(*) AS n_occ FROM bg GROUP BY doc_id, gram),
+       |a AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+       |    count(*) AS n_types,
+       |    CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_types,
+       |    (${sqlDsum("p * CAST(n_occ AS DOUBLE)")} / CAST(sum(n_occ) AS DOUBLE)) AS mp
+       |  FROM dg JOIN lm USING (gram) JOIN gdfs USING (gram)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, n_types, novel_types,
+       |  ${sqlR6("CAST(novel_types AS DOUBLE) / CAST(n_types AS DOUBLE)")} AS novel_frac,
+       |  ${sqlR6("mp")} AS mean_prob
        |FROM a ORDER BY doc_id""".stripMargin
 
   /** Exact per-source top-k vocabulary: the most frequent tokens of each
@@ -1890,6 +1982,7 @@ object TextOps {
     "q_text_chunk_dedup" -> textChunkDedup,
     "q_text_boilerplate" -> textBoilerplate,
     "q_top_terms" -> topTerms,
+    "q_lm_score" -> lmScore,
     "q_len_deciles" -> lenDeciles,
     "q_corpus_mix" -> corpusMix
   )
@@ -1923,6 +2016,7 @@ object TextOps {
     "q_text_chunk_dedup" -> textChunkDedupSql,
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_top_terms" -> topTermsSql,
+    "q_lm_score" -> lmScoreSql,
     "q_len_deciles" -> lenDecilesSql,
     "q_corpus_mix" -> corpusMixSql
   )

@@ -752,6 +752,51 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming boilerplate removal — the q_text_boilerplate rewrite
+    * applied to documents AS THEY ARRIVE against a FROZEN hot-segment
+    * set (TextOps.boilerHotSegments, trained on the corpus-so-far or
+    * loaded from a persisted artifact): the same train-rarely /
+    * apply-per-batch asymmetry as the IVF quantizer stream. The hot set
+    * is collected once (it is the trained model — ~dozens of navbar/
+    * banner segments; guarded, since a million-segment "hot" set means
+    * the threshold is wrong) and embedded as a literal array, so the cut
+    * is a PURE per-row map: no join, no shuffle, no state store, and
+    * micro-batch boundaries are invisible (stream ≡ batch-with-same-
+    * hot-set row for row — StreamingSpec pins it). At 100 TB/day the
+    * per-row membership probe would ride a broadcast hash set or bloom
+    * instead of a literal; the plan shape is identical.
+    */
+  def boilerStream(spark: SparkSession, sourceDir: String, hotSegs: Seq[String],
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(hotSegs.size <= 100000,
+      s"hot-segment set has ${hotSegs.size} entries — threshold too low to freeze as a literal")
+    val hotLit =
+      if (hotSegs.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+      else array(hotSegs.sorted.map(lit(_)): _*)
+    val segTok = graft.queries.TextOps.BoilerSegTokens
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("segs", expr(
+        s"transform(sequence(1, size(toks), $segTok), i -> concat_ws(' ', slice(toks, i, $segTok)))"))
+      .withColumn("kept", filter(col("segs"), s => !array_contains(hotLit, s)))
+      .select(col("doc_id"), col("source"),
+        size(col("segs")).cast("long").as("n_seg"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_boiler"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  def runBoilerStream(spark: SparkSession, sourceDir: String, queryName: String,
+                      hotSegs: Seq[String],
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = boilerStream(spark, sourceDir, hotSegs, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   // ---- Streaming IVF assignment (frozen-quantizer maintenance) ----
 
   val embSchema: StructType = StructType(Seq(

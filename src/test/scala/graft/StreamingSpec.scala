@@ -525,6 +525,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r == Seq("s0", 1L, 3L, 256L, 2L, 1L)))
   }
 
+  test("streaming boilerplate cut equals the batch rewrite under the frozen hot set") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val banner = "subscribe to our newsletter for weekly updates now"
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // The banner appears in 3 docs spread across BOTH micro-batches —
+    // only a hot set trained on the full corpus can see df = 3, which is
+    // exactly why the stream takes the frozen set as input.
+    val b1 = Seq(
+      (1L, s"$banner a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, s"$banner b1 b2 b3 b4 b5 b6 b7 b8"))
+    val b2 = Seq(
+      (3L, s"$banner c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, "plain unique text with no banner at all here"))
+    val allDocs = mkDocs(b1 ++ b2)
+    val hot = graft.queries.TextOps.boilerHotSegments(allDocs, 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(hot == Seq(banner), s"hot set must be exactly the banner: $hot")
+    val watched = Files.createTempDirectory("boiler_src")
+    stageFile(watched, "a", mkDocs(b1), 0)
+    stageFile(watched, "b", mkDocs(b2), 10)
+    val streamed = EventStream.runBoilerStream(
+      spark, watched.toString, "boiler_stream_test", hot, maxFilesPerTrigger = Some(1))
+      .select("doc_id", "n_seg", "n_boiler", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.queries.TextOps.boilerplateCleanOver(allDocs, 3)
+      .select("doc_id", "n_seg", "n_boiler", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.size == 4 && streamed == batch, s"stream $streamed != batch $batch")
+    // The cut is real: doc 1's banner is gone, doc 4 untouched.
+    val byId = streamed.map(t => t._1 -> t._4).toMap
+    assert(byId(1L) == "a1 a2 a3 a4 a5 a6 a7 a8")
+    assert(byId(4L) == "plain unique text with no banner at all here")
+  }
+
   test("streaming model scoring equals the batch scorer across micro-batches") {
     import java.nio.file.Files
     import spark.implicits._

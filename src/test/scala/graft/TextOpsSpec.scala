@@ -486,6 +486,25 @@ class TextOpsSpec extends SparkSpec {
       "h1 h2 h3 h4 h5 h6 h7 h8 t1 t2 t3 t4 t5 t6 t7 t8")
   }
 
+  test("bigram LM scoring: hand-computed probabilities and novelty (golden)") {
+    // Corpus grams — doc 1: "a b","b a","a b"; doc 2: "a b","b c".
+    // c12: (a b)=3, (b a)=1, (b c)=1; contexts: a=3, b=2.
+    // p(b|a)=1.0, p(a|b)=0.5, p(c|b)=0.5.
+    val dir = docsDir(Seq(
+      (1L, "a b a b", "en", "s0", 7L),
+      (2L, "a b c", "en", "s0", 5L)))
+    val r = TextOps.lmScore(spark, dir).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 3L && d1.getAs[Long]("n_types") == 2L)
+    assert(d1.getAs[Long]("novel_types") == 1L, "only 'b a' is unique to doc 1")
+    assert(d1.getAs[Double]("novel_frac") == 0.5)
+    assert(d1.getAs[Double]("mean_prob") == 0.833333, s"got ${d1.getAs[Double]("mean_prob")}")
+    val d2 = r(2L)
+    assert(d2.getAs[Long]("n_bigrams") == 2L && d2.getAs[Long]("novel_types") == 1L)
+    assert(d2.getAs[Double]("mean_prob") == 0.75)
+  }
+
   test("quality model: scores are clamped to [0,1] and keep agrees with the score") {
     val rows = TextOps.queries("q_quality_model")(spark, sfDir).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())
