@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus build — the daily-drop path: a NEW batch of
+  * documents is cleaned and deduplicated against the STANDING corpus
+  * without ever re-pairing old×old, and the standing state grows by
+  * exactly the survivors. This is the operational shape of a crawl
+  * pipeline at 100 TB: the full CorpusPipeline runs once to bootstrap;
+  * every subsequent drop costs O(increment + collisions), never
+  * O(corpus).
+  *
+  * Persisted dedup state under `stateDir` (all plain parquet, appended
+  * per increment):
+  *   docs/      the standing corpus (doc_id, text, lang, source, n_chars)
+  *   hashes/    (doc_id, content_hash)            — exact-dup index
+  *   bands/     (doc_id, band)                    — LSH bucket index
+  *   shingles/  (doc_id, shingles array<string>)  — verify-side features
+  *
+  * hashes/bands are the persisted twins of the in-session derivations
+  * (AnnIndex discipline applied to dedup): an increment reads them as
+  * columnar scans instead of re-deriving O(corpus) signatures. shingles
+  * ride along so the exact Jaccard verify of a new×old candidate never
+  * re-reads old text. The four appends are not atomic as a group — a
+  * crash between them can leave a partial increment; a production run
+  * stages each table to a temp dir and renames, exactly the
+  * JsonlIngest.reingestQuarantine swap. Bootstrap via `initState` from
+  * any cleaned corpus (e.g. CorpusPipeline's corpus_clean output).
+  *
+  * Same operator definitions as the batch pipeline: the quality gate is
+  * CorpusPipeline's stage-1 scoring, the near-dup rule is the verified
+  * MinHash/LSH chain (3-token shingles, minhash_sig, 4 bands × 3 rows,
+  * exact Jaccard ≥ threshold verify) — so batch-then-increment and
+  * one-shot-batch agree on what counts as a duplicate, the property the
+  * spec pins. Canonicalization assumes doc ids grow monotonically across
+  * drops (new ids > standing ids — the crawl reality): a new doc with a
+  * standing near-dup always loses to the standing copy, which is then
+  * the min-id keeper a one-shot batch run would have chosen too.
+  */
+object IncrementalCorpus {
+
+  final case class IncrCounts(newInput: Long, afterQuality: Long,
+                              afterExact: Long, afterNear: Long,
+                              standingBefore: Long, standingAfter: Long)
+
+  private def shingled(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("shingles", expr(
+      """CASE WHEN size(toks) >= 3
+        |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
+        |                                i -> concat_ws(' ', slice(toks, i, 3))))
+        |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+    .select(col("doc_id"), col("shingles"))
+
+  private def bandsOf(shingles: DataFrame): DataFrame = shingles
+    .withColumn("sig", expr("minhash_sig(shingles)"))
+    .withColumn("bands", expr(
+      "transform(sequence(0, 3), k -> md5(concat(CAST(k AS STRING), '|', sig[k*3], '|', sig[k*3+1], '|', sig[k*3+2])))"))
+    .select(col("doc_id"), explode(col("bands")).as("band"))
+
+  private def hashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+
+  /** Bootstrap the persisted state from an already-cleaned corpus. */
+  def initState(spark: SparkSession, cleanDocs: DataFrame, stateDir: String): Unit = {
+    val docs = cleanDocs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs")
+    hashesOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$stateDir/hashes")
+    val sh = shingled(docs)
+    sh.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/shingles")
+    bandsOf(sh).write.mode(SaveMode.Overwrite).parquet(s"$stateDir/bands")
+  }
+
+  /** Clean `newDocs` against the standing state, append survivors, and
+    * write the increment + audited drops under `outDir`:
+    *   increment_clean/  the surviving new docs
+    *   incr_dropped/     (doc_id, drop_reason, dup_of) for every loss
+    */
+  def runIncremental(spark: SparkSession, newDocs: DataFrame,
+                     stateDir: String, outDir: String,
+                     minQuality: Double = 0.5,
+                     jaccardThreshold: Double = 0.8): IncrCounts = {
+    val standing = spark.read.parquet(s"$stateDir/docs")
+    val standingBefore = standing.count()
+
+    // 0+1. PII scrub + the batch pipeline's quality gate, on the new
+    // batch only — per-row maps, O(increment).
+    val scrubbed = newDocs
+      .withColumn("text", graft.queries.TextOps.scrubPii(col("text")))
+    val newInput = scrubbed.count()
+    val scored = scrubbed
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("uniq_ratio", size(array_distinct(col("toks"))) / col("n_tokens"))
+      .withColumn("stop_ratio", expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))") / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0))
+          + lit(0.4) * col("uniq_ratio")
+          + lit(0.3) * (lit(1.0) - col("stop_ratio")))
+    val qualityDrops = scored.filter(col("quality_score") < minQuality)
+      .select(col("doc_id"), lit("quality_below_min").as("drop_reason"),
+        lit(null).cast("long").as("dup_of"))
+    val quality = graft.queries.Det.pin(
+      scored.filter(col("quality_score") >= minQuality)
+        .select(newDocs.columns.map(col).toSeq: _*))
+    val afterQuality = quality.count()
+
+    // 2. exact dedup: against the standing hash index (columnar scan of
+    // the persisted artifact — old text is never read), then min-id
+    // within the batch.
+    val oldHashes = spark.read.parquet(s"$stateDir/hashes")
+      .select(col("content_hash")).distinct()
+    val hashed = quality.withColumn("content_hash", md5(col("text")))
+    val vsOld = hashed.join(oldHashes, Seq("content_hash"), "left_anti")
+    val exactKeep = vsOld
+      .withColumn("__keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") === col("__keeper"))
+      .drop("content_hash", "__keeper")
+    val exact = graft.queries.Det.pin(exactKeep)
+    val afterExact = exact.count()
+    val exactDrops = quality.select(col("doc_id"))
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("exact_dup").as("drop_reason"),
+        lit(null).cast("long").as("dup_of"))
+
+    // 3. near dedup: new bands join OLD bands (bucketed, never all-pairs)
+    // plus new×new within the batch; candidates exact-verified on
+    // shingles (old side from the persisted shingle table). A new doc
+    // with ANY verified neighbor — standing or smaller-id batch-mate —
+    // drops; old×old pairs never form.
+    val newSh = graft.queries.Det.pin(shingled(exact))
+    val newBands = bandsOf(newSh)
+    val oldBands = spark.read.parquet(s"$stateDir/bands")
+      .select(col("doc_id").as("other"), col("band"))
+    val candOld = newBands.join(oldBands, "band")
+      .select(col("doc_id"), col("other")).distinct()
+    val candNew = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+      .distinct()
+    val oldSh = spark.read.parquet(s"$stateDir/shingles")
+      .select(col("doc_id").as("o2"), col("shingles").as("sh_b"))
+    val newShB = newSh.select(col("doc_id").as("o2"), col("shingles").as("sh_b"))
+    val cand = candOld.union(candNew)
+    val verified = cand
+      .join(newSh.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
+      .join(oldSh.union(newShB), cand("other") === col("o2"))
+      .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+      .filter(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= jaccardThreshold)
+    val nearDrops = verified.groupBy(col("doc_id"))
+      .agg(min(col("other")).as("dup_of"))
+      .select(col("doc_id"), lit("near_dup").as("drop_reason"), col("dup_of"))
+    val survivors = exact.join(nearDrops.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val afterNear = survivors.count()
+
+    // 4. land the increment + audit, then grow the state by exactly the
+    // survivors (append — the state tables are the artifacts the NEXT
+    // increment scans).
+    survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/increment_clean")
+    qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/incr_dropped")
+    val landed = spark.read.parquet(s"$outDir/increment_clean")
+    landed.write.mode(SaveMode.Append).parquet(s"$stateDir/docs")
+    hashesOf(landed).write.mode(SaveMode.Append).parquet(s"$stateDir/hashes")
+    val landedSh = shingled(landed)
+    landedSh.write.mode(SaveMode.Append).parquet(s"$stateDir/shingles")
+    bandsOf(landedSh).write.mode(SaveMode.Append).parquet(s"$stateDir/bands")
+    val standingAfter = spark.read.parquet(s"$stateDir/docs").count()
+
+    // Pins (quality/exact/newSh) are session-registered; the caller
+    // releases them after its last read (Det.releasePins), same contract
+    // as CorpusPipeline.nearDupPairs.
+    IncrCounts(newInput, afterQuality, afterExact, afterNear,
+      standingBefore, standingAfter)
+  }
+}

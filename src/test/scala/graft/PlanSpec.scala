@@ -220,6 +220,20 @@ class PlanSpec extends SparkSpec {
       s"projection matrix join is not broadcast:\n$plan")
   }
 
+  test("boilerplate rewrite broadcasts the hot-segment set back to the corpus") {
+    // The df≥3 hot set is tiny (~dozens of segments); the rewrite join
+    // must broadcast it, not shuffle the exploded corpus a second time.
+    val plan = planOf("q_text_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"), s"hot set not broadcast:\n$plan")
+  }
+
+  test("shard shuffle plans one hash exchange (window) plus the output sort only") {
+    val plan = planOf("q_shard_shuffle")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"shard shuffle plans $exchanges exchanges (expected window + sort):\n$plan")
+    assert(plan.contains("Window"), s"no window for pos_in_shard:\n$plan")
+  }
+
   test("no query in the suite plans a cartesian product") {
     // Broadcast nested-loop joins against tiny probe/block-pair sets are
     // legitimate; an actual CartesianProduct (both sides shuffled, n×m)
