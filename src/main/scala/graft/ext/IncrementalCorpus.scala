@@ -103,9 +103,12 @@ object IncrementalCorpus {
     val qualityDrops = scored.filter(col("quality_score") < minQuality)
       .select(col("doc_id"), lit("quality_below_min").as("drop_reason"),
         lit(null).cast("long").as("dup_of"))
-    val quality = graft.queries.Det.pin(
-      scored.filter(col("quality_score") >= minQuality)
-        .select(newDocs.columns.map(col).toSeq: _*))
+    // Caches are owned LOCALLY (persist/unpersist inside this call, not
+    // Det.pin): every output is landed to parquet before return, so
+    // nothing outlives the call — and the streaming wrapper must not
+    // release the enclosing session's pins from inside foreachBatch.
+    val quality = scored.filter(col("quality_score") >= minQuality)
+      .select(newDocs.columns.map(col).toSeq: _*).persist()
     val afterQuality = quality.count()
 
     // 2. exact dedup: against the standing hash index (columnar scan of
@@ -120,7 +123,7 @@ object IncrementalCorpus {
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
       .filter(col("doc_id") === col("__keeper"))
       .drop("content_hash", "__keeper")
-    val exact = graft.queries.Det.pin(exactKeep)
+    val exact = exactKeep.persist()
     val afterExact = exact.count()
     val exactDrops = quality.select(col("doc_id"))
       .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -132,7 +135,7 @@ object IncrementalCorpus {
     // shingles (old side from the persisted shingle table). A new doc
     // with ANY verified neighbor — standing or smaller-id batch-mate —
     // drops; old×old pairs never form.
-    val newSh = graft.queries.Det.pin(shingled(exact))
+    val newSh = shingled(exact).persist()
     val newBands = bandsOf(newSh)
     val oldBands = spark.read.parquet(s"$stateDir/bands")
       .select(col("doc_id").as("other"), col("band"))
@@ -172,10 +175,44 @@ object IncrementalCorpus {
     bandsOf(landedSh).write.mode(SaveMode.Append).parquet(s"$stateDir/bands")
     val standingAfter = spark.read.parquet(s"$stateDir/docs").count()
 
-    // Pins (quality/exact/newSh) are session-registered; the caller
-    // releases them after its last read (Det.releasePins), same contract
-    // as CorpusPipeline.nearDupPairs.
+    quality.unpersist(blocking = false)
+    exact.unpersist(blocking = false)
+    newSh.unpersist(blocking = false)
     IncrCounts(newInput, afterQuality, afterExact, afterNear,
       standingBefore, standingAfter)
+  }
+
+  /** Streaming form: crawl drops land as parquet files under
+    * `sourceDir`; each micro-batch runs the SAME incremental build
+    * against the persisted state (foreachBatch — the batch operators
+    * unchanged, so stream-ingested corpora and hand-run increments are
+    * governed by identical dedup semantics). Each batch's increment +
+    * audit lands under `outRoot/batch_<id>`; the state dir is the
+    * cross-batch memory, so a doc arriving in batch N that duplicates a
+    * batch N−1 survivor dies exactly like a same-batch duplicate.
+    * Sequential micro-batches are the correctness assumption (Spark
+    * guarantees in-order foreachBatch within a query); the per-batch
+    * counts log to `outRoot/batch_<id>/counts` for the audit trail.
+    */
+  def incrementalStream(spark: SparkSession, sourceDir: String,
+                        stateDir: String, outRoot: String,
+                        maxFilesPerTrigger: Option[Int] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(graft.streaming.EventStream.docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val out = s"$outRoot/batch_$batchId"
+          val c = runIncremental(spark, batch, stateDir, out)
+          import spark.implicits._
+          Seq((batchId, c.newInput, c.afterQuality, c.afterExact,
+            c.afterNear, c.standingAfter))
+            .toDF("batch_id", "new_input", "after_quality", "after_exact",
+              "after_near", "standing_after")
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/counts")
+        }
+      }
+      .start()
   }
 }

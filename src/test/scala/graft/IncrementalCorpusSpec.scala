@@ -85,6 +85,43 @@ class IncrementalCorpusSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("streaming drops: cross-batch dedup against the growing state") {
+    import java.nio.file.{Files, Paths}
+    val stateDir = Files.createTempDirectory("incr_state_s").toString
+    val outRoot = Files.createTempDirectory("incr_out_s").toString
+    val srcDir = Files.createTempDirectory("incr_src_s")
+    IncrementalCorpus.initState(spark, mkDocs(Seq(1L -> freshText("m"))), stateDir)
+    // Batch 0: one unique + one near-dup of standing; batch 1: an exact
+    // dup of batch 0's survivor (cross-batch — only the state can see it)
+    // + one unique. mod-time staggered so the file source orders them.
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, offSec: Long): Unit = {
+      import java.nio.file.{Files => F, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val tmp = F.createTempDirectory(s"incr_stage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"$name.parquet")
+      F.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      F.setLastModifiedTime(dst,
+        FileTime.fromMillis(System.currentTimeMillis() - 60000 + offSec * 1000))
+    }
+    stage("d0", mkDocs(Seq(50L -> freshText("n"), 51L -> nearVariant("m"))), 0)
+    stage("d1", mkDocs(Seq(60L -> freshText("n"), 61L -> freshText("o"))), 10)
+    val q = IncrementalCorpus.incrementalStream(
+      spark, srcDir.toString, stateDir, outRoot, maxFilesPerTrigger = Some(1))
+    q.processAllAvailable(); q.stop()
+    val standing = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(standing == Set(1L, 50L, 61L),
+      s"51 near-dups standing 1; 60 exact-dups batch-0 survivor 50: $standing")
+    // Per-batch audit landed.
+    val batchDirs = new java.io.File(outRoot).listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.getName).sorted
+    assert(batchDirs.length == 2, s"two micro-batches: ${batchDirs.toSeq}")
+    assert(Files.exists(Paths.get(s"$outRoot/${batchDirs.head}/counts")))
+  }
+
   test("a second identical drop is fully deduped (idempotence) and state is unchanged") {
     val stateDir = java.nio.file.Files.createTempDirectory("incr_state3").toString
     val out1 = java.nio.file.Files.createTempDirectory("incr_out3a").toString
