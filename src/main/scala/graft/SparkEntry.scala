@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Nested.queries ++
       graft.queries.Sampling.queries ++
       graft.queries.Sketch.queries ++
+      graft.queries.Layout.queries ++
       graft.ext.AnnIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.Nested.oracles ++
       graft.queries.Sampling.oracles ++
       graft.queries.Sketch.oracles ++
+      graft.queries.Layout.oracles ++
       graft.ext.AnnIndex.oracles
 }

@@ -1131,7 +1131,130 @@ object Dedup {
        |  ${sqlR6("CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n AS DOUBLE)")} AS dup_ratio
        |FROM marked GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- fuzzy (edit-distance)
+
+  /** Prefix-block edit-distance near-dup pairs: candidate pairs share a
+    * 12-char text prefix AND a length window (|len_a − len_b| ≤ d), and
+    * survive only if levenshtein ≤ d = 8. Levenshtein is the right tool
+    * where MinHash is not: token-ORDER-preserving small edits (typo
+    * variants, template instantiations) that shingle methods can
+    * under-score on short texts.
+    *
+    * Scale shape: the only shuffle is the equi-join on the prefix key —
+    * never all-pairs. Prefix blocking is the standard record-linkage
+    * trade (a pair edited WITHIN its first 12 chars is missed; recall
+    * lives in the blocking key, precision in the verify). The length
+    * prefilter prunes before the O(len²) levenshtein runs, and a block-
+    * frequency cap (≤ 64 docs per prefix, same df-cap discipline as
+    * [[dedupNgramCapped]]) bounds the worst block at boilerplate-prefix
+    * skew — a capped block is dropped whole, auditably, rather than
+    * exploding quadratically.
+    */
+  private val fuzzyMaxDist = 8
+  private val fuzzyPrefixLen = 12
+  private val fuzzyBlockCap = 64
+
+  val dedupFuzzy: Q = (spark, dir) => {
+    val base = documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, fuzzyPrefixLen).as("pfx"),
+        length(col("text")).as("len"))
+    val blocked = base.withColumn("block_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("pfx"))))
+      .filter(col("block_n") <= fuzzyBlockCap)
+    val a = blocked.select(col("pfx"), col("doc_id").as("doc_a"),
+      col("text").as("text_a"), col("len").as("len_a"))
+    val b = blocked.select(col("pfx"), col("doc_id").as("doc_b"),
+      col("text").as("text_b"), col("len").as("len_b"))
+    a.join(b, "pfx")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= fuzzyMaxDist)
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("edit_dist") <= fuzzyMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"),
+        col("len_a").cast("long").as("len_a"), col("len_b").cast("long").as("len_b"),
+        r6(lit(1.0) - col("edit_dist").cast("double")
+          / greatest(col("len_a"), col("len_b")).cast("double")).as("sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupFuzzySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, substr(text, 1, $fuzzyPrefixLen) AS pfx,
+       |    length(text) AS len
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY pfx) AS block_n FROM base) t
+       |  WHERE block_n <= $fuzzyBlockCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  CAST(a.len AS BIGINT) AS len_a, CAST(b.len AS BIGINT) AS len_b,
+       |  ${sqlR6("1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) " +
+              "/ CAST(greatest(a.len, b.len) AS DOUBLE)")} AS sim
+       |FROM blocked a JOIN blocked b ON a.pfx = b.pfx
+       |WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= $fuzzyMaxDist
+       |  AND levenshtein(a.text, b.text) <= $fuzzyMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------------- snapshot diff
+
+  /** Corpus snapshot reconciliation: given two snapshots of the corpus
+    * (old = doc_id % 10 < 8; new = doc_id % 10 ≥ 2, with every 7th doc's
+    * text edited — both derived DETERMINISTICALLY from the one corpus so
+    * the oracle sees identical snapshots), classify every doc_id as
+    * added / removed / changed / unchanged by row-hash compare and count
+    * per (source, class). This is the audit step between two ingest
+    * runs: what did the crawl refresh actually do?
+    *
+    * Scale shape: each side is hashed BEFORE the join (md5 of the
+    * content — a narrow projection, so 100 TB of text never ships into
+    * the join; only (doc_id, source, 32-byte hash) does), then ONE
+    * full-outer shuffle join on doc_id and a counting aggregation.
+    * This is the Delta-Lake-CDF-shaped diff re-expressed as plain
+    * relational algebra over content hashes.
+    */
+  val snapshotDiff: Q = (spark, dir) => {
+    val d = documents(spark, dir)
+    val old = d.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"))
+    val neu = d.filter(col("doc_id") % 10 >= 2)
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("source_new")).as("source"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("class"))
+      .groupBy(col("source"), col("class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("class"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, source, md5(text) AS h_old
+      |  FROM documents WHERE doc_id % 10 < 8),
+      |neu AS (
+      |  SELECT doc_id, source AS source_new,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 10 >= 2)
+      |SELECT coalesce(o.source, n.source_new) AS source,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.h_old = n.h_new THEN 'unchanged'
+      |       ELSE 'changed' END AS class,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY source, class""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_fuzzy" -> dedupFuzzy,
+    "q_snapshot_diff" -> snapshotDiff,
     "q_dedup_incremental" -> dedupIncremental,
     "q_graph_pagerank" -> graphPagerank,
     "q_dedup_exact" -> dedupExact,
@@ -1148,6 +1271,8 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_fuzzy" -> dedupFuzzySql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_dedup_exact" -> dedupExactSql,

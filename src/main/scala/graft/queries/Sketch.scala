@@ -183,13 +183,117 @@ object Sketch {
        |  d.kth_direct = m.kth_merged AS merge_exact
        |FROM direct d, merged m, exact e""".stripMargin
 
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-min rows (independent hash functions) and bucket width.
+    * Error bound: overcount ≤ e·N/w with prob 1−e^−d (Cormode &
+    * Muthukrishnan, "An Improved Data Stream Summary: The Count-Min
+    * Sketch and its Applications", J. Algorithms 2005). */
+  val cmsD = 4
+  val cmsW = 128
+  private val cmsTopK = 20
+
+  /** Seeded 48-bit hash of a token under CMS row j (j is a COLUMN). */
+  private def cmsBucketExpr: String =
+    s"(${hvExpr("concat('cms', cast(j as string), '#', tok)")}) % $cmsW"
+
+  private def cmsBucketDuck: String =
+    s"(${hvDuck("'cms' || CAST(j AS VARCHAR) || '#' || tok")}) % $cmsW"
+
+  /** Same hash with row index j as a compile-time LITERAL — lets the d
+    * bucket ids stack through one posexplode instead of a join, which is
+    * what makes the identical kernel legal in a streaming aggregation
+    * (no stream-side join at all). */
+  private def cmsBucketLit(j: Int): String =
+    s"(${hvExpr(s"concat('cms$j#', tok)")}) % $cmsW"
+
+  /** The d×w counter table over a weighted token frame (`tok`, `w`):
+    * posexplode the d bucket ids per row, sum weights per (j, bucket).
+    * Batch feeds the VOCABULARY frame (w = exact count — map-side
+    * combined once); the streaming twin feeds raw tokens (w = 1) and
+    * keeps the same ≤ d·w = 512-row state forever. Shard sketches merge
+    * by plain addition — the counter table IS the mergeable state.
+    */
+  def cmsCountersOver(toks: DataFrame): DataFrame =
+    toks.select(col("w"),
+        posexplode(array((0 until cmsD).map(j => expr(cmsBucketLit(j))): _*))
+          .as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("w")).as("cnt"))
+
+  /** Count-min-sketch heavy hitters: the corpus's top-20 tokens by exact
+    * frequency, each with its CMS estimate (min over d=4 seeded counter
+    * rows of w=128 buckets) and the realized overcount — which the CMS
+    * guarantee says is ≥ 0 always and small with high probability
+    * (one-sided error: collisions only ADD). Every cell is integer, so
+    * the oracle compare is exact, and the estimate's d×w counter table
+    * is itself pure relational algebra over deterministic md5-derived
+    * bucket ids — the same counters materialize in Spark and DuckDB.
+    *
+    * Scale shape: token frequencies are aggregated ONCE with map-side
+    * combine (vocabulary-sized partials), then the d×w = 512-cell
+    * counter table is a weighted re-aggregation of that vocabulary frame
+    * — constant state per shard, mergeable by plain addition, exactly
+    * how 1000 executors would maintain per-partition sketches under a
+    * combining reduce. The candidate probe joins 20×4 = 80 rows against
+    * the 512-row sketch — broadcast-trivial. The exact-count overlay
+    * (top-k window over the vocabulary frame) is the verification
+    * harness, bounded by |vocab|, and is what the small-SF oracle
+    * grades; a production run keeps only the counters.
+    */
+  val sketchCms: Q = (spark, dir) => {
+    val ex = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val rows = spark.range(0, cmsD).select(col("id").cast("int").as("j"))
+    val sketch = cmsCountersOver(ex.select(col("tok"), col("n_exact").as("w")))
+    val cand = ex
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_exact").desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= cmsTopK)
+    val probes = cand.crossJoin(broadcast(rows))
+      .select(col("rank"), col("tok"), col("n_exact"), col("j"),
+        expr(cmsBucketExpr).as("bucket"))
+    probes.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("rank"), col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("est_cms"))
+      .select(col("rank"), col("tok"), col("n_exact"), col("est_cms"),
+        (col("est_cms") - col("n_exact")).as("overcount"))
+      .orderBy(col("rank"))
+  }
+
+  val sketchCmsSql: String =
+    s"""WITH ex AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |rows_j AS (SELECT unnest(generate_series(0, ${cmsD - 1})) AS j),
+       |sk AS (
+       |  SELECT j, $cmsBucketDuck AS bucket, CAST(sum(n_exact) AS BIGINT) AS cnt
+       |  FROM ex, rows_j GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT tok, n_exact, rank FROM (
+       |    SELECT tok, n_exact,
+       |      row_number() OVER (ORDER BY n_exact DESC, tok) AS rank
+       |    FROM ex) t WHERE rank <= $cmsTopK),
+       |probes AS (
+       |  SELECT rank, tok, n_exact, j, $cmsBucketDuck AS bucket
+       |  FROM cand, rows_j)
+       |SELECT p.rank, p.tok, p.n_exact, min(s.cnt) AS est_cms,
+       |  min(s.cnt) - p.n_exact AS overcount
+       |FROM probes p JOIN sk s ON p.j = s.j AND p.bucket = s.bucket
+       |GROUP BY p.rank, p.tok, p.n_exact
+       |ORDER BY p.rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sketch_kmv" -> sketchKmv,
-    "q_sketch_kmv_merge" -> sketchKmvMerge
+    "q_sketch_kmv_merge" -> sketchKmvMerge,
+    "q_sketch_cms" -> sketchCms
   )
 
   val oracles: Map[String, String] = Map(
     "q_sketch_kmv" -> sketchKmvSql,
-    "q_sketch_kmv_merge" -> sketchKmvMergeSql
+    "q_sketch_kmv_merge" -> sketchKmvMergeSql,
+    "q_sketch_cms" -> sketchCmsSql
   )
 }

@@ -1955,7 +1955,83 @@ object TextOps {
        |  (0.5 + wsum / CAST(n_tokens AS DOUBLE)) >= 0.5 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- phrase search
+
+  /** Positional-inverted-index phrase search: find every document
+    * containing the corpus's most frequent 3-token phrase as an EXACT
+    * consecutive-token match, via posting-list intersection with
+    * position-offset alignment — the retrieval primitive behind "find
+    * the provenance of this memorized string" audits over a corpus.
+    *
+    * The query phrase is derived in-query (top trigram by document
+    * frequency, ties broken lexicographically) so the operator is
+    * non-degenerate at every scale factor without a hard-coded literal.
+    *
+    * Scale shape — why this is index-shaped rather than
+    * `instr(text, phrase)`: the postings table (term, doc_id, pos) is
+    * built once per corpus and REUSED across queries (here it feeds both
+    * the phrase-frequency ranking and the lookup); a lookup touches only
+    * the postings of the 3 query terms (broadcast-filtered BEFORE any
+    * join — three term-selective reads, not a corpus scan), then aligns
+    * positions with two equi-joins on (doc_id, pos±k). At 100 TB the
+    * postings live bucketed by term; the corpus text is never re-read.
+    */
+  val phraseSearch: Q = (spark, dir) => {
+    val postings = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val grams = postings.as("p1")
+      .join(postings.as("p2"),
+        col("p1.doc_id") === col("p2.doc_id") && col("p2.pos") === col("p1.pos") + 1)
+      .join(postings.as("p3"),
+        col("p1.doc_id") === col("p3.doc_id") && col("p3.pos") === col("p1.pos") + 2)
+      .select(col("p1.doc_id").as("doc_id"),
+        concat_ws(" ", col("p1.term"), col("p2.term"), col("p3.term")).as("phrase"),
+        col("p1.pos").as("pos"))
+    val top = grams.groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("phrase")).limit(1)
+      .select(col("phrase"), col("df"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"),
+        split(col("phrase"), " ").getItem(2).as("w3"))
+    // The actual lookup: each leg reads ONLY the matching term's postings
+    // (broadcast-filtered before any doc-level join), then aligns offsets.
+    val t1 = postings.join(broadcast(top), col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("phrase"), col("df"))
+    val t2 = postings.join(broadcast(top.select(col("w2"))), col("term") === col("w2"))
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    val t3 = postings.join(broadcast(top.select(col("w3"))), col("term") === col("w3"))
+      .select(col("doc_id").as("d3"), col("pos").as("p3"))
+    t1.join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .join(t3, col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
+      .groupBy(col("doc_id"), col("phrase"), col("df"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).cast("long").as("first_pos"))
+      .select(col("doc_id"), col("phrase"), col("df"), col("n_occ"), col("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH postings AS (
+      |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |grams AS (
+      |  SELECT p1.doc_id, p1.term || ' ' || p2.term || ' ' || p3.term AS phrase,
+      |    p1.pos AS pos
+      |  FROM postings p1
+      |  JOIN postings p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+      |  JOIN postings p3 ON p1.doc_id = p3.doc_id AND p3.pos = p1.pos + 2),
+      |top AS (
+      |  SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM grams GROUP BY phrase
+      |  ORDER BY df DESC, phrase LIMIT 1)
+      |SELECT g.doc_id, g.phrase, t.df, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(min(g.pos) AS BIGINT) AS first_pos
+      |FROM grams g JOIN top t ON g.phrase = t.phrase
+      |GROUP BY g.doc_id, g.phrase, t.df
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_phrase_search" -> phraseSearch,
     "q_url_canon" -> urlCanon,
     "q_quality_model" -> qualityModel,
     "q_split_assign" -> splitAssign,
@@ -1988,6 +2064,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_phrase_search" -> phraseSearchSql,
     "q_url_canon" -> urlCanonSql,
     "q_quality_model" -> qualityModelSql,
     "q_split_assign" -> splitAssignSql,

@@ -1003,6 +1003,37 @@ object EventStream {
     q.processAllAvailable(); q.stop()
   }
 
+  /** Streaming count-min sketch — the q_sketch_cms counter table
+    * maintained live over the document stream: each micro-batch's tokens
+    * stack their d seeded bucket ids through the SAME posexplode kernel
+    * as the batch operator ([[graft.queries.Sketch.cmsCountersOver]],
+    * w = 1 per raw token) and fold into a complete-mode aggregation
+    * whose state is bounded at d·w = 512 counter rows FOREVER — the
+    * canonical "sketch the firehose" shape: no watermark, no eviction,
+    * no growth, and shard/worker sketches merge downstream by plain
+    * addition. StreamingSpec pins the final counter table cell-equal to
+    * the batch kernel over the same files (micro-batch boundaries are
+    * invisible because counter addition is associative).
+    */
+  def cmsStream(spark: SparkSession, sourceDir: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.queries.Sketch.cmsCountersOver(
+      reader.parquet(sourceDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .withColumn("w", lit(1L)))
+  }
+
+  def runCmsStream(spark: SparkSession, sourceDir: String, queryName: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = cmsStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   /** Demo main: stage the batch events table as a streaming source dir,
     * run both pipelines, print results.
     */

@@ -234,6 +234,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window for pos_in_shard:\n$plan")
   }
 
+  test("z-order layout broadcasts the 1-row bounds and stays two-exchange") {
+    // bounds ride a broadcast nested-loop into the scan (never a shuffle);
+    // after that the whole query is the grouping exchange + output sort.
+    // The bounds aggregate itself contributes no data-sized exchange (its
+    // input partials are 4 values per task).
+    val plan = planOf("q_zorder_layout")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds row not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"bounds join shuffled:\n$plan")
+  }
+
+  test("CMS probe and sketch joins broadcast (counter table never shuffles the corpus)") {
+    val plan = planOf("q_sketch_cms")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"CMS joins not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"512-row sketch join planned a shuffle join:\n$plan")
+  }
+
+  test("phrase-search lookup legs are broadcast term filters, not corpus shuffles") {
+    // Each postings leg is equi-joined against a 1-row broadcast phrase
+    // frame BEFORE the doc/pos alignment joins — the plan must show
+    // broadcast hash joins feeding the alignment, and the alignment
+    // itself joins only term-selective postings.
+    val plan = planOf("q_phrase_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase term filters not broadcast:\n$plan")
+  }
+
   test("no query in the suite plans a cartesian product") {
     // Broadcast nested-loop joins against tiny probe/block-pair sets are
     // legitimate; an actual CartesianProduct (both sides shuffled, n×m)

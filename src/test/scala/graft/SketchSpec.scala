@@ -46,6 +46,44 @@ class SketchSpec extends SparkSpec {
     queries.Det.releasePins(spark)
   }
 
+  test("CMS is one-sided: estimate never undercounts, heavy hitter ranks first") {
+    // 200 distinct fillers ×1 + one hot token ×500 packed into w=128
+    // buckets: collisions can only ADD to a counter, so est ≥ exact for
+    // every candidate (the CMS guarantee), and the hot token must hold
+    // rank 1 with its exact count recovered up to a small overcount
+    // (min over d=4 rows; expected collision mass ≈ N/w per row).
+    val fillers = (1 to 200).map(i => s"f$i").mkString(" ")
+    val hot = Seq.fill(500)("hot").mkString(" ")
+    val dir = stage(Seq((1L, fillers, "s0"), (2L, hot, "s0")))
+    val rows = queries.Sketch.sketchCms(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS undercounted ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("est_cms") ==
+        r.getAs[Long]("n_exact") + r.getAs[Long]("overcount"))
+    }
+    val top = rows.find(_.getAs[Long]("rank") == 1L).get
+    assert(top.getAs[String]("tok") == "hot")
+    assert(top.getAs[Long]("n_exact") == 500L)
+    assert(top.getAs[Long]("overcount") <= 20L,
+      s"overcount ${top.getAs[Long]("overcount")} far above the e·N/w regime")
+    queries.Det.releasePins(spark)
+  }
+
+  test("CMS with vocabulary below bucket width is exact on a collision-free fixture") {
+    // 3 tokens over 4×128 counters: the frozen md5 bucket assignment has
+    // no full-row collision set, so every estimate is exact.
+    val dir = stage(Seq((1L, "a a a a a b b b c", "s0")))
+    val rows = queries.Sketch.sketchCms(spark, dir).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("est_cms"))).toMap
+    assert(rows("a") == (5L, 5L))
+    assert(rows("b") == (3L, 3L))
+    assert(rows("c") == (1L, 1L))
+    queries.Det.releasePins(spark)
+  }
+
   test("merge law: union of per-source sketches equals the direct global sketch") {
     // Overlapping vocabularies across three sources, all above trivial
     // size; the k-th minima must agree EXACTLY, not approximately.

@@ -562,6 +562,36 @@ class StreamingSpec extends SparkSpec {
     assert(byId(4L) == "plain unique text with no banner at all here")
   }
 
+  test("streaming CMS counter table equals the batch kernel over the same files") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Token multiset split across two micro-batches — counter addition is
+    // associative, so the final complete-mode table must be cell-equal to
+    // the batch counters over the union (and bounded at d·w rows).
+    val b1 = Seq((1L, "a a b hot hot hot"), (2L, "c hot a"))
+    val b2 = Seq((3L, "hot hot b b c d e"), (4L, "a hot"))
+    val watched = Files.createTempDirectory("cms_src")
+    stageFile(watched, "a", mkDocs(b1), 0)
+    stageFile(watched, "b", mkDocs(b2), 10)
+    val streamed = EventStream.runCmsStream(
+      spark, watched.toString, "cms_stream_test", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed.size <= 4 * 128, "counter state exceeded d x w")
+    val all = mkDocs(b1 ++ b2)
+      .select(explode(split(col("text"), " ")).as("tok")).withColumn("w", lit(1L))
+    val batch = graft.queries.Sketch.cmsCountersOver(all)
+      .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch, s"stream counters != batch: " +
+      s"onlyStream=${streamed.toSet -- batch.toSet} onlyBatch=${batch.toSet -- streamed.toSet}")
+    // The hot token (7 occurrences) really dominates its counters.
+    assert(batch.values.max >= 7L)
+  }
+
   test("streaming model scoring equals the batch scorer across micro-batches") {
     import java.nio.file.Files
     import spark.implicits._
