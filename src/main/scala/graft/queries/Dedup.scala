@@ -1164,13 +1164,22 @@ object Dedup {
       .filter(col("block_n") <= fuzzyBlockCap)
     val a = blocked.select(col("pfx"), col("doc_id").as("doc_a"),
       col("text").as("text_a"), col("len").as("len_a"))
-    val b = blocked.select(col("pfx"), col("doc_id").as("doc_b"),
+    val b = blocked.select(col("pfx").as("pfx_b"), col("doc_id").as("doc_b"),
       col("text").as("text_b"), col("len").as("len_b"))
-    a.join(b, "pfx")
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(abs(col("len_a") - col("len_b")) <= fuzzyMaxDist)
-      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("edit_dist") <= fuzzyMaxDist)
+    // ALL predicates ride inside the join condition, cheap-first: And
+    // short-circuits left-to-right, so the banded levenshtein (early-exit
+    // at d+1 — O(len·d), not the O(len²) full DP) runs only on pairs the
+    // id-order and length window admit. Writing the distance filter as a
+    // post-join .filter instead lets PushPredicateThroughJoin PREPEND it
+    // to the condition — the edit distance then runs on every
+    // prefix-collision pair including the doc_a ≥ doc_b half (observed:
+    // 2× pairs × 35× DP cells at sf0.1). The projection recomputes the
+    // banded distance only for the surviving pairs — noise.
+    a.join(b, col("pfx") === col("pfx_b") && col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= fuzzyMaxDist &&
+        levenshtein(col("text_a"), col("text_b"), fuzzyMaxDist) >= 0)
+      .withColumn("edit_dist",
+        levenshtein(col("text_a"), col("text_b"), fuzzyMaxDist))
       .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"),
         col("len_a").cast("long").as("len_a"), col("len_b").cast("long").as("len_b"),
         r6(lit(1.0) - col("edit_dist").cast("double")

@@ -234,6 +234,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window for pos_in_shard:\n$plan")
   }
 
+  test("fuzzy join evaluates the edit distance LAST in the pair condition") {
+    // And short-circuits left-to-right: the banded levenshtein must sit
+    // after the id-order and length-window conjuncts, or it runs on every
+    // prefix-collision pair (including the doc_a ≥ doc_b half) — observed
+    // as a 9× query cost before the condition was ordered explicitly.
+    val plan = planOf("q_dedup_fuzzy")
+    val cond = plan.linesIterator.find(l => l.contains("Join") && l.contains("levenshtein"))
+      .getOrElse(fail(s"no join condition carries the edit distance:\n$plan"))
+    val lev = cond.indexOf("levenshtein")
+    assert(cond.indexOf("<") < lev && cond.indexOf("abs(") < lev,
+      s"edit distance not last in the join condition:\n$cond")
+  }
+
   test("z-order layout broadcasts the 1-row bounds and stays two-exchange") {
     // bounds ride a broadcast nested-loop into the scan (never a shuffle);
     // after that the whole query is the grouping exchange + output sort.
