@@ -58,17 +58,24 @@ object Sampling {
   /** Stratified deterministic sample: 20 orders per order status, chosen
     * by md5 rank within the stratum (md5 of the unique key is a
     * deterministic uniform shuffle; the key itself breaks the impossible
-    * md5 tie). One shuffle on the stratum key; the window is bounded by
-    * the per-stratum row count.
+    * md5 tie). Bounded two-stage aggregate ([[graft.functions.MinKDraws]]):
+    * partial aggregation keeps ≤ 20 candidates per (partition, stratum),
+    * so the shuffle ships k rows per stratum per partition instead of the
+    * stratum's full population — the r11 fix for the window-rank
+    * formulation that sorted three ~50k-row strata to keep 60 rows.
     */
   val sampleStratified: Q = (spark, dir) => {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+    val minK = udaf(new graft.functions.MinKDraws(20))
     orders(spark, dir)
-      .withColumn("draw_rank", row_number().over(w).cast("long"))
-      .filter(col("draw_rank") <= 20)
-      .select(col("o_orderstatus"), col("draw_rank"), col("o_orderkey"),
-        col("o_totalprice"))
+      .select(col("o_orderstatus"),
+        md5(col("o_orderkey").cast("string")).as("h"),
+        col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(minK(col("h"), col("id"), col("price")).as("draws"))
+      .select(col("o_orderstatus"),
+        posexplode(col("draws")).as(Seq("p", "d")))
+      .select(col("o_orderstatus"), (col("p") + 1).cast("long").as("draw_rank"),
+        col("d.id").as("o_orderkey"), col("d.price").as("o_totalprice"))
       .orderBy(col("o_orderstatus"), col("draw_rank"))
   }
 

@@ -234,6 +234,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no window for pos_in_shard:\n$plan")
   }
 
+  test("stratified sample aggregates in two stages (partial caps the shuffle at k)") {
+    // Same bounded top-k discipline as BM25: the shuffle must carry ≤ k
+    // draws per (partition, stratum), never the stratum population.
+    val plan = planOf("q_sample_stratified")
+    assert(plan.contains("partial_minkdraws"),
+      s"no partial sampling stage — shuffle ships whole strata:\n$plan")
+    assert(!plan.contains("Window"), s"window-rank formulation crept back:\n$plan")
+  }
+
   test("fuzzy join evaluates the edit distance LAST in the pair condition") {
     // And short-circuits left-to-right: the banded levenshtein must sit
     // after the id-order and length-window conjuncts, or it runs on every
