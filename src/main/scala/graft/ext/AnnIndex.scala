@@ -106,6 +106,53 @@ object AnnIndex {
     if (isCurrent(spark, corpusDir, idxDir)) false
     else { save(spark, corpusDir, idxDir); true }
 
+  /** Merge shard indexes into one serving index — the distributed build
+    * path: the coarse/PQ model is trained ONCE (on a sample or a seed
+    * shard), frozen, and shipped to every worker; each shard then
+    * encodes a DISJOINT vector subset under that model and writes its
+    * own index dir. Merging is pure union of the per-vector tables —
+    * membership, pq_codes, res_codes — because codes are a per-row
+    * function of (vector, frozen model); the model tables ship through
+    * from shard 0 unchanged. At 100 TB this is how the index build
+    * parallelizes without any shared training state: train small,
+    * encode wide, merge by concatenation.
+    *
+    * Two gates make a bad merge impossible rather than silently wrong:
+    * every shard's model tables must be row-identical to shard 0's (a
+    * shard encoded under a drifted model poisons ADC distances), and
+    * the shards' vec_id sets must be disjoint (a doubly-indexed vector
+    * would surface twice in every search). meta is written last with
+    * the merged count, so currency against `corpusDir` holds exactly
+    * when the shards cover the corpus.
+    */
+  def mergeShards(spark: SparkSession, shardDirs: Seq[String], outDir: String,
+                  corpusDir: String): Unit = {
+    require(shardDirs.size >= 2, "mergeShards needs at least two shard indexes")
+    val modelTables = Seq("centroids", "pq_codebook", "res_codebook")
+    val dataTables = Seq("membership", "pq_codes", "res_codes")
+    for (t <- modelTables; d <- shardDirs.tail) {
+      val base = spark.read.parquet(s"${shardDirs.head}/$t")
+      val other = spark.read.parquet(s"$d/$t")
+      require(base.exceptAll(other).isEmpty && other.exceptAll(base).isEmpty,
+        s"shard $d was encoded under a different model: $t differs from ${shardDirs.head}'s")
+    }
+    val members = shardDirs.map(d =>
+      spark.read.parquet(s"$d/membership").select("vec_id")).reduce(_.union(_))
+    val nTotal = members.count()
+    require(nTotal == members.distinct().count(),
+      "shard vec_id sets overlap — a vector may be indexed by exactly one shard")
+    for (t <- dataTables)
+      shardDirs.map(d => spark.read.parquet(s"$d/$t"))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/$t")
+    for (t <- modelTables)
+      spark.read.parquet(s"${shardDirs.head}/$t")
+        .write.mode("overwrite").parquet(s"$outDir/$t")
+    spark.createDataFrame(Seq((nTotal, corpusDir, SchemaVersion)))
+      .toDF("n_vectors", "corpus_dir", "schema_version")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(outDir))
+  }
+
   // ---- loaded artifacts (plain parquet reads — nothing to train) ----
   def centroids(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(s"$idxDir/centroids")

@@ -112,6 +112,54 @@ class AnnIndexSpec extends SparkSpec {
       "stale meta (different corpus) must force a rebuild")
   }
 
+  test("shard indexes merge into an index that serves identically to the full build") {
+    import org.apache.spark.sql.functions.expr
+    AnnIndex.ensure(spark, sfDir, idxDir)
+    // Carve two shards out of the full build: frozen model tables copied
+    // verbatim (train once, ship everywhere), per-vector tables split by
+    // vec_id parity (each worker encoded its disjoint subset).
+    val dirs = Seq("graft_shard_a", "graft_shard_b")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    for ((d, par) <- dirs.zipWithIndex) {
+      for (t <- Seq("centroids", "pq_codebook", "res_codebook"))
+        spark.read.parquet(s"$idxDir/$t").write.parquet(s"$d/$t")
+      for (t <- Seq("membership", "pq_codes", "res_codes"))
+        spark.read.parquet(s"$idxDir/$t").filter(expr(s"vec_id % 2 = $par"))
+          .write.parquet(s"$d/$t")
+    }
+    val merged = java.nio.file.Files.createTempDirectory("graft_merged").toString
+    AnnIndex.mergeShards(spark, dirs, merged, sfDir)
+    assert(!AnnIndex.ensure(spark, sfDir, merged),
+      "merged index covering the corpus must read as current (no retrain)")
+    for (search <- Seq(AnnIndex.searchIvf _, AnnIndex.searchPq _, AnnIndex.searchRes _)) {
+      val full = search(spark, sfDir, idxDir).collect().toSet
+      val m = search(spark, sfDir, merged).collect().toSet
+      assert(m == full, "merged-index search diverged from the full build")
+    }
+  }
+
+  test("merging shards encoded under different models is refused") {
+    import org.apache.spark.sql.functions.{col, expr}
+    AnnIndex.ensure(spark, sfDir, idxDir)
+    val dirs = Seq("graft_shard_c", "graft_shard_d")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    for ((d, par) <- dirs.zipWithIndex) {
+      for (t <- Seq("centroids", "pq_codebook", "res_codebook"))
+        spark.read.parquet(s"$idxDir/$t").write.parquet(s"$d/$t")
+      for (t <- Seq("membership", "pq_codes", "res_codes"))
+        spark.read.parquet(s"$idxDir/$t").filter(expr(s"vec_id % 2 = $par"))
+          .write.parquet(s"$d/$t")
+    }
+    // Drift shard d's coarse model by dropping a centroid (ids are
+    // row_number-based, 1..k).
+    spark.read.parquet(s"$idxDir/centroids").filter(col("cluster") =!= 1L)
+      .write.mode("overwrite").parquet(s"${dirs(1)}/centroids")
+    val out = java.nio.file.Files.createTempDirectory("graft_merged_bad").toString
+    intercept[IllegalArgumentException] {
+      AnnIndex.mergeShards(spark, dirs, out, sfDir)
+    }
+  }
+
   override def afterAll(): Unit = {
     Det.releasePins(spark)
     super.afterAll()
