@@ -131,8 +131,6 @@ object Job2 {
       date_format(col("date"), "yyyyMMdd"), concat(lit("day "), col("date")))
 
     val asset = harmonize(cust).unionAll(harmonize(prod)).unionAll(harmonize(time))
-      .withColumn("record_count", lit(null).cast("bigint"))
-      .drop("record_count") // placeholder dropped; count recorded below
     val assetFinal = harmonize(asset)
 
     assetFinal.write.mode("overwrite").parquet(assetPath)

@@ -1225,17 +1225,23 @@ object Dedup {
     */
   val snapshotDiff: Q = (spark, dir) => {
     val d = documents(spark, dir)
+    // Presence is carried as an explicit non-null marker per side, NOT
+    // inferred from h_old/h_new nullness: md5(NULL text) is NULL, and a
+    // null-text doc present on both sides must classify by the same rule
+    // the oracle uses (side-presence via the outer join), never "added".
     val old = d.filter(col("doc_id") % 10 < 8)
-      .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"),
+        lit(true).as("in_old"))
     val neu = d.filter(col("doc_id") % 10 >= 2)
       .select(col("doc_id"), col("source").as("source_new"),
         md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text"))).as("h_new"))
+          .otherwise(col("text"))).as("h_new"),
+        lit(true).as("in_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("source"), col("source_new")).as("source"),
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_new").isNull, lit("removed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
           .when(col("h_old") === col("h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("class"))
       .groupBy(col("source"), col("class"))

@@ -51,8 +51,9 @@ object Layout {
 
   /** Z-order layout audit over `orders` (custkey × orderdate-day): assign
     * every row a Morton bucket and report each bucket's row count and 2-D
-    * min/max envelope. Day numbers count from the corpus's own min date so
-    * the normalization is scale-factor-independent.
+    * min/max envelope. Day numbers anchor to a fixed epoch (1995-01-01 —
+    * pre-epoch dates simply go negative); scale-factor independence comes
+    * from the day_lo/day_hi rank normalization below, not the anchor.
     */
   /** (ck, day, z, bucket) — the shared normalize-and-interleave kernel. */
   private def scaledOrders(spark: SparkSession, dir: String): DataFrame = {

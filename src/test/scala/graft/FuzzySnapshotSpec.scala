@@ -18,7 +18,7 @@ class FuzzySnapshotSpec extends SparkSpec {
   }
 
   test("fuzzy join finds the planted typo pair, skips unrelated and far texts") {
-    // 1↔2: one token substitution (edit distance 4) under a shared
+    // 1↔2: one character substitution (edit distance 1) under a shared
     // 12-char prefix. 3 shares the prefix but diverges by far more than
     // d=8. 4 is a different prefix entirely — never a candidate.
     val dir = stage(Seq(
