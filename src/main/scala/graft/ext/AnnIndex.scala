@@ -50,10 +50,12 @@ object AnnIndex {
   private def metaPath(idxDir: String) = s"$idxDir/meta"
 
   /** Bumped whenever the artifact set changes (v2 added the residual
-    * codebook/codes); an index written by an older layout reads as
+    * codebook/codes; v3 added the assignment distance to membership —
+    * the per-cluster drift reference rebuildIfDrifted compares new
+    * batches against); an index written by an older layout reads as
     * stale and rebuilds rather than serving a partial artifact set.
     */
-  private val SchemaVersion = 2L
+  private val SchemaVersion = 3L
 
   /** A complete index exists iff meta's _SUCCESS marker does (meta is
     * written last — see object doc).
@@ -68,7 +70,15 @@ object AnnIndex {
   def save(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
     Similarity.ivfCentroidsFor(spark, corpusDir)
       .write.mode("overwrite").parquet(s"$idxDir/centroids")
-    Similarity.ivfMembershipFor(spark, corpusDir)
+    // v3: membership carries the assignment distance. The searches prune
+    // it (they join on vec_id and read cluster only); rebuildIfDrifted
+    // reads it back as the per-cluster BUILD-TIME mean — the drift
+    // reference a new batch's assign distances are compared against.
+    // Same assignment as the memoized chain (identical argmin + ties),
+    // so the membership rows match the in-session ones exactly.
+    Similarity.ivfAssignDist(
+        Similarity.vdOf(spark, corpusDir),
+        Similarity.ivfCentroidsFor(spark, corpusDir))
       .write.mode("overwrite").parquet(s"$idxDir/membership")
     Similarity.pqCodebookFor(spark, corpusDir)
       .write.mode("overwrite").parquet(s"$idxDir/pq_codebook")
@@ -78,11 +88,15 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$idxDir/res_codebook")
     Similarity.pqResCodesFor(spark, corpusDir)
       .write.mode("overwrite").parquet(s"$idxDir/res_codes")
-    val n = graft.Tables.embeddings(spark, corpusDir).count()
+    writeMeta(spark, idxDir,
+      graft.Tables.embeddings(spark, corpusDir).count(), corpusDir)
+  }
+
+  private def writeMeta(spark: SparkSession, idxDir: String, n: Long,
+                        corpusDir: String): Unit =
     spark.createDataFrame(Seq((n, corpusDir, SchemaVersion)))
       .toDF("n_vectors", "corpus_dir", "schema_version")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(idxDir))
-  }
 
   /** Current = built AND meta matches the live corpus (row count +
     * path). Count is one column-pruned scan — negligible next to any
@@ -128,6 +142,9 @@ object AnnIndex {
   def mergeShards(spark: SparkSession, shardDirs: Seq[String], outDir: String,
                   corpusDir: String): Unit = {
     require(shardDirs.size >= 2, "mergeShards needs at least two shard indexes")
+    val outCanon = new java.io.File(outDir).getCanonicalPath
+    require(!shardDirs.exists(d => new java.io.File(d).getCanonicalPath == outCanon),
+      s"outDir $outDir is one of the shard dirs — merging would overwrite a shard while reading it")
     val modelTables = Seq("centroids", "pq_codebook", "res_codebook")
     val dataTables = Seq("membership", "pq_codes", "res_codes")
     for (t <- modelTables; d <- shardDirs.tail) {
@@ -141,6 +158,23 @@ object AnnIndex {
     val nTotal = members.count()
     require(nTotal == members.distinct().count(),
       "shard vec_id sets overlap — a vector may be indexed by exactly one shard")
+    // Per-shard internal consistency: each code table must describe exactly
+    // the shard's own membership. Combined with the membership-disjointness
+    // gate above, this makes the code unions disjoint too — a shard with
+    // duplicated code rows or codes for vectors outside its membership is
+    // refused here rather than merged silently.
+    for (d <- shardDirs) {
+      val mem = spark.read.parquet(s"$d/membership").select("vec_id").distinct()
+      for (t <- Seq("pq_codes", "res_codes")) {
+        val codes = spark.read.parquet(s"$d/$t")
+        val ids = codes.select("vec_id").distinct()
+        require(ids.exceptAll(mem).isEmpty && mem.exceptAll(ids).isEmpty,
+          s"shard $d is malformed: $t vec_ids differ from its membership vec_ids")
+        require(codes.groupBy("vec_id", "sub").count()
+          .filter(col("count") > 1).isEmpty,
+          s"shard $d is malformed: $t has duplicate (vec_id, sub) code rows")
+      }
+    }
     for (t <- dataTables)
       shardDirs.map(d => spark.read.parquet(s"$d/$t"))
         .reduce(_.unionByName(_))
@@ -148,9 +182,106 @@ object AnnIndex {
     for (t <- modelTables)
       spark.read.parquet(s"${shardDirs.head}/$t")
         .write.mode("overwrite").parquet(s"$outDir/$t")
-    spark.createDataFrame(Seq((nTotal, corpusDir, SchemaVersion)))
-      .toDF("n_vectors", "corpus_dir", "schema_version")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(outDir))
+    writeMeta(spark, outDir, nTotal, corpusDir)
+  }
+
+  /** Outcome of one maintenance pass: what was done and why. Written to
+    * `idxDir/audit` as well, so the maintenance history is part of the
+    * index (a no-op is a recorded decision, not a silent return).
+    */
+  final case class DriftReport(action: String, nNew: Long, nRemoved: Long,
+                               maxRatio: Double)
+
+  /** Drift-triggered index maintenance (r11 VERDICT #1) — the consumer
+    * of the drift signal the incremental paths emit. One call closes
+    * the loop a human used to: read the drift, decide, act.
+    *
+    * The corpus at `corpusDir` is compared against the index's
+    * membership; vectors the index does not cover are "the new batch".
+    * Each new vector is assigned to the FROZEN centroids (one broadcast
+    * scan — the q_knn_ivf_incr shape) and the per-cluster mean assign
+    * distance is compared to the BUILD-TIME mean carried in the v3
+    * membership table:
+    *
+    *   - any cluster with ≥ `minNewPerCluster` new members whose
+    *     mean-distance ratio exceeds `bound` → the frozen quantizer no
+    *     longer fits the data: full retrain on `corpusDir` via `save`
+    *     (meta written last, so a killed rebuild reads as absent and
+    *     re-runs rather than serving a half-swapped artifact set);
+    *   - vectors REMOVED from the corpus also force a rebuild — an
+    *     inverted list cannot un-index by append, and serving deleted
+    *     vectors is worse than retraining;
+    *   - otherwise the batch is in-distribution: encode it under the
+    *     frozen model (coarse assign + PQ + residual codes — the cheap
+    *     per-batch cost incremental IVF exists for) and APPEND, meta
+    *     rewritten last with the new covered count. The build-time
+    *     drift reference in the PRE-EXISTING membership rows is left
+    *     untouched, so repeated in-distribution appends cannot creep
+    *     the reference toward a drifted geometry.
+    *
+    * The drift decision reads k rows (one per cluster) to the driver —
+    * a bounded model-artifact read, same class as the BPE merge-table
+    * collect. New-batch artifacts are staged to a temp dir before any
+    * append so no table is ever read and appended in the same job.
+    */
+  def rebuildIfDrifted(spark: SparkSession, corpusDir: String, idxDir: String,
+                       bound: Double = 2.0, minNewPerCluster: Long = 3L): DriftReport = {
+    require(isBuilt(idxDir), s"no index at $idxDir — build one before maintaining it")
+    val vd = Similarity.vdOf(spark, corpusDir)
+    val member = membership(spark, idxDir)
+    val nRemoved = member.select("vec_id")
+      .join(vd.select("vec_id"), Seq("vec_id"), "left_anti").count()
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_annidx_batch").toString
+    vd.join(member.select("vec_id"), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$stage/new_vecs")
+    val nv = spark.read.parquet(s"$stage/new_vecs")
+    val cent = centroids(spark, idxDir)
+    Similarity.ivfAssignDist(nv, cent)
+      .write.mode("overwrite").parquet(s"$stage/membership")
+    val newAsg = spark.read.parquet(s"$stage/membership")
+    val nNew = newAsg.count()
+
+    // k rows: (cluster, n_new, mean new dist, build-time mean dist).
+    val drift = newAsg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"), avg(col("dist")).as("mean_new"))
+      .join(member.groupBy(col("cluster"))
+        .agg(avg(col("dist")).as("mean_base")), Seq("cluster"), "left_outer")
+      .collect()
+    val ratios = drift.toSeq
+      .filter(_.getAs[Long]("n_new") >= minNewPerCluster)
+      .map { r =>
+        val base = Option(r.getAs[java.lang.Double]("mean_base"))
+          .map(_.doubleValue).getOrElse(0.0)
+        r.getAs[Double]("mean_new") / math.max(base, 1e-12)
+      }
+    val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max
+
+    val report =
+      if (nNew == 0 && nRemoved == 0)
+        DriftReport("noop", 0L, 0L, maxRatio)
+      else if (nRemoved > 0 || maxRatio > bound) {
+        save(spark, corpusDir, idxDir)
+        DriftReport("rebuilt", nNew, nRemoved, maxRatio)
+      } else {
+        Similarity.pqEncodeFrozen(nv, pqCodebook(spark, idxDir))
+          .write.mode("overwrite").parquet(s"$stage/pq_codes")
+        Similarity.pqEncodeFrozen(
+            Similarity.residualsFrozen(nv, newAsg, cent),
+            resCodebook(spark, idxDir))
+          .write.mode("overwrite").parquet(s"$stage/res_codes")
+        for (t <- Seq("membership", "pq_codes", "res_codes"))
+          spark.read.parquet(s"$stage/$t")
+            .write.mode("append").parquet(s"$idxDir/$t")
+        writeMeta(spark, idxDir, vd.count(), corpusDir)
+        DriftReport("appended", nNew, 0L, maxRatio)
+      }
+    import spark.implicits._
+    Seq((report.action, report.nNew, report.nRemoved, report.maxRatio,
+        bound, System.currentTimeMillis()))
+      .toDF("action", "n_new", "n_removed", "max_ratio", "bound", "decided_at_ms")
+      .coalesce(1).write.mode("append").parquet(s"$idxDir/audit")
+    report
   }
 
   // ---- loaded artifacts (plain parquet reads — nothing to train) ----

@@ -78,18 +78,37 @@ class AnnIndexSpec extends SparkSpec {
 
   test("residual IVFADC serves from disk: equal to the trained chain, no training in the plan") {
     AnnIndex.ensure(spark, sfDir, idxDir)
-    val trained = Similarity.queries("q_knn_ivfpq_res")(spark, sfDir)
+    val trained = Similarity.knnIvfPqResInSession(spark, sfDir)
       .collect().map(_.toSeq)
     val fresh = spark.newSession()
     assert(!AnnIndex.ensure(fresh, sfDir, idxDir),
       "fresh session must find the v2 index current (no retrain)")
     val served = AnnIndex.searchRes(fresh, sfDir, idxDir)
     assert(served.collect().map(_.toSeq).toSeq == trained.toSeq,
-      "served residual ADC must equal the in-session q_knn_ivfpq_res")
+      "served residual ADC must equal the in-session residual chain")
     val plan = AnnIndex.searchRes(fresh, sfDir, idxDir)
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("kmseed") && !plan.contains("pqrseed"),
       "serving the residual chain must train NEITHER the coarse quantizer nor the residual codebook")
+    Det.releasePins(fresh)
+  }
+
+  test("q_knn_ivfpq_res itself answers from the persisted artifact (r11 demerit #1)") {
+    // The verified entry is ensure-then-serve at the default index dir:
+    // its plan must carry NO training work and must scan the artifact,
+    // while still equaling the pure in-session residual chain exactly.
+    val trained = Similarity.knnIvfPqResInSession(spark, sfDir)
+      .collect().map(_.toSeq)
+    val fresh = spark.newSession()
+    val df = Similarity.queries("q_knn_ivfpq_res")(fresh, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("kmseed") && !opt.contains("pqrseed"),
+      "q_knn_ivfpq_res's warm plan must not retrain either quantizer")
+    assert(df.queryExecution.executedPlan.toString
+        .contains(AnnIndex.defaultIndexDir(sfDir)),
+      "q_knn_ivfpq_res must scan the persisted index dir")
+    assert(df.collect().map(_.toSeq).toSeq == trained.toSeq,
+      "artifact-served q_knn_ivfpq_res must equal the in-session chain")
     Det.releasePins(fresh)
   }
 
@@ -158,6 +177,95 @@ class AnnIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AnnIndex.mergeShards(spark, dirs, out, sfDir)
     }
+  }
+
+  // ---- drift-triggered maintenance (r11 VERDICT #1) ----
+
+  /** Deterministic blob corpus (the SimilaritySpec generator): blob =
+    * id % 10, proto + tiny jitter, with an optional per-id offset so a
+    * batch can be planted in-distribution (offset 0) or far away.
+    */
+  private def writeBlobs(ids: Seq[Long], shiftOf: Long => Float): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftcorp").toString
+    val pts = ids.map { p =>
+      val blob = (p % 10).toInt
+      val emb = Array.tabulate(64) { i =>
+        val proto = ((blob * 31 + i * 7) % 13 - 6).toFloat * 10f
+        val jitter = ((p * 17 + i * 3) % 5 - 2).toFloat * 0.01f
+        proto + jitter + shiftOf(p)
+      }
+      (p, emb, blob)
+    }
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("an in-distribution batch APPENDS under the frozen model (no retrain)") {
+    val base = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_a").toString
+    AnnIndex.ensure(spark, base, idx)
+    val centBefore = AnnIndex.centroids(spark, idx).collect().map(_.toSeq).toSet
+    // 30 new vectors drawn from the SAME blobs — in-distribution.
+    val plus = writeBlobs((0L until 300L) ++ (1000L until 1030L), _ => 0f)
+    val r = AnnIndex.rebuildIfDrifted(spark, plus, idx)
+    assert(r.action == "appended", s"in-distribution batch must append, got $r")
+    assert(r.nNew == 30 && r.nRemoved == 0)
+    assert(r.maxRatio <= 2.0, s"in-distribution ratio must sit near 1, got ${r.maxRatio}")
+    assert(AnnIndex.centroids(spark, idx).collect().map(_.toSeq).toSet == centBefore,
+      "append must leave the frozen coarse model untouched")
+    assert(AnnIndex.membership(spark, idx).count() == 330)
+    assert(AnnIndex.pqCodes(spark, idx).count() == 330 * 8,
+      "appended vectors must be PQ-encoded under the frozen codebook")
+    assert(AnnIndex.resCodes(spark, idx).count() == 330 * 8)
+    assert(!AnnIndex.ensure(spark, plus, idx),
+      "appended index must read as current for the grown corpus (meta updated last)")
+    assert(AnnIndex.searchRes(spark, plus, idx).collect().nonEmpty)
+    Det.releasePins(spark)
+  }
+
+  test("a drifted batch triggers exactly ONE rebuild; served results flip to the new model") {
+    val base = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_b").toString
+    AnnIndex.ensure(spark, base, idx)
+    val centBefore = AnnIndex.centroids(spark, idx).collect().map(_.toSeq).toSet
+    // 30 new vectors offset +500 in every dim — far outside every blob.
+    val drift = writeBlobs((0L until 300L) ++ (2000L until 2030L),
+      p => if (p >= 2000L) 500f else 0f)
+    val r1 = AnnIndex.rebuildIfDrifted(spark, drift, idx)
+    assert(r1.action == "rebuilt", s"drifted batch must rebuild, got $r1")
+    assert(r1.maxRatio > 2.0, s"planted drift must exceed the bound, got ${r1.maxRatio}")
+    assert(AnnIndex.centroids(spark, idx).collect().map(_.toSeq).toSet != centBefore,
+      "rebuild must retrain the coarse model on the grown corpus")
+    // Served results equal the in-session chain trained on the NEW corpus
+    // — the swap is visible at the serving surface, not just in meta.
+    val served = AnnIndex.searchIvf(spark, drift, idx).collect().map(_.toSeq)
+    val trained = Similarity.ivfSearch(spark, drift,
+      Similarity.ivfCentroidsFor(spark, drift),
+      Similarity.ivfMembershipFor(spark, drift)).collect().map(_.toSeq)
+    assert(served.toSeq == trained.toSeq,
+      "post-rebuild serving must answer from the NEW model")
+    // Exactly one rebuild: the next pass finds nothing new and no-ops.
+    val r2 = AnnIndex.rebuildIfDrifted(spark, drift, idx)
+    assert(r2.action == "noop", s"un-drifted second pass must no-op, got $r2")
+    // Both decisions are in the audit trail.
+    val audit = spark.read.parquet(s"$idx/audit")
+      .orderBy("decided_at_ms").collect().map(_.getAs[String]("action")).toSeq
+    assert(audit == Seq("rebuilt", "noop"))
+    Det.releasePins(spark)
+  }
+
+  test("removed vectors force a rebuild (an inverted list cannot un-index by append)") {
+    val base = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_c").toString
+    AnnIndex.ensure(spark, base, idx)
+    val shrunk = writeBlobs(0L until 250L, _ => 0f)
+    val r = AnnIndex.rebuildIfDrifted(spark, shrunk, idx)
+    assert(r.action == "rebuilt" && r.nRemoved == 50, s"got $r")
+    assert(AnnIndex.membership(spark, idx).count() == 250)
+    assert(!AnnIndex.ensure(spark, shrunk, idx))
+    Det.releasePins(spark)
   }
 
   override def afterAll(): Unit = {
