@@ -11,21 +11,36 @@ import org.apache.spark.sql.functions._
   * every subsequent drop costs O(increment + collisions), never
   * O(corpus).
   *
-  * Persisted dedup state under `stateDir` (all plain parquet, appended
-  * per increment):
-  *   docs/      the standing corpus (doc_id, text, lang, source, n_chars)
-  *   hashes/    (doc_id, content_hash)            — exact-dup index
-  *   bands/     (doc_id, band)                    — LSH bucket index
-  *   shingles/  (doc_id, shingles array<string>)  — verify-side features
+  * Persisted dedup state under `stateDir`, VERSIONED (r11 VERDICT #3 —
+  * the four-table append used to be non-atomic as a group, and the
+  * per-drop appends grew the file count without bound):
+  *
+  *   stateDir/CURRENT     one line: the committed version number —
+  *                        updated by ATOMIC rename, the only mutation
+  *                        a reader can ever observe
+  *   stateDir/v<N>/docs/      (doc_id, text, lang, source, n_chars)
+  *   stateDir/v<N>/hashes/    (doc_id, content_hash)  — exact-dup index
+  *   stateDir/v<N>/bands/     (doc_id, band)          — LSH bucket index
+  *   stateDir/v<N>/shingles/  (doc_id, shingles)      — verify features
+  *
+  * A commit stages version N+1 completely — every table = HARD LINKS to
+  * version N's immutable data files plus the increment's new files
+  * appended (metadata-only reuse: the 100 TB standing corpus is never
+  * rewritten; on an object store the links become a manifest, which is
+  * exactly the Iceberg/Delta snapshot commit re-expressed on a plain
+  * filesystem) — and only then flips CURRENT. A crash anywhere before
+  * the flip leaves CURRENT at version N and the standing state fully
+  * readable; the dead staging dir is swept by the next promote's
+  * retention pass. Tables whose file count exceeds the compaction bound
+  * are rewritten into few files DURING staging (Compaction's rebalance,
+  * inside the not-yet-visible version dir), so a thousand drops cannot
+  * rot scan planning with a thousand KB-sized files.
   *
   * hashes/bands are the persisted twins of the in-session derivations
   * (AnnIndex discipline applied to dedup): an increment reads them as
   * columnar scans instead of re-deriving O(corpus) signatures. shingles
   * ride along so the exact Jaccard verify of a new×old candidate never
-  * re-reads old text. The four appends are not atomic as a group — a
-  * crash between them can leave a partial increment; a production run
-  * stages each table to a temp dir and renames, exactly the
-  * JsonlIngest.reingestQuarantine swap. Bootstrap via `initState` from
+  * re-reads old text. Bootstrap via `initState` from
   * any cleaned corpus (e.g. CorpusPipeline's corpus_clean output).
   *
   * Same operator definitions as the batch pipeline: the quality gate is
@@ -43,6 +58,104 @@ object IncrementalCorpus {
   final case class IncrCounts(newInput: Long, afterQuality: Long,
                               afterExact: Long, afterNear: Long,
                               standingBefore: Long, standingAfter: Long)
+
+  private val StateTables = Seq("docs", "hashes", "bands", "shingles")
+
+  // ---- versioned-state plumbing ----
+
+  /** The committed version (0 = no state yet). CURRENT is a one-line
+    * file updated only by atomic rename, so this read can never observe
+    * a torn value.
+    */
+  def currentVersion(stateDir: String): Long = {
+    val f = new java.io.File(stateDir, "CURRENT")
+    if (!f.exists()) 0L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+  }
+
+  def versionDir(stateDir: String, v: Long): String = s"$stateDir/v$v"
+
+  /** A state table at the committed version — the ONLY read path; no
+    * caller ever touches a version dir that CURRENT does not name.
+    */
+  def stateTable(spark: SparkSession, stateDir: String, name: String): DataFrame = {
+    val v = currentVersion(stateDir)
+    require(v > 0, s"no committed incremental-corpus state under $stateDir")
+    spark.read.parquet(s"${versionDir(stateDir, v)}/$name")
+  }
+
+  /** Next free version number: above the committed version AND above any
+    * dead staging dir a killed commit abandoned (re-using a dead dir's
+    * number would mix a new commit into old garbage).
+    */
+  private def nextVersion(stateDir: String): Long = {
+    val dirs = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+    (dirs :+ currentVersion(stateDir)).max + 1
+  }
+
+  /** Flip CURRENT to `v` (atomic rename — the commit point), then sweep
+    * every version dir except the newly committed one and its
+    * predecessor (kept for readers whose lazy plans still name it) —
+    * which removes older history AND any dead staging dir a killed
+    * commit abandoned, since neither is in the committed lineage.
+    * Hard-linked data files survive the sweep of the dir that first
+    * wrote them.
+    */
+  private[graft] def promote(stateDir: String, v: Long): Unit = {
+    val root = new java.io.File(stateDir); root.mkdirs()
+    val prev = currentVersion(stateDir)
+    val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
+    java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val keep = Set(prev, v)
+    for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+           if d.isDirectory && d.getName.matches("v\\d+")
+           if !keep.contains(d.getName.drop(1).toLong))
+      deleteRecursively(d)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Stage version cur+1 WITHOUT committing: per table, hard-link the
+    * committed version's parquet data files (copy where the filesystem
+    * refuses links), append `adds(table)`, and compact in place if the
+    * staged file count exceeds `compactFileBound`. Returns the staged
+    * version number for `promote`. Exposed private[graft] so the spec
+    * can kill a commit between staging and promotion.
+    */
+  private[graft] def prepareAppend(spark: SparkSession, stateDir: String,
+                                   adds: Map[String, DataFrame],
+                                   compactFileBound: Int): Long = {
+    val cur = currentVersion(stateDir)
+    val newV = nextVersion(stateDir)
+    for (t <- StateTables) {
+      val dst = new java.io.File(versionDir(stateDir, newV), t)
+      dst.mkdirs()
+      if (cur > 0)
+        for ((p, _) <- Compaction.dataFiles(spark, s"${versionDir(stateDir, cur)}/$t")) {
+          val src = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+          val link = new java.io.File(dst, src.getFileName.toString).toPath
+          try java.nio.file.Files.createLink(link, src)
+          catch { case _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(src, link) }
+        }
+      adds(t).write.mode(SaveMode.Append).parquet(dst.toString)
+      if (Compaction.dataFiles(spark, dst.toString).size > compactFileBound) {
+        val tmp = s"$dst.compacting"
+        Compaction.compact(spark, dst.toString, tmp)
+        deleteRecursively(dst)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst.toPath)
+      }
+    }
+    newV
+  }
 
   private def shingled(docs: DataFrame): DataFrame = docs
     .withColumn("toks", split(col("text"), " "))
@@ -62,15 +175,20 @@ object IncrementalCorpus {
   private def hashesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
 
-  /** Bootstrap the persisted state from an already-cleaned corpus. */
+  /** Bootstrap the persisted state from an already-cleaned corpus:
+    * stage version 1 completely, then commit (CURRENT appears last).
+    */
   def initState(spark: SparkSession, cleanDocs: DataFrame, stateDir: String): Unit = {
     val docs = cleanDocs.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars"))
-    docs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs")
-    hashesOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$stateDir/hashes")
+    val v = nextVersion(stateDir)
+    val vd = versionDir(stateDir, v)
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$vd/docs")
+    hashesOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$vd/hashes")
     val sh = shingled(docs)
-    sh.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/shingles")
-    bandsOf(sh).write.mode(SaveMode.Overwrite).parquet(s"$stateDir/bands")
+    sh.write.mode(SaveMode.Overwrite).parquet(s"$vd/shingles")
+    bandsOf(sh).write.mode(SaveMode.Overwrite).parquet(s"$vd/bands")
+    promote(stateDir, v)
   }
 
   /** Clean `newDocs` against the standing state, append survivors, and
@@ -81,8 +199,9 @@ object IncrementalCorpus {
   def runIncremental(spark: SparkSession, newDocs: DataFrame,
                      stateDir: String, outDir: String,
                      minQuality: Double = 0.5,
-                     jaccardThreshold: Double = 0.8): IncrCounts = {
-    val standing = spark.read.parquet(s"$stateDir/docs")
+                     jaccardThreshold: Double = 0.8,
+                     compactFileBound: Int = 64): IncrCounts = {
+    val standing = stateTable(spark, stateDir, "docs")
     val standingBefore = standing.count()
 
     // 0+1. PII scrub + the batch pipeline's quality gate, on the new
@@ -114,7 +233,7 @@ object IncrementalCorpus {
     // 2. exact dedup: against the standing hash index (columnar scan of
     // the persisted artifact — old text is never read), then min-id
     // within the batch.
-    val oldHashes = spark.read.parquet(s"$stateDir/hashes")
+    val oldHashes = stateTable(spark, stateDir, "hashes")
       .select(col("content_hash")).distinct()
     val hashed = quality.withColumn("content_hash", md5(col("text")))
     val vsOld = hashed.join(oldHashes, Seq("content_hash"), "left_anti")
@@ -137,7 +256,7 @@ object IncrementalCorpus {
     // drops; old×old pairs never form.
     val newSh = shingled(exact).persist()
     val newBands = bandsOf(newSh)
-    val oldBands = spark.read.parquet(s"$stateDir/bands")
+    val oldBands = stateTable(spark, stateDir, "bands")
       .select(col("doc_id").as("other"), col("band"))
     val candOld = newBands.join(oldBands, "band")
       .select(col("doc_id"), col("other")).distinct()
@@ -145,7 +264,7 @@ object IncrementalCorpus {
         col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
       .distinct()
-    val oldSh = spark.read.parquet(s"$stateDir/shingles")
+    val oldSh = stateTable(spark, stateDir, "shingles")
       .select(col("doc_id").as("o2"), col("shingles").as("sh_b"))
     val newShB = newSh.select(col("doc_id").as("o2"), col("shingles").as("sh_b"))
     val cand = candOld.union(candNew)
@@ -161,19 +280,22 @@ object IncrementalCorpus {
     val survivors = exact.join(nearDrops.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val afterNear = survivors.count()
 
-    // 4. land the increment + audit, then grow the state by exactly the
-    // survivors (append — the state tables are the artifacts the NEXT
-    // increment scans).
+    // 4. land the increment + audit, then commit the grown state as ONE
+    // new version: stage (links + appends + compaction) completely,
+    // promote atomically. A kill anywhere in staging leaves CURRENT —
+    // and every reader — at the prior version.
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/increment_clean")
     qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/incr_dropped")
     val landed = spark.read.parquet(s"$outDir/increment_clean")
-    landed.write.mode(SaveMode.Append).parquet(s"$stateDir/docs")
-    hashesOf(landed).write.mode(SaveMode.Append).parquet(s"$stateDir/hashes")
     val landedSh = shingled(landed)
-    landedSh.write.mode(SaveMode.Append).parquet(s"$stateDir/shingles")
-    bandsOf(landedSh).write.mode(SaveMode.Append).parquet(s"$stateDir/bands")
-    val standingAfter = spark.read.parquet(s"$stateDir/docs").count()
+    val newV = prepareAppend(spark, stateDir, Map(
+      "docs" -> landed,
+      "hashes" -> hashesOf(landed),
+      "shingles" -> landedSh,
+      "bands" -> bandsOf(landedSh)), compactFileBound)
+    promote(stateDir, newV)
+    val standingAfter = stateTable(spark, stateDir, "docs").count()
 
     quality.unpersist(blocking = false)
     exact.unpersist(blocking = false)

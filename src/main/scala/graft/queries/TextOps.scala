@@ -1976,9 +1976,27 @@ object TextOps {
     * positions with two equi-joins on (doc_id, pos±k). At 100 TB the
     * postings live bucketed by term; the corpus text is never re-read.
     */
+  /** Verified entry (r11 VERDICT #6): ensure the persisted postings
+    * artifact (built once per corpus — ext.PostingsIndex, meta-last
+    * gate), then run the lookup algebra over the LOADED table. The
+    * in-session plan re-tokenized the corpus six times (once per leg);
+    * served, every leg is a columnar scan of the term-range-partitioned
+    * parquet, and the warm plan contains no split/posexplode over the
+    * corpus at all (PostingsIndexSpec asserts it).
+    */
   val phraseSearch: Q = (spark, dir) => {
-    val postings = documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val idx = graft.ext.PostingsIndex.defaultDir(dir)
+    graft.ext.PostingsIndex.ensure(spark, dir, idx)
+    phraseSearchOver(graft.ext.PostingsIndex.postings(spark, idx))
+  }
+
+  /** The same algebra over freshly tokenized text — no artifact
+    * consulted; kept so specs can pin served ≡ in-session.
+    */
+  private[graft] val phraseSearchInSession: Q = (spark, dir) =>
+    phraseSearchOver(graft.ext.PostingsIndex.tokenize(documents(spark, dir)))
+
+  private def phraseSearchOver(postings: DataFrame): DataFrame = {
     val grams = postings.as("p1")
       .join(postings.as("p2"),
         col("p1.doc_id") === col("p2.doc_id") && col("p2.pos") === col("p1.pos") + 1)

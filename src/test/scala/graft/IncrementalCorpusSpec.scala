@@ -66,7 +66,7 @@ class IncrementalCorpusSpec extends SparkSpec {
       23L -> nearVariant("s"))  // loses to batch-mate 22
     IncrementalCorpus.initState(spark, mkDocs(oldRows), stateDir)
     IncrementalCorpus.runIncremental(spark, mkDocs(newRows), stateDir, outDir)
-    val incremental = spark.read.parquet(s"$stateDir/docs")
+    val incremental = IncrementalCorpus.stateTable(spark, stateDir, "docs")
       .select("doc_id").as[Long].collect().toSet
     graft.queries.Det.releasePins(spark)
     // One-shot batch over the union, same operators: exact min-id keep,
@@ -111,7 +111,7 @@ class IncrementalCorpusSpec extends SparkSpec {
     val q = IncrementalCorpus.incrementalStream(
       spark, srcDir.toString, stateDir, outRoot, maxFilesPerTrigger = Some(1))
     q.processAllAvailable(); q.stop()
-    val standing = spark.read.parquet(s"$stateDir/docs")
+    val standing = IncrementalCorpus.stateTable(spark, stateDir, "docs")
       .select("doc_id").as[Long].collect().toSet
     assert(standing == Set(1L, 50L, 61L),
       s"51 near-dups standing 1; 60 exact-dups batch-0 survivor 50: $standing")
@@ -120,6 +120,70 @@ class IncrementalCorpusSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch_")).map(_.getName).sorted
     assert(batchDirs.length == 2, s"two micro-batches: ${batchDirs.toSeq}")
     assert(Files.exists(Paths.get(s"$outRoot/${batchDirs.head}/counts")))
+  }
+
+  test("a killed commit leaves the state readable at the prior version (atomic promote)") {
+    val stateDir = java.nio.file.Files.createTempDirectory("incr_state_k").toString
+    val outDir = java.nio.file.Files.createTempDirectory("incr_out_k").toString
+    IncrementalCorpus.initState(spark,
+      mkDocs(Seq(1L -> freshText("g"), 2L -> freshText("h"))), stateDir)
+    val vBefore = IncrementalCorpus.currentVersion(stateDir)
+    // Simulate the crash window: stage the whole next version (all four
+    // tables linked + appended) but die before promote.
+    val batch = mkDocs(Seq(70L -> freshText("i")))
+    val staged = IncrementalCorpus.prepareAppend(spark, stateDir, Map(
+      "docs" -> batch,
+      "hashes" -> batch.select(col("doc_id"), md5(col("text")).as("content_hash")),
+      "shingles" -> batch.select(col("doc_id"),
+        split(col("text"), " ").as("shingles")),
+      "bands" -> batch.select(col("doc_id"), md5(col("text")).as("band"))),
+      compactFileBound = 64)
+    assert(staged > vBefore)
+    // Readers still see the prior version, doc 70 invisible.
+    assert(IncrementalCorpus.currentVersion(stateDir) == vBefore)
+    assert(IncrementalCorpus.stateTable(spark, stateDir, "docs")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // The NEXT real increment works on top of the prior version and its
+    // commit sweeps the dead staging dir.
+    val r = IncrementalCorpus.runIncremental(spark,
+      mkDocs(Seq(80L -> freshText("j"))), stateDir, outDir)
+    assert(r.standingAfter == 3)
+    assert(IncrementalCorpus.stateTable(spark, stateDir, "docs")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 80L),
+      "the dead staging dir's rows must never surface")
+    assert(!new java.io.File(IncrementalCorpus.versionDir(stateDir, staged)).exists(),
+      "promote must sweep the abandoned staging dir")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("N drops then compaction ≡ uncompacted state (content identical, file count bounded)") {
+    val always = java.nio.file.Files.createTempDirectory("incr_state_ca").toString
+    val never = java.nio.file.Files.createTempDirectory("incr_state_cn").toString
+    for (d <- Seq(always, never))
+      IncrementalCorpus.initState(spark, mkDocs(Seq(1L -> freshText("z0"))), d)
+    for (i <- 1 to 4) {
+      val drop = mkDocs(Seq(
+        (100L * i) -> freshText(s"z$i"), (100L * i + 1) -> freshText(s"y$i")))
+      IncrementalCorpus.runIncremental(spark, drop,
+        always, java.nio.file.Files.createTempDirectory(s"incr_oca$i").toString,
+        compactFileBound = 1)
+      IncrementalCorpus.runIncremental(spark, drop,
+        never, java.nio.file.Files.createTempDirectory(s"incr_ocn$i").toString,
+        compactFileBound = 1000000)
+    }
+    for (t <- Seq("docs", "hashes", "bands", "shingles")) {
+      val a = IncrementalCorpus.stateTable(spark, always, t)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val n = IncrementalCorpus.stateTable(spark, never, t)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(a == n, s"compacted state table $t diverged from uncompacted")
+    }
+    val vA = IncrementalCorpus.currentVersion(always)
+    val docsFiles = graft.ext.Compaction.dataFiles(spark,
+      s"${IncrementalCorpus.versionDir(always, vA)}/docs")
+    assert(docsFiles.size <= 1,
+      s"bound-1 compaction must leave ≤1 file, got ${docsFiles.size}")
+    graft.queries.Det.releasePins(spark)
   }
 
   test("a second identical drop is fully deduped (idempotence) and state is unchanged") {

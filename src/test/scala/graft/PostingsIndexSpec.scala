@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.PostingsIndex
+import graft.queries.TextOps
+
+/** Persisted phrase-search postings (r11 VERDICT #6): build-once →
+  * serve-from-disk with NO corpus re-tokenization in the warm plan,
+  * append-only maintenance that equals a full rebuild exactly, and
+  * compaction that preserves content while bounding the file count.
+  */
+class PostingsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkCorpus(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("postings_corpus").toString
+    rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val baseRows = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "a quick brown fox is quick brown fox again",
+    3L -> "completely unrelated text with no shared phrase",
+    4L -> "the quick brown fox sat still")
+
+  test("served phrase search equals the in-session chain; warm plan never touches the corpus text") {
+    val corpus = mkCorpus(baseRows)
+    val inSession = TextOps.phraseSearchInSession(spark, corpus)
+      .collect().map(_.toSeq)
+    val served = TextOps.queries("q_phrase_search")(spark, corpus)
+    assert(served.collect().map(_.toSeq).toSeq == inSession.toSeq,
+      "served-from-postings result must equal the in-session tokenization")
+    // Warm plan: scans the postings artifact, not documents.parquet —
+    // no re-tokenization (split/posexplode over text) anywhere.
+    val fresh = spark.newSession()
+    val qe = TextOps.queries("q_phrase_search")(fresh, corpus).queryExecution
+    val phys = qe.executedPlan.toString
+    assert(phys.contains(PostingsIndex.defaultDir(corpus)),
+      "warm plan must scan the persisted postings dir")
+    assert(!phys.contains("documents.parquet"),
+      "warm plan must not re-read the corpus text")
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("posexplode"),
+      "warm plan must not re-tokenize")
+    graft.queries.Det.releasePins(fresh)
+  }
+
+  test("ensure builds once; a second ensure is a pure load") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx").toString
+    assert(PostingsIndex.ensure(spark, corpus, idx), "first ensure must build")
+    assert(!PostingsIndex.ensure(spark, corpus, idx), "second ensure must load")
+  }
+
+  test("a corpus swap under the same path invalidates the index") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx2").toString
+    assert(PostingsIndex.ensure(spark, corpus, idx))
+    val bigger = mkCorpus(baseRows :+ (9L -> "one more document arrives"))
+    assert(PostingsIndex.ensure(spark, bigger, idx),
+      "doc-count mismatch must force a rebuild")
+  }
+
+  test("append-only maintenance equals a full rebuild over the union (exact)") {
+    val corpus = mkCorpus(baseRows)
+    val newRows = Seq(
+      10L -> "the quick brown fox returns once more",
+      11L -> "fresh words never seen before")
+    val union = mkCorpus(baseRows ++ newRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx3").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val newDocs = newRows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    PostingsIndex.appendDocs(spark, idx, newDocs)
+    val idxFull = java.nio.file.Files.createTempDirectory("postings_idx4").toString
+    PostingsIndex.ensure(spark, union, idxFull)
+    def rows(d: String) = PostingsIndex.postings(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(idx) == rows(idxFull),
+      "appended postings must equal a from-scratch build over the union")
+    // Same postings content ⇒ same lookup result; the multiset equality
+    // above is the stronger pin, this guards the lookup stays non-trivial.
+    assert(TextOps.phraseSearchInSession(spark, union).collect().nonEmpty)
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("compaction bounds the file count and preserves content") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx5").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val before = PostingsIndex.postings(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val add = Seq((20L, "more words to append", "en", "s0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
+    val files = graft.ext.Compaction.dataFiles(spark, s"$idx/postings")
+    assert(files.size <= 1, s"bound-1 compaction must leave ≤1 file, got ${files.size}")
+    val after = PostingsIndex.postings(spark, idx)
+      .filter(col("doc_id") =!= 20L)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(after == before, "compaction must preserve every pre-existing posting")
+  }
+}
