@@ -2,23 +2,31 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Persisted BPE merge tables (r10 VERDICT #8): the learned rules are the
-  * MODEL — a production tokenizer trains them once and ships the table to
-  * every worker — so they persist to parquet like the ANN index's
-  * centroids (ext/AnnIndex), and warm sessions apply them with zero
-  * learning aggregations. Reference analogue: the external table Job 2
-  * reads instead of re-deriving (/root/reference/generate-asset.scala:38-40).
+/** Persisted BPE merge tables (r10 VERDICT #8), VERSIONED (r11 VERDICT
+  * #7): the learned rules are the MODEL — a production tokenizer trains
+  * them once and ships the table to every worker — so they persist to
+  * parquet like the ANN index's centroids (ext/AnnIndex), and warm
+  * sessions apply them with zero learning aggregations. Reference
+  * analogue: the external table Job 2 reads instead of re-deriving
+  * (/root/reference/generate-asset.scala:38-40).
   *
-  * Two artifacts under `artDir` (both tiny, both plain parquet):
-  *   rules1/  (rank INT, pat STRING, rep STRING)      16 rows — the
-  *            one-level top-16 bigram table q_pack_bpe / q_bpe_fertility
-  *            tokenize with;
-  *   rules2/  (ord INT, pattern STRING, replacement STRING)  16 rows —
-  *            the 4-round × top-4 iterated table q_pack_bpe2 applies, in
-  *            learned application order;
-  *   meta/    (n_docs, corpus_dir)  1 row, written LAST — the validity
-  *            marker (a killed save reads as absent and retrains), with
-  *            the same count+path currency check as AnnIndex.
+  * Version chain layout under `artDir`:
+  *   CURRENT      one line: the committed version — flipped by ATOMIC
+  *                rename, the only mutation a reader can observe. A
+  *                retrain stages the next version COMPLETELY before the
+  *                flip, so a reader never sees a half-written table:
+  *                it reads version N in full until the instant N+1 is
+  *                whole, then N+1 in full (the IncrementalCorpus
+  *                snapshot-commit discipline applied to the model).
+  *   v<N>/rules1  (rank INT, pat STRING, rep STRING)  16 rows — the
+  *                one-level top-16 bigram table q_pack_bpe /
+  *                q_bpe_fertility tokenize with;
+  *   v<N>/rules2  (ord INT, pattern STRING, replacement STRING)  16
+  *                rows — the 4-round × top-4 iterated table q_pack_bpe2
+  *                applies, in learned application order;
+  *   v<N>/meta    (n_docs, corpus_dir)  1 row, written last within the
+  *                stage (belt-and-braces under the CURRENT gate).
+  *   audit/       one row per maintenance decision (retrainIfDrifted).
   *
   * Both artifacts are EXACTLY what the in-session chains derive
   * (TextOps.bpeRules1Table / bpeTrainRules2 are the same code the
@@ -39,17 +47,55 @@ object BpeArtifact {
     s"$root/$h/bpe"
   }
 
-  private def metaPath(artDir: String) = s"$artDir/meta"
+  /** The committed version (0 = none). CURRENT is updated only by
+    * atomic rename, so this can never observe a torn value. Versions
+    * are staged whole before the flip, so version > 0 implies a
+    * complete artifact set.
+    */
+  def currentVersion(artDir: String): Long = {
+    val f = new java.io.File(artDir, "CURRENT")
+    if (!f.exists()) 0L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+  }
 
-  def isBuilt(artDir: String): Boolean =
-    new java.io.File(s"${metaPath(artDir)}/_SUCCESS").exists()
+  private def vdir(artDir: String, v: Long) = s"$artDir/v$v"
 
-  /** Current = built AND meta matches the live corpus (document count +
-    * path) — one column-pruned scan, negligible next to tokenizing.
+  private def nextVersion(artDir: String): Long = {
+    val dirs = Option(new java.io.File(artDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+    (dirs :+ currentVersion(artDir)).max + 1
+  }
+
+  private def promote(artDir: String, v: Long): Unit = {
+    val root = new java.io.File(artDir); root.mkdirs()
+    val prev = currentVersion(artDir)
+    val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
+    java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val keep = Set(prev, v)
+    for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+           if d.isDirectory && d.getName.matches("v\\d+")
+           if !keep.contains(d.getName.drop(1).toLong))
+      deleteRecursively(d)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  def isBuilt(artDir: String): Boolean = currentVersion(artDir) > 0
+
+  /** Current = built AND the committed version's meta matches the live
+    * corpus (document count + path) — one column-pruned scan,
+    * negligible next to tokenizing.
     */
   def isCurrent(spark: SparkSession, corpusDir: String, artDir: String): Boolean =
     isBuilt(artDir) && {
-      val meta = spark.read.parquet(metaPath(artDir)).head()
+      val meta = spark.read.parquet(s"${vdir(artDir, currentVersion(artDir))}/meta").head()
       meta.getAs[Long]("n_docs") ==
         graft.Tables.documents(spark, corpusDir).count() &&
         meta.getAs[String]("corpus_dir") == corpusDir
@@ -57,20 +103,24 @@ object BpeArtifact {
 
   /** Train both merge tables via the session's shared chains (the pinned
     * vocabulary memo is reused, so a sweep never pays the corpus explode
-    * twice) and persist them, meta last.
+    * twice), stage them as the NEXT version, and commit by flipping
+    * CURRENT — readers keep the pinned version until the swap.
     */
   def save(spark: SparkSession, corpusDir: String, artDir: String): Unit = {
+    val v = nextVersion(artDir)
+    val vd = vdir(artDir, v)
     graft.queries.TextOps.bpeRules1Table(spark, corpusDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$artDir/rules1")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vd/rules1")
     val learned = graft.queries.TextOps.bpeTrainRules2(spark, corpusDir)
     spark.createDataFrame(learned.zipWithIndex.map {
       case ((pat, rep), i) => (i, pat, rep)
     }).toDF("ord", "pattern", "replacement")
-      .coalesce(1).write.mode("overwrite").parquet(s"$artDir/rules2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vd/rules2")
     val n = graft.Tables.documents(spark, corpusDir).count()
     spark.createDataFrame(Seq((n, corpusDir)))
       .toDF("n_docs", "corpus_dir")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(artDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$vd/meta")
+    promote(artDir, v)
   }
 
   /** Build-if-absent. Returns true iff this call TRAINED. */
@@ -78,16 +128,51 @@ object BpeArtifact {
     if (isCurrent(spark, corpusDir, artDir)) false
     else { save(spark, corpusDir, artDir); true }
 
+  /** Vocab-drift-triggered retrain (mirrors AnnIndex.rebuildIfDrifted
+    * for the text model): derive what the LIVE corpus's top-16 bigram
+    * merges would be (one vocabulary aggregation — the cheap half of
+    * training) and measure overlap with the pinned model's rules1. An
+    * overlap below `minOverlap` means the vocabulary the model was
+    * fitted to has moved — retrain BOTH tables as a new version and
+    * swap; otherwise no-op. Either way the decision is audited and
+    * readers serve the pinned version throughout (the swap is the
+    * atomic CURRENT flip).
+    */
+  final case class BpeDrift(action: String, overlap: Double, version: Long)
+
+  def retrainIfDrifted(spark: SparkSession, corpusDir: String, artDir: String,
+                       minOverlap: Double = 0.75): BpeDrift = {
+    require(isBuilt(artDir), s"no BPE artifact at $artDir — build before maintaining")
+    val pinned = rules1(spark, artDir)
+      .collect().map(_.getAs[String]("pat")).toSet
+    val live = graft.queries.TextOps.bpeRules1Table(spark, corpusDir)
+      .collect().map(_.getAs[String]("pat")).toSet
+    val overlap =
+      if (pinned.isEmpty) 1.0
+      else pinned.intersect(live).size.toDouble / pinned.size.toDouble
+    val report =
+      if (overlap < minOverlap) {
+        save(spark, corpusDir, artDir)
+        BpeDrift("retrained", overlap, currentVersion(artDir))
+      } else BpeDrift("noop", overlap, currentVersion(artDir))
+    import spark.implicits._
+    Seq((report.action, report.overlap, minOverlap, report.version,
+        System.currentTimeMillis()))
+      .toDF("action", "overlap", "min_overlap", "version", "decided_at_ms")
+      .coalesce(1).write.mode("append").parquet(s"$artDir/audit")
+    report
+  }
+
   // ---- loaded artifacts (plain parquet reads — nothing to train) ----
 
   def rules1(spark: SparkSession, artDir: String): DataFrame =
-    spark.read.parquet(s"$artDir/rules1")
+    spark.read.parquet(s"${vdir(artDir, currentVersion(artDir))}/rules1")
 
   /** The multi-round table in application order — a 16-row model read,
     * the only job a warm q_pack_bpe2 runs before applying the fold.
     */
   def rules2(spark: SparkSession, artDir: String): Seq[(String, String)] =
-    spark.read.parquet(s"$artDir/rules2").collect()
+    spark.read.parquet(s"${vdir(artDir, currentVersion(artDir))}/rules2").collect()
       .sortBy(_.getAs[Int]("ord"))
       .map(r => (r.getAs[String]("pattern"), r.getAs[String]("replacement")))
       .toSeq

@@ -81,6 +81,44 @@ class BpeArtifactSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("vocab drift triggers a versioned retrain; the pinned version serves until the swap") {
+    import spark.implicits._
+    // Independent corpus copy: the suite's shared `dir` is mutated by the
+    // swap test, and wordCounts memoizes per-dir.
+    val cA = java.nio.file.Files.createTempDirectory("bpe_drift_a").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$cA/documents.parquet")
+    val art = BpeArtifact.defaultDir(cA)
+    BpeArtifact.ensure(spark, cA, art)
+    val v1 = BpeArtifact.currentVersion(art)
+    assert(v1 > 0)
+    // Un-drifted: the same corpus's live top-16 merges ARE the model's.
+    val r0 = BpeArtifact.retrainIfDrifted(spark, cA, art)
+    assert(r0.action == "noop" && r0.overlap == 1.0 && r0.version == v1, s"got $r0")
+    assert(BpeArtifact.currentVersion(art) == v1, "a no-op must not bump the version")
+    // Drifted corpus: a disjoint vocabulary (every char pair novel).
+    val cB = java.nio.file.Files.createTempDirectory("bpe_drift_b").toString
+    (0L until 50L).map(i => (i, s"zq$i xv$i qj$i zx$i vq$i jx$i", "en", "s0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cB/documents.parquet")
+    val rulesPinned = BpeArtifact.rules2(spark, art)
+    val r1 = BpeArtifact.retrainIfDrifted(spark, cB, art)
+    assert(r1.action == "retrained", s"disjoint vocab must retrain, got $r1")
+    assert(r1.overlap < 0.75, s"overlap must be below the bound, got ${r1.overlap}")
+    assert(BpeArtifact.currentVersion(art) == v1 + 1, "retrain must commit a NEW version")
+    assert(BpeArtifact.rules2(spark, art) != rulesPinned,
+      "the committed model must be the retrained one")
+    // The superseded version dir survives the swap (readers with lazy
+    // plans against it stay valid until the NEXT promote).
+    assert(new java.io.File(s"$art/v$v1/rules2").exists(),
+      "the previous committed version must be retained after the swap")
+    // Both decisions audited.
+    val audit = spark.read.parquet(s"$art/audit")
+      .orderBy(col("decided_at_ms")).collect().map(_.getAs[String]("action")).toSeq
+    assert(audit == Seq("noop", "retrained"), s"audit trail: $audit")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("a corpus swap under the same path invalidates the artifact") {
     val art = BpeArtifact.defaultDir(dir)
     BpeArtifact.ensure(spark, dir, art)
