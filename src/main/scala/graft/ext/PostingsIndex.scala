@@ -85,6 +85,27 @@ object PostingsIndex {
   def postings(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(s"$idxDir/postings")
 
+  /** Streaming maintenance: new documents land as parquet files under
+    * `sourceDir`; each micro-batch appends its postings via the SAME
+    * `appendDocs` (foreachBatch — identical tokenization, compaction
+    * and meta discipline as a hand-run append, so stream-maintained
+    * and batch-maintained indexes are the same artifact). Sequential
+    * micro-batches are the correctness assumption, as with
+    * IncrementalCorpus.incrementalStream.
+    */
+  def postingsStream(spark: SparkSession, sourceDir: String, idxDir: String,
+                     compactFileBound: Int = 64,
+                     maxFilesPerTrigger: Option[Int] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(graft.streaming.EventStream.docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendDocs(spark, idxDir, batch, compactFileBound)
+      }
+      .start()
+  }
+
   /** Append-only maintenance: index `newDocs` (tokenize the increment
     * only), compact past `compactFileBound` files, meta rewritten LAST
     * with the grown doc count. Postings are per-document, so the

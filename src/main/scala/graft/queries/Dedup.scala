@@ -217,6 +217,61 @@ object Dedup {
        |FROM p WHERE shared / (na + nb - shared) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric containment dedup (r12): C(A,B) = |A∩B| / min(|A|,|B|)
+    * over the same 3-token shingle sets as the Jaccard chain — the
+    * quote/subset detector. A short document wholly embedded in a long
+    * one (a quoted passage, a boilerplate-wrapped article, a chunk that
+    * re-entered the crawl as its own page) has containment ≈ 1 while
+    * its Jaccard can sit far below any dedup threshold (the union is
+    * dominated by the long side), so symmetric near-dup passes keep
+    * BOTH copies and the training set memorizes the shared span twice.
+    * Reports every pair with containment ≥ 0.9, which side is the
+    * contained (smaller-set) doc, and the pair's Jaccard plus a
+    * jaccard_missed flag — the rows a Jaccard-only pipeline would have
+    * shipped.
+    *
+    * Scale shape: identical to the n-gram chain — the pair search is an
+    * aggregation over the SHARED pinned postings table (only docs
+    * sharing a shingle ever pair, count-aggregated, never
+    * materialized); at 100 TB the same df-capping as the capped variant
+    * applies before the self-join.
+    */
+  val dedupContainment: Q = (spark, dir) => {
+    val ex = sharedPostings(spark, dir)
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).cast("double").as("shared"))
+      .withColumn("cont_raw", col("shared") / least(col("na"), col("nb")).cast("double"))
+      .withColumn("jac_raw", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("cont_raw") >= 0.9)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("contained_doc"),
+        col("shared").cast("long").as("shared_shingles"),
+        r6(col("cont_raw")).as("containment"),
+        r6(col("jac_raw")).as("jaccard"),
+        (col("jac_raw") < 0.8).as("jaccard_missed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH sh AS ($duckShingles),
+       |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb,
+       |    CAST(count(*) AS DOUBLE) AS shared
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CASE WHEN na <= nb THEN da ELSE db END AS contained_doc,
+       |  CAST(shared AS BIGINT) AS shared_shingles,
+       |  ${sqlR6("shared / CAST(least(na, nb) AS DOUBLE)")} AS containment,
+       |  ${sqlR6("shared / (na + nb - shared)")} AS jaccard,
+       |  (shared / (na + nb - shared)) < 0.8 AS jaccard_missed
+       |FROM p WHERE shared / CAST(least(na, nb) AS DOUBLE) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The production variant of the n-gram ground truth: shingles whose
     * document frequency exceeds the cap are dropped from the inverted
     * index BEFORE the postings self-join — the skew guard a 100 TB run
@@ -1276,6 +1331,7 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinHash,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_ngram_capped" -> dedupNgramCapped,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_simhash" -> dedupSimHash,
     "q_dedup_groups" -> dedupGroups,
     "q_dedup_keep" -> dedupKeep,
@@ -1294,6 +1350,7 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinHashSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_ngram_capped" -> dedupNgramCappedSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_dedup_groups" -> dedupGroupsSql,
     "q_dedup_keep" -> dedupKeepSql,

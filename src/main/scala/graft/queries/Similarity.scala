@@ -740,7 +740,8 @@ object Similarity {
     val vd = vdF(spark, dir)
     val base = vd.filter(col("vec_id") % 5 =!= 0)
     val fresh = vd.filter(col("vec_id") % 5 === 0)
-    val cent = Det.memoMulti(spark, s"sim.kmcentincr:$dir", Set("q_knn_ivf_incr")) {
+    val cent = Det.memoMulti(spark, s"sim.kmcentincr:$dir",
+        Set("q_knn_ivf_incr", "q_knn_drift_decide")) {
       val dims = base
         .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
         .select(col("vec_id"), (col("pos") + 1).as("d"), col("val"))
@@ -783,10 +784,12 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
-  /** Same 3-round unrolled Lloyd's CTEs as `knnIvfKmeansSql`, restricted
-    * to the base corpus, plus frozen-centroid assignment of the new batch.
+  /** Shared CTE prefix for the incremental-IVF SQLs: the 3-round
+    * unrolled Lloyd's over the base corpus (same text shape as
+    * `knnIvfKmeansSql`), plus frozen-centroid assignment of base
+    * (`basea`) and new batch (`newa`), both with the assign distance.
     */
-  val knnIvfIncrSql: String = {
+  private lazy val ivfIncrPrefixSql: String = {
     val rounds = (1 to 3).map { r =>
       val prev = if (r == 1) "cent0" else s"cent${r - 1}"
       s"""asg$r AS (
@@ -829,7 +832,14 @@ object Similarity {
        |    SELECT v.vec_id, c.cluster, ${duckKmDist("v.emb_d", "c.cent")} AS dist,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${duckKmDist("v.emb_d", "c.cent")}, c.cluster) AS rn
-       |    FROM vd v, cent3 c WHERE v.vec_id % 5 = 0) t WHERE rn = 1),
+       |    FROM vd v, cent3 c WHERE v.vec_id % 5 = 0) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Same 3-round unrolled Lloyd's CTEs as `knnIvfKmeansSql`, restricted
+    * to the base corpus, plus frozen-centroid assignment of the new batch.
+    */
+  lazy val knnIvfIncrSql: String =
+    s"""$ivfIncrPrefixSql,
        |bc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_base FROM basea GROUP BY cluster),
        |nc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new,
        |         ${sqlR6(sqlDavg("dist"))} AS mean_dist_new0 FROM newa GROUP BY cluster)
@@ -841,7 +851,64 @@ object Similarity {
        |FROM cent3 c LEFT JOIN bc ON c.cluster = bc.cluster
        |LEFT JOIN nc ON c.cluster = nc.cluster
        |ORDER BY c.cluster""".stripMargin
+
+  /** The index-maintenance DECISION as a verified result (r12 — the
+    * query face of ext.AnnIndex.rebuildIfDrifted): per cluster, the
+    * base corpus's mean assign distance (the build-time drift
+    * reference), the new batch's mean assign distance under the FROZEN
+    * centroids, their ratio, and the resulting would_rebuild flag under
+    * the production rule (ratio > 2 with ≥ 3 new members). Where
+    * q_knn_ivf_incr EMITS the drift signal for a human,
+    * this emits what the automated maintenance pass would DO with it —
+    * so the decision rule itself is oracle-checked, not just the inputs
+    * it reads. Same train-rarely/assign-per-batch scale shape: one
+    * broadcast assignment scan per batch, k-row report.
+    */
+  val knnDriftDecide: Q = (spark, dir) => {
+    val (cent, asg) = ivfIncrParts(spark, dir)
+    val bStats = asg.filter(!col("is_new"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"), r6(davg(col("dist"))).as("mdb0"))
+    val nStats = asg.filter(col("is_new"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"), r6(davg(col("dist"))).as("mdn0"))
+    cent.select(col("cluster"))
+      .join(bStats, Seq("cluster"), "left_outer")
+      .join(nStats, Seq("cluster"), "left_outer")
+      .withColumn("ratio0",
+        when(col("mdb0") > 0 && col("mdn0").isNotNull, r6(col("mdn0") / col("mdb0")))
+          .otherwise(lit(0.0)))
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("mdb0"), lit(0.0)).as("mean_dist_base"),
+        coalesce(col("mdn0"), lit(0.0)).as("mean_dist_new"),
+        col("ratio0").as("drift_ratio"),
+        (col("ratio0") > 2.0 && coalesce(col("n_new"), lit(0L)) >= 3)
+          .as("would_rebuild"))
+      .orderBy(col("cluster"))
   }
+
+  lazy val knnDriftDecideSql: String =
+    s"""$ivfIncrPrefixSql,
+       |bc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_base,
+       |         ${sqlR6(sqlDavg("dist"))} AS mdb0 FROM basea GROUP BY cluster),
+       |nc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new,
+       |         ${sqlR6(sqlDavg("dist"))} AS mdn0 FROM newa GROUP BY cluster),
+       |j AS (
+       |  SELECT c.cluster, bc.n_base, bc.mdb0, nc.n_new, nc.mdn0,
+       |    CASE WHEN bc.mdb0 > 0 AND nc.mdn0 IS NOT NULL
+       |      THEN ${sqlR6("nc.mdn0 / bc.mdb0")} ELSE 0.0 END AS ratio0
+       |  FROM cent3 c LEFT JOIN bc ON c.cluster = bc.cluster
+       |  LEFT JOIN nc ON c.cluster = nc.cluster)
+       |SELECT cluster,
+       |  coalesce(n_base, 0) AS n_base,
+       |  coalesce(n_new, 0) AS n_new,
+       |  coalesce(mdb0, 0.0) AS mean_dist_base,
+       |  coalesce(mdn0, 0.0) AS mean_dist_new,
+       |  ratio0 AS drift_ratio,
+       |  (ratio0 > 2.0 AND coalesce(n_new, 0) >= 3) AS would_rebuild
+       |FROM j ORDER BY cluster""".stripMargin
 
   /** Incremental PQ maintenance (r10 VERDICT #2) — the `knnIvfIncr`
     * asymmetry applied to the fine quantizer: codebooks are trained ONCE
@@ -2195,6 +2262,7 @@ object Similarity {
     "q_knn_ivf_mp" -> knnIvfMp,
     "q_knn_ivf_kmeans" -> knnIvfKmeans,
     "q_knn_ivf_incr" -> knnIvfIncr,
+    "q_knn_drift_decide" -> knnDriftDecide,
     "q_knn_pq_incr" -> knnPqIncr,
     "q_embed_rp" -> embedRp,
     "q_knn_rp_rerank" -> knnRpRerank,
@@ -2221,6 +2289,7 @@ object Similarity {
     "q_knn_ivf_mp" -> knnIvfMpSql,
     "q_knn_ivf_kmeans" -> knnIvfKmeansSql,
     "q_knn_ivf_incr" -> knnIvfIncrSql,
+    "q_knn_drift_decide" -> knnDriftDecideSql,
     "q_knn_pq_incr" -> knnPqIncrSql,
     "q_embed_rp" -> embedRpSql,
     "q_knn_rp_rerank" -> knnRpRerankSql,

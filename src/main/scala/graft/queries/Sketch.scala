@@ -66,7 +66,7 @@ object Sketch {
     */
   private def hashedToks(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sketch.toks:$dir",
-        Set("q_sketch_kmv", "q_sketch_kmv_merge")) {
+        Set("q_sketch_hll", "q_sketch_kmv", "q_sketch_kmv_merge")) {
       documents(spark, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("hv", expr(hvExpr("tok")))
@@ -183,6 +183,123 @@ object Sketch {
        |  d.kth_direct = m.kth_merged AS merge_exact
        |FROM direct d, merged m, exact e""".stripMargin
 
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog registers: m = 64 (p = 6), alpha_64 = 0.709 (Flajolet
+    * et al., "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm", AofA 2007). SE ≈ 1.04/√64 = 13%.
+    */
+  val hllM = 64
+  private val hllRankBits = 48 - 6 // hash bits left after the register index
+
+  /** Deterministic HyperLogLog — the answer to "HLL's register math has
+    * no engine-portable twin" (the objection that picked KMV in r8):
+    * Spark's approx_count_distinct sketch is opaque, but HLL itself is
+    * just relational algebra once the hash is pinned. Register index =
+    * top 6 bits of the 48-bit md5 hash; rank = leading-zero count of
+    * the remaining 42 bits + 1, computed INTEGRALLY as 43 −
+    * bit_length(w) via length(bin(w)) — both engines produce the same
+    * binary string, so the registers (and therefore every downstream
+    * cell) are bit-identical. The harmonic sum Σ2^(−M_j) is rescaled to
+    * the INTEGER sum Σ2^(42+1−M_j) (each term a BIGINT power of two —
+    * exact, associative, order-free) so no decimal truncation touches
+    * it; the only floating ops are one multiply-divide chain and the
+    * small-range ln() correction, both r6-rounded.
+    *
+    * Scale shape: register maintenance is ONE aggregation with map-side
+    * combine — partials ship ≤ m = 64 rows per (partition, source) no
+    * matter how many billions of tokens a source holds, and shard
+    * register tables merge by plain MAX, the HLL merge law. The exact
+    * count / realized-error columns are the verification overlay (how
+    * the small-SF oracle grades the sketch); a production run keeps the
+    * 64-row register table only. Completes the mergeable-sketch family:
+    * KMV (bottom-k), CMS (heavy hitters), HLL (cardinality).
+    */
+  /** Per-(source, register) max rank over a hashed-token frame — the
+    * HLL state. Factored out so the spec can pin the merge law (shard
+    * registers merge by MAX into the global registers, exactly).
+    */
+  private[graft] def hllRegisters(ht: DataFrame): DataFrame = {
+    val maxRank = hllRankBits + 1 // w = 0 ⇒ all rank bits zero
+    ht.select(col("source"),
+        expr(s"hv div ${1L << hllRankBits}L").as("j"),
+        expr(s"hv % ${1L << hllRankBits}L").as("w"))
+      .withColumn("rank", expr(
+        s"CASE WHEN w = 0 THEN $maxRank ELSE $maxRank - length(bin(w)) END"))
+      .groupBy(col("source"), col("j"))
+      .agg(max(col("rank")).as("mj"))
+  }
+
+  val sketchHll: Q = (spark, dir) => {
+    val ht = hashedToks(spark, dir)
+    val m = hllM
+    val maxRank = hllRankBits + 1
+    val regs = hllRegisters(ht)
+    // Full register spine: absent registers are M = 0 (they carry the
+    // 2^maxRank term of the harmonic sum and count toward V).
+    val spine = ht.select(col("source")).distinct()
+      .crossJoin(spark.range(0, m).select(col("id").as("j")))
+    val filled = spine.join(regs, Seq("source", "j"), "left_outer")
+      .select(col("source"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val est = filled.groupBy(col("source"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - mj)")).as("isum"),
+        count(when(col("mj") === 0, lit(1))).as("v_zero"))
+      .withColumn("est_raw",
+        lit(0.709) * lit(m.toDouble) * lit(m.toDouble)
+          * lit(math.pow(2.0, maxRank)) / col("isum").cast("double"))
+      .withColumn("est_hll", r6(
+        when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("est_raw"))))
+    val exact = ht.select(col("source"), col("tok")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_exact"), col("v_zero"),
+        r6(col("est_raw")).as("est_raw"), col("est_hll"),
+        r6(abs(col("est_hll") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  val sketchHllSql: String = {
+    val m = hllM
+    val maxRank = hllRankBits + 1
+    val pow2 = s"CAST(${1L << hllRankBits} AS BIGINT) * 2.0" // 2^maxRank as double
+    s"""WITH $hashedToksSql,
+       |regs AS (
+       |  SELECT source, hv // ${1L << hllRankBits} AS j,
+       |    max(CASE WHEN hv % ${1L << hllRankBits} = 0 THEN $maxRank
+       |        ELSE $maxRank - length(bin(hv % ${1L << hllRankBits})) END) AS mj
+       |  FROM ht GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT s.source, j FROM (SELECT DISTINCT source FROM ht) s,
+       |    (SELECT unnest(generate_series(0, ${m - 1})) AS j)),
+       |filled AS (
+       |  SELECT sp.source, coalesce(r.mj, 0) AS mj
+       |  FROM spine sp LEFT JOIN regs r ON sp.source = r.source AND sp.j = r.j),
+       |est AS (
+       |  SELECT source,
+       |    sum(CAST(1 AS BIGINT) << ($maxRank - mj)) AS isum,
+       |    CAST(count(*) FILTER (WHERE mj = 0) AS BIGINT) AS v_zero
+       |  FROM filled GROUP BY source),
+       |est2 AS (
+       |  SELECT source, v_zero,
+       |    CAST(0.709 AS DOUBLE) * $m * $m * $pow2 / CAST(isum AS DOUBLE) AS est_raw
+       |  FROM est),
+       |est3 AS (
+       |  SELECT source, v_zero, est_raw,
+       |    ${sqlR6(s"CASE WHEN est_raw <= 2.5 * $m AND v_zero > 0 " +
+                 s"THEN $m * ln($m / CAST(v_zero AS DOUBLE)) ELSE est_raw END")} AS est_hll
+       |  FROM est2),
+       |exact AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM ht GROUP BY source)
+       |SELECT t.source AS source, e.n_exact, t.v_zero,
+       |  ${sqlR6("t.est_raw")} AS est_raw, t.est_hll,
+       |  ${sqlR6("abs(t.est_hll - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)")} AS rel_err
+       |FROM est3 t JOIN exact e ON t.source = e.source
+       |ORDER BY t.source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-min rows (independent hash functions) and bucket width.
@@ -288,12 +405,14 @@ object Sketch {
   val queries: Map[String, Q] = Map(
     "q_sketch_kmv" -> sketchKmv,
     "q_sketch_kmv_merge" -> sketchKmvMerge,
-    "q_sketch_cms" -> sketchCms
+    "q_sketch_cms" -> sketchCms,
+    "q_sketch_hll" -> sketchHll
   )
 
   val oracles: Map[String, String] = Map(
     "q_sketch_kmv" -> sketchKmvSql,
     "q_sketch_kmv_merge" -> sketchKmvMergeSql,
-    "q_sketch_cms" -> sketchCmsSql
+    "q_sketch_cms" -> sketchCmsSql,
+    "q_sketch_hll" -> sketchHllSql
   )
 }

@@ -898,6 +898,67 @@ object EventStream {
     spark.table(queryName)
   }
 
+  case class DriftTrigger(cluster: Long, n_new: Long, mean_dist_new: Double,
+                          mean_dist_base: Double, drift_ratio: Double,
+                          would_rebuild: Boolean)
+
+  /** Streaming DECISION consumer for the drift signal (r12 — the stream
+    * face of ext.AnnIndex.rebuildIfDrifted's rule, as q_knn_drift_decide
+    * is its batch-query face): `baseStats` is the per-cluster BUILD-TIME
+    * mean assign distance (the r6'd batch reference — at 100 TB it ships
+    * frozen next to the centroids, k doubles), and each micro-batch
+    * re-emits the running decision for every cluster it touched:
+    * ratio = running new mean / build-time mean, would_rebuild flips
+    * once the ratio crosses `bound` with ≥ `minNew` members. State is
+    * O(k); the emitted numbers reproduce q_knn_drift_decide's cells
+    * exactly (same 1e-8-exact accumulation, same r6 rounding, same
+    * rule constants), so a listener keyed on would_rebuild fires at
+    * precisely the batch decision boundary — StreamingSpec pins the
+    * convergence.
+    */
+  def ivfDriftTriggerStream(spark: SparkSession, sourceDir: String,
+                            centroids: DataFrame, baseStats: Map[Long, Double],
+                            bound: Double = 2.0, minNew: Long = 3L,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    ivfAssignStream(spark, sourceDir, centroids, maxFilesPerTrigger)
+      .as[VecAssign]
+      .groupByKey(_.cluster)
+      .mapGroupsWithState[ClusterState, DriftTrigger](GroupStateTimeout.NoTimeout()) {
+        (cluster: Long, rows: Iterator[VecAssign], state: GroupState[ClusterState]) =>
+          val prev = state.getOption.getOrElse(ClusterState(0L, 0L))
+          var n = prev.n
+          var sum8 = prev.sumDist8
+          for (r <- rows) {
+            n += 1
+            sum8 += java.math.BigDecimal.valueOf(r.dist)
+              .setScale(8, java.math.RoundingMode.HALF_UP)
+              .movePointRight(8).longValueExact()
+          }
+          state.update(ClusterState(n, sum8))
+          val mean = math.floor(new java.math.BigDecimal(sum8).movePointLeft(8)
+            .doubleValue() / n.toDouble * 1e6 + 0.5) / 1e6
+          val base = baseStats.getOrElse(cluster, 0.0)
+          val ratio =
+            if (base > 0) math.floor(mean / base * 1e6 + 0.5) / 1e6 else 0.0
+          DriftTrigger(cluster, n, mean, base, ratio,
+            ratio > bound && n >= minNew)
+      }.toDF()
+  }
+
+  def runIvfDriftTriggerStream(spark: SparkSession, sourceDir: String,
+                               queryName: String, centroids: DataFrame,
+                               baseStats: Map[Long, Double],
+                               bound: Double = 2.0, minNew: Long = 3L,
+                               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = ivfDriftTriggerStream(spark, sourceDir, centroids, baseStats,
+        bound, minNew, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   def runIvfAssignStream(spark: SparkSession, sourceDir: String, queryName: String,
                          centroids: DataFrame,
                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {

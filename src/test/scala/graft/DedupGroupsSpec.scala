@@ -99,6 +99,31 @@ class DedupGroupsSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("containment catches a quoted passage that Jaccard misses") {
+    import spark.implicits._
+    // Doc 2 is a verbatim 10-token span of doc 1: every one of its 8
+    // shingles is in doc 1's set (containment = 1.0), but the union is
+    // dominated by doc 1 (jaccard = 8/38 ≈ 0.21) — a jaccard-0.8 dedup
+    // keeps both copies and the span trains twice.
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 until 20).map(i => s"w$i").mkString(" ")
+    val other = (0 until 30).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, long), (2L, quote), (3L, other))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dedupContainment(spark, dir).collect()
+    assert(rows.length == 1, s"exactly the planted pair: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("contained_doc") == 2L, "the quote is the contained side")
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Boolean]("jaccard_missed"),
+      s"the pair must sit below the jaccard threshold: $r")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("incremental dedup: new-vs-old and new-vs-new, old never re-paired") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString

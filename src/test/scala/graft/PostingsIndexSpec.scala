@@ -86,6 +86,38 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("streaming postings maintenance equals batch appends (foreachBatch twin)") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_s").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val newRows = Seq(
+      30L -> "streamed words arrive in order",
+      31L -> "the quick brown fox streams too")
+    val union = mkCorpus(baseRows ++ newRows)
+    val idxFull = java.nio.file.Files.createTempDirectory("postings_idx_sf").toString
+    PostingsIndex.ensure(spark, union, idxFull)
+    // Two doc files → two micro-batches through the stream.
+    val src = java.nio.file.Files.createTempDirectory("postings_src").toString
+    for ((r, i) <- newRows.zipWithIndex)
+      Seq(r).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/drop_$i")
+    // File source needs a flat dir of files: re-land the parts.
+    val flat = java.nio.file.Files.createTempDirectory("postings_src_flat").toString
+    for (i <- newRows.indices) {
+      val part = new java.io.File(s"$src/drop_$i").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$flat/d$i.parquet"))
+    }
+    val q = PostingsIndex.postingsStream(spark, flat, idx, maxFilesPerTrigger = Some(1))
+    q.processAllAvailable(); q.stop()
+    def rows(d: String) = PostingsIndex.postings(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(idx) == rows(idxFull),
+      "stream-maintained postings must equal a from-scratch build over the union")
+  }
+
   test("compaction bounds the file count and preserves content") {
     val corpus = mkCorpus(baseRows)
     val idx = java.nio.file.Files.createTempDirectory("postings_idx5").toString

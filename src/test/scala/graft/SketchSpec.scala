@@ -98,6 +98,32 @@ class SketchSpec extends SparkSpec {
     queries.Det.releasePins(spark)
   }
 
+  test("HLL registers merge by max: sharded register tables equal the global ones") {
+    // The HLL merge law — register-wise max — is what lets 1000
+    // executors sketch disjoint shards and a coordinator combine them
+    // without touching data. Pin it on the register table itself.
+    val docs = (0L until 60L)
+      .map(i => (i, (0 until 20).map(j => s"t${(i * 7 + j * 3) % 97}").mkString(" "),
+        "en", s"src${i % 3}", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("hll_merge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ht = graft.Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hv", expr((1 to 12).map { i =>
+        s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${1L << (4 * (12 - i))}L"
+      }.mkString("CAST(", " + ", " AS BIGINT)")))
+    val global = queries.Sketch.hllRegisters(ht)
+      .collect().map(_.toSeq).toSet
+    val shardA = queries.Sketch.hllRegisters(ht.filter(col("tok") < "t5"))
+    val shardB = queries.Sketch.hllRegisters(ht.filter(col("tok") >= "t5"))
+    val merged = shardA.unionByName(shardB)
+      .groupBy(col("source"), col("j")).agg(max(col("mj")).as("mj"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == global, "shard registers must merge by max into the global registers")
+    queries.Det.releasePins(spark)
+  }
+
   test("aggregator sketch is partitioning-invariant (1 vs 32 shuffle partitions)") {
     val toks = (1 to 500).map(i => s"w$i").mkString(" ")
     val dir = stage(Seq((1L, toks, "s0"), (2L, toks, "s1")))

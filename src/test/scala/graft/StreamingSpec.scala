@@ -778,6 +778,34 @@ class StreamingSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("streaming drift TRIGGER converges to the batch decision (q_knn_drift_decide)") {
+    import spark.implicits._
+    val (cent, _) = graft.queries.Similarity.ivfIncrParts(spark, sfDir)
+    val decide = graft.queries.Similarity.queries("q_knn_drift_decide")(spark, sfDir)
+    val baseStats = decide
+      .select("cluster", "mean_dist_base").as[(Long, Double)].collect().toMap
+    val batch = decide.filter(col("n_new") > 0)
+      .select("cluster", "n_new", "mean_dist_new", "mean_dist_base",
+        "drift_ratio", "would_rebuild")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(batch.nonEmpty)
+    val src = java.nio.file.Files.createTempDirectory("ivf_trig_src").toString
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 === 0)
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val trig = EventStream.runIvfDriftTriggerStream(spark, src, "ivf_trig_test",
+      cent, baseStats, maxFilesPerTrigger = Some(1))
+    // n_new is monotone per cluster → max(struct) is the converged row.
+    val last = trig.groupBy(col("cluster"))
+      .agg(max(struct(col("n_new"), col("mean_dist_new"), col("mean_dist_base"),
+        col("drift_ratio"), col("would_rebuild"))).as("s"))
+      .select(col("cluster"), col("s.n_new"), col("s.mean_dist_new"),
+        col("s.mean_dist_base"), col("s.drift_ratio"), col("s.would_rebuild"))
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(last.toSeq == batch.toSeq,
+      s"converged stream decision != batch decision:\nstream ${last.toSeq}\nbatch  ${batch.toSeq}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val sessions = EventStream.runSessionize(spark, sourceDir, "sess_test")
     // Closed sessions emitted by the stream + one open session per user
