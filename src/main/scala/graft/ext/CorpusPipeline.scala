@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *   3. near dedup    — MinHash/LSH bucket join, keeps min-id per pair
   *                      cluster (union-find-free greedy: drop any doc
   *                      that has a near-dup with a smaller id);
+  *   3.3. containment — optional (containmentThreshold): drops docs
+  *                      CONTAINED in a survivor (the quote/subset class
+  *                      whose Jaccard sits below stage 3's bar), keeping
+  *                      the container;
   *   4. sequence packing — the surviving stream concatenated per source
   *                      and cut into 256-token training sequences
   *                      (TextOps.packSequencesOver);
@@ -39,7 +43,8 @@ object CorpusPipeline {
                                afterContam: Long, afterUrl: Long,
                                afterBoiler: Long,
                                afterExact: Long,
-                               afterNear: Long, afterSemantic: Long,
+                               afterNear: Long, afterContain: Long,
+                               afterSemantic: Long,
                                afterCap: Long, sequences: Long)
 
   /** `benchmark`: eval-suite documents (a `text` column) — when given,
@@ -64,6 +69,11 @@ object CorpusPipeline {
     * q_quality_model hashed-linear score falls below the threshold,
     * logging (doc_id, model_score, reason) to `outDir/model_dropped` —
     * the learned-classifier pass after the cheap heuristic gate.
+    * `containmentThreshold`: when given, stage 3.3 drops docs CONTAINED
+    * in a surviving doc (q_dedup_containment's rule: shared shingles /
+    * min set size ≥ threshold — the quote/subset class whose Jaccard
+    * sits below stage 3's bar), keeping the container; drops log to
+    * `outDir/contained` with dup_of = the container.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           minQuality: Double = 0.5, jaccardThreshold: Double = 0.8,
@@ -73,7 +83,8 @@ object CorpusPipeline {
           maxDocsPerSource: Option[Int] = None,
           modelMinScore: Option[Double] = None,
           urlDedup: Boolean = true,
-          boilerplateMinDocs: Option[Int] = None): StageCounts = {
+          boilerplateMinDocs: Option[Int] = None,
+          containmentThreshold: Option[Double] = None): StageCounts = {
     // 0. PII scrub — BEFORE any content derivation, so hashes, shingles
     // and packed sequences never embed an email/phone/id/IP (the order a
     // compliant pipeline requires: scrubbing after dedup would leave PII
@@ -241,6 +252,26 @@ object CorpusPipeline {
     val near = exact.join(losers, Seq("doc_id"), "left_anti")
     val nNear = near.count()
 
+    // 3.3. containment dedup — the quote/subset class stage 3 cannot
+    // see: a short doc wholly embedded in a long survivor has Jaccard
+    // far below the near-dup bar (the union is dominated by the long
+    // side), so both copies survive and the shared span trains twice.
+    // The CONTAINED side drops, the container is kept regardless of id
+    // (the full document is the more valuable copy); drops audited
+    // with dup_of = the container, like every curation stage.
+    val contain = containmentThreshold match {
+      case None => near
+      case Some(th) =>
+        val cpairs = containmentPairs(spark, near, th)
+        cpairs.select(col("contained_doc").as("doc_id"),
+            lit("contained_in_doc").as("drop_reason"),
+            col("container_doc").as("dup_of"), col("containment"))
+          .write.mode("overwrite").parquet(s"$outDir/contained")
+        near.join(cpairs.select(col("contained_doc").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+    }
+    val nContain = contain.count()
+
     // 3.5. semantic dedup — the paraphrase class token shingles cannot
     // see: same meaning (≈ same embedding), different surface tokens.
     // Only survivors' embeddings are sketched (semi-join first — the
@@ -250,12 +281,12 @@ object CorpusPipeline {
     // (drop any doc with a verified smaller-id neighbor) so the two
     // dedup stages compose with one canonicalization semantics.
     val sem = embeddings match {
-      case None => near
+      case None => contain
       case Some(emb) =>
-        val embS = emb.join(near.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val embS = emb.join(contain.select(col("doc_id")), Seq("doc_id"), "left_semi")
         val pairs = semanticNearDupPairs(spark, embS, cosineThreshold)
         val semLosers = pairs.select(col("doc_b").as("doc_id")).distinct()
-        near.join(semLosers, Seq("doc_id"), "left_anti")
+        contain.join(semLosers, Seq("doc_id"), "left_anti")
     }
     val nSem = sem.count()
 
@@ -292,7 +323,7 @@ object CorpusPipeline {
 
     // 5. write partitioned by lang + report
     capped.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus_clean")
-    val report = StageCounts(input, nQuality, nModel, nContam, nUrl, nBoiler, nExact, nNear, nSem, nCap, nSeqs)
+    val report = StageCounts(input, nQuality, nModel, nContam, nUrl, nBoiler, nExact, nNear, nContain, nSem, nCap, nSeqs)
     import spark.implicits._
     Seq(("input", report.input), ("after_quality", report.afterQuality),
       ("after_model_score", report.afterModel),
@@ -300,6 +331,7 @@ object CorpusPipeline {
       ("after_url_dedup", report.afterUrl),
       ("after_boilerplate", report.afterBoiler),
       ("after_exact_dedup", report.afterExact), ("after_near_dedup", report.afterNear),
+      ("after_containment_dedup", report.afterContain),
       ("after_semantic_dedup", report.afterSemantic),
       ("after_source_cap", report.afterCap),
       ("training_sequences", report.sequences))
@@ -371,6 +403,51 @@ object CorpusPipeline {
         (size(col("shingles_a")) + size(col("shingles_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+  }
+
+  /** Containment pairs (q_dedup_containment's rule parameterized by
+    * input): candidates from a df-capped shingle-postings self-join
+    * (docs sharing a RARE shingle — a doc made purely of high-df
+    * boilerplate shingles is stage 1.9's job, not this one's), exact
+    * array-intersect verify, containment = |A∩B| / min(|A|,|B|). The
+    * contained doc is the smaller shingle set (ties — mutual
+    * containment, i.e. near-identical sets — drop the larger id, the
+    * min-id keep every other stage uses).
+    */
+  def containmentPairs(spark: SparkSession, corpus: DataFrame, threshold: Double,
+                       dfCap: Int = 100): DataFrame = {
+    val sh = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(1, size(toks) - 2),
+          |                                i -> concat_ws(' ', slice(toks, i, 3))))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(col("doc_id"), col("shingles"))
+    val post = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= dfCap)
+    val cand = post.as("a")
+      .join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")
+      .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+      .withColumn("containment",
+        col("inter") / least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(size(col("sh_a")) < size(col("sh_b")), col("da"))
+          .when(size(col("sh_b")) < size(col("sh_a")), col("db"))
+          .otherwise(greatest(col("da"), col("db"))).as("contained_doc"),
+        when(size(col("sh_a")) < size(col("sh_b")), col("db"))
+          .when(size(col("sh_b")) < size(col("sh_a")), col("da"))
+          .otherwise(least(col("da"), col("db"))).as("container_doc"),
+        col("containment"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,8 @@ object CorpusRun {
           landPartitions: Option[Int] = None,
           maxDocsPerSource: Option[Int] = None,
           urlDedup: Boolean = true,
-          boilerplateMinDocs: Option[Int] = None): RunCounts = {
+          boilerplateMinDocs: Option[Int] = None,
+          containmentThreshold: Option[Double] = None): RunCounts = {
     val lineage = new graft.etl.Lineage(spark, s"$outDir/lineage", "corpus_run",
       new java.sql.Timestamp(System.currentTimeMillis()))
 
@@ -58,9 +59,11 @@ object CorpusRun {
     val stages = CorpusPipeline.run(spark, ingestDir, pipeDir,
       benchmark = bench, embeddings = embeddings,
       maxDocsPerSource = maxDocsPerSource, urlDedup = urlDedup,
-      boilerplateMinDocs = boilerplateMinDocs)
+      boilerplateMinDocs = boilerplateMinDocs,
+      containmentThreshold = containmentThreshold)
     lineage.log(s"$ingestDir/documents.parquet", s"$pipeDir/corpus_clean",
-      8, stages.afterCap, "scrub+quality+contam+url+boiler+exact+near+semantic+cap")
+      8, stages.afterCap,
+      "scrub+quality+contam+url+boiler+exact+near+contain+semantic+cap")
     lineage.log(s"$pipeDir/corpus_clean", s"$pipeDir/sequences",
       1, stages.sequences, "sequence packing (256-token budget)")
 

@@ -274,6 +274,53 @@ object Similarity {
        |  AND ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Semantic dedup groups (r12): connected components over the
+    * embedding-cosine near-dup pairs — the "soft dedup" stage that
+    * catches paraphrases and re-encodings exact/MinHash text passes
+    * can't see (same meaning, different tokens). Each grouped vector
+    * gets its component label (min vec_id — the canonical keeper) and
+    * group size; singletons don't pair, so the output is exactly the
+    * vectors with at least one semantic duplicate.
+    *
+    * Scale shape: composes two verified primitives — the BLOCKED pair
+    * search (never all-pairs in one task; at 100 TB the candidate
+    * generator swaps to the LSH/IVF bucket join) and the O(log d)
+    * pointer-jumping fixpoint (Dedup.connectedComponents, the same
+    * kernel the text-dedup groups run).
+    */
+  val embedGroups: Q = (spark, dir) => {
+    val labels = Det.memoMulti(spark, s"sim.embgroups:$dir", Set("q_embed_groups")) {
+      Dedup.connectedComponents(
+        embedNearDup(spark, dir)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))._1
+    }
+    labels
+      .withColumn("group_size", count(lit(1)).over(
+        Window.partitionBy(col("lbl"))).cast("long"))
+      .select(col("doc").as("vec_id"), col("lbl").as("group_id"),
+        col("group_size"), (col("doc") === col("lbl")).as("keeper"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the same transitive closure as a recursive CTE over the
+    * near-dup pair SQL (the dedupGroups oracle shape).
+    */
+  val embedGroupsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT vec_a, vec_b FROM ($embedNearDupSql)),
+       |edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |cc AS (
+       |  SELECT a AS doc, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc = e.b),
+       |final AS (SELECT doc, min(lbl) AS group_id FROM cc GROUP BY doc)
+       |SELECT doc AS vec_id, group_id,
+       |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+       |  doc = group_id AS keeper
+       |FROM final ORDER BY vec_id""".stripMargin
+
   /** Brute-force top-k via the custom TopKByScore Aggregator (tier-b
     * custom aggregate, functions/TopKByScore.scala): same scoring as
     * q_knn_brute but the shuffle carries at most k candidates per
@@ -2276,7 +2323,8 @@ object Similarity {
     "q_knn_topk" -> knnTopKAgg,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
-    "q_embed_neardup" -> embedNearDup
+    "q_embed_neardup" -> embedNearDup,
+    "q_embed_groups" -> embedGroups
   )
 
   val oracles: Map[String, String] = Map(
@@ -2303,6 +2351,7 @@ object Similarity {
     "q_knn_topk" -> knnBruteSql, // identical result set by construction
     "q_knn_brute" -> knnBruteSql,
     "q_knn_lsh" -> knnLshSql,
-    "q_embed_neardup" -> embedNearDupSql
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_groups" -> embedGroupsSql
   )
 }

@@ -300,6 +300,117 @@ object Sketch {
        |ORDER BY t.source""".stripMargin
   }
 
+  // ------------------------------------------------------ quantile sketch
+
+  /** Histogram bins for the quantile sketch. SE of a quantile estimate
+    * is bounded by half a bin's mass under any distribution.
+    */
+  val qsBins = 128
+
+  /** The shared bin arithmetic — ONE SQL text evaluated by both engines
+    * (identical IEEE op order ⇒ identical doubles).
+    */
+  private def qsStepExpr = s"(CAST(hi - lo + 1 AS DOUBLE) / $qsBins.0)"
+  private def qsBucketExpr =
+    s"LEAST(CAST(${qsBins - 1} AS BIGINT), CAST(FLOOR(CAST(n_chars - lo AS DOUBLE) / $qsStepExpr) AS BIGINT))"
+  private def qsEstExpr =
+    s"CAST(lo AS DOUBLE) + $qsStepExpr * (CAST(bucket AS DOUBLE) + (target - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE))"
+
+  /** Mergeable quantile sketch: per-source p50/p90/p99 of document
+    * length estimated from a 128-bin equi-width histogram over the
+    * GLOBAL [min, max] range (shared binning is what makes shard
+    * histograms mergeable by plain addition — the same property as the
+    * CMS counter table), with linear interpolation inside the target
+    * bin. The exact percentiles ride along as the verification overlay
+    * (they need a full per-source sort — exactly the cost the sketch
+    * exists to avoid at 100 TB), plus the realized relative error.
+    *
+    * Scale shape: the histogram is ONE aggregation with map-side
+    * combine — partials ship ≤ 128 rows per (partition, source)
+    * regardless of corpus size; the quantile extraction is a window
+    * over ≤ 128·sources rows. Every estimate cell is the same
+    * arithmetic TEXT in Spark and DuckDB, so the compare is exact.
+    */
+  val sketchQuantile: Q = (spark, dir) => {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val d = documents(spark, dir).select(col("source"), col("n_chars"))
+    val bounds = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    val hist = d.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(qsBucketExpr))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .join(hist.groupBy(col("source")).agg(sum(col("cnt")).as("n")), "source")
+    val quant = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val ests = cum.crossJoin(broadcast(quant))
+      .withColumn("target", col("q") * col("n").cast("double"))
+      .filter(col("cum").cast("double") >= col("target"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("q")).orderBy(col("bucket"))))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(bounds))
+      .select(col("source"), col("q"), col("n"), expr(qsEstExpr).as("est"))
+      .groupBy(col("source"), col("n"))
+      .agg(
+        r6(max(when(col("q") === 0.5, col("est")))).as("p50_est"),
+        r6(max(when(col("q") === 0.9, col("est")))).as("p90_est"),
+        r6(max(when(col("q") === 0.99, col("est")))).as("p99_est"))
+    val exact = documents(spark, dir).groupBy(col("source"))
+      .agg(
+        r6(expr("percentile(n_chars, 0.5)")).as("p50_exact"),
+        r6(expr("percentile(n_chars, 0.9)")).as("p90_exact"),
+        r6(expr("percentile(n_chars, 0.99)")).as("p99_exact"))
+    ests.join(exact, "source")
+      .select(col("source"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        r6(abs(col("p99_est") - col("p99_exact"))
+          / greatest(col("p99_exact"), lit(1.0))).as("p99_rel_err"))
+      .orderBy(col("source"))
+  }
+
+  val sketchQuantileSql: String =
+    s"""WITH d AS (SELECT source, n_chars FROM documents),
+       |bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d),
+       |hist AS (
+       |  SELECT source, $qsBucketExpr AS bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM d, bounds GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket) - cnt AS cum_before,
+       |    sum(cnt) OVER (PARTITION BY source) AS n
+       |  FROM hist),
+       |quant AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+       |                         CAST(0.99 AS DOUBLE)]) AS q),
+       |hits AS (
+       |  SELECT source, q, n, bucket, cnt, cum_before, target FROM (
+       |    SELECT c.*, qu.q, qu.q * CAST(c.n AS DOUBLE) AS target,
+       |      row_number() OVER (PARTITION BY c.source, qu.q ORDER BY c.bucket) AS rn
+       |    FROM cum c, quant qu
+       |    WHERE CAST(c.cum AS DOUBLE) >= qu.q * CAST(c.n AS DOUBLE)) t
+       |  WHERE rn = 1),
+       |ests AS (
+       |  SELECT source, CAST(n AS BIGINT) AS n,
+       |    ${sqlR6(s"max(CASE WHEN q = 0.5 THEN $qsEstExpr END)")} AS p50_est,
+       |    ${sqlR6(s"max(CASE WHEN q = 0.9 THEN $qsEstExpr END)")} AS p90_est,
+       |    ${sqlR6(s"max(CASE WHEN q = 0.99 THEN $qsEstExpr END)")} AS p99_est
+       |  FROM hits, bounds GROUP BY source, n),
+       |exact AS (
+       |  SELECT source,
+       |    ${sqlR6("quantile_cont(n_chars, 0.5)")} AS p50_exact,
+       |    ${sqlR6("quantile_cont(n_chars, 0.9)")} AS p90_exact,
+       |    ${sqlR6("quantile_cont(n_chars, 0.99)")} AS p99_exact
+       |  FROM documents GROUP BY source)
+       |SELECT e.source AS source, e.n, e.p50_est, e.p90_est, e.p99_est,
+       |  x.p50_exact, x.p90_exact, x.p99_exact,
+       |  ${sqlR6("abs(e.p99_est - x.p99_exact) / greatest(x.p99_exact, 1.0)")} AS p99_rel_err
+       |FROM ests e JOIN exact x ON e.source = x.source
+       |ORDER BY e.source""".stripMargin
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-min rows (independent hash functions) and bucket width.
@@ -406,13 +517,15 @@ object Sketch {
     "q_sketch_kmv" -> sketchKmv,
     "q_sketch_kmv_merge" -> sketchKmvMerge,
     "q_sketch_cms" -> sketchCms,
-    "q_sketch_hll" -> sketchHll
+    "q_sketch_hll" -> sketchHll,
+    "q_sketch_quantile" -> sketchQuantile
   )
 
   val oracles: Map[String, String] = Map(
     "q_sketch_kmv" -> sketchKmvSql,
     "q_sketch_kmv_merge" -> sketchKmvMergeSql,
     "q_sketch_cms" -> sketchCmsSql,
-    "q_sketch_hll" -> sketchHllSql
+    "q_sketch_hll" -> sketchHllSql,
+    "q_sketch_quantile" -> sketchQuantileSql
   )
 }

@@ -67,6 +67,31 @@ class CorpusPipelineSpec extends SparkSpec {
   private def freshText(tag: String): String =
     (0 until 40).map(i => s"${tag}w$i").mkString(" ")
 
+  test("containment stage drops a quoted passage the jaccard stage passes; off by default") {
+    import spark.implicits._
+    // Doc 2 is a verbatim 10-token span of doc 1: containment 1.0 but
+    // jaccard ≈ 0.21 — invisible to stage 3. Doc 3 is unrelated.
+    val long = (0 until 40).map(i => s"cw$i").mkString(" ")
+    val quote = (10 until 20).map(i => s"cw$i").mkString(" ")
+    val dir = stageDocs(Seq((1L, long), (2L, quote), (3L, freshText("zz"))))
+    val off = java.nio.file.Files.createTempDirectory("corpus_cont_off").toString
+    val r0 = CorpusPipeline.run(spark, dir, off)
+    assert(r0.afterNear == 3 && r0.afterContain == 3, s"default off: pass-through: $r0")
+    val out = java.nio.file.Files.createTempDirectory("corpus_cont").toString
+    val r = CorpusPipeline.run(spark, dir, out, containmentThreshold = Some(0.9))
+    assert(r.afterNear == 3, s"jaccard stage must not see the quote pair: $r")
+    assert(r.afterContain == 2, s"the contained quote must drop: $r")
+    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L, 3L), s"container kept, quote dropped: $cleanIds")
+    val dropped = spark.read.parquet(s"$out/contained").collect()
+    assert(dropped.length == 1 && dropped.head.getAs[Long]("doc_id") == 2L
+      && dropped.head.getAs[Long]("dup_of") == 1L
+      && dropped.head.getAs[String]("drop_reason") == "contained_in_doc",
+      s"audited drop names the container: ${dropped.toSeq}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   private def stageDocsWithUrl(rows: Seq[(Long, String, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("corpus_docs_url").toString
