@@ -316,6 +316,16 @@ object Sketch {
   private def qsEstExpr =
     s"CAST(lo AS DOUBLE) + $qsStepExpr * (CAST(bucket AS DOUBLE) + (target - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE))"
 
+  /** The binning kernel over any (source, n_chars, lo, hi) frame — the
+    * shared constant between the batch sketch (bounds from an in-query
+    * aggregate) and the streaming twin (bounds FROZEN at deploy — the
+    * train-rarely/apply-per-batch asymmetry, like the frozen IVF
+    * quantizer): ≤ bins·sources counter rows, mergeable by addition.
+    */
+  def qsHistOver(d: DataFrame): DataFrame =
+    d.withColumn("bucket", expr(qsBucketExpr))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** Mergeable quantile sketch: per-source p50/p90/p99 of document
     * length estimated from a 128-bin equi-width histogram over the
     * GLOBAL [min, max] range (shared binning is what makes shard
@@ -335,9 +345,7 @@ object Sketch {
     val qs = Seq(0.5, 0.9, 0.99)
     val d = documents(spark, dir).select(col("source"), col("n_chars"))
     val bounds = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-    val hist = d.crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(qsBucketExpr))
-      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val hist = qsHistOver(d.crossJoin(broadcast(bounds)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("bucket"))
     val cum = hist

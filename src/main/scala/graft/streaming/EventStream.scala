@@ -1095,6 +1095,36 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming length-histogram sketch — the quantile sketch's counter
+    * table (Sketch.qsHistOver, the shared kernel) maintained over a
+    * document stream under FROZEN global bounds: [lo, hi] comes from
+    * the standing corpus at deploy time (the frozen-quantizer
+    * asymmetry — rebinning a live histogram would corrupt mergeability),
+    * each micro-batch folds into a complete-mode aggregation whose
+    * state is bounded at bins·sources rows forever, and stream/shard
+    * counters merge with batch ones by plain addition because the
+    * binning is the same deterministic arithmetic text.
+    */
+  def histStream(spark: SparkSession, sourceDir: String, lo: Long, hi: Long,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.queries.Sketch.qsHistOver(
+      reader.parquet(sourceDir)
+        .select(col("source"), col("n_chars"))
+        .withColumn("lo", lit(lo)).withColumn("hi", lit(hi)))
+  }
+
+  def runHistStream(spark: SparkSession, sourceDir: String, queryName: String,
+                    lo: Long, hi: Long,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = histStream(spark, sourceDir, lo, hi, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   /** Demo main: stage the batch events table as a streaming source dir,
     * run both pipelines, print results.
     */

@@ -592,6 +592,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.max >= 7L)
   }
 
+  test("streaming length-histogram counters equal the batch kernel under frozen bounds") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (id, src, n) => (id, "x", "en", src, n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Frozen [lo, hi] = the standing corpus's bounds; lengths split
+    // across two micro-batches — counter addition is associative, so
+    // the complete-mode table must be cell-equal to the batch kernel
+    // over the union, and bounded at bins·sources rows.
+    val b1 = Seq((1L, "sA", 10L), (2L, "sA", 500L), (3L, "sB", 10L))
+    val b2 = Seq((4L, "sA", 999L), (5L, "sB", 480L), (6L, "sB", 11L))
+    val (lo, hi) = (10L, 999L)
+    val watched = Files.createTempDirectory("hist_src")
+    stageFile(watched, "a", mkDocs(b1), 0)
+    stageFile(watched, "b", mkDocs(b2), 10)
+    val streamed = EventStream.runHistStream(
+      spark, watched.toString, "hist_stream_test", lo, hi,
+      maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed.size <= 128 * 2, "counter state exceeded bins x sources")
+    val batch = graft.queries.Sketch.qsHistOver(
+      mkDocs(b1 ++ b2).withColumn("lo", lit(lo)).withColumn("hi", lit(hi)))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch, s"stream histogram != batch: " +
+      s"onlyStream=${streamed.toSet -- batch.toSet} onlyBatch=${batch.toSet -- streamed.toSet}")
+  }
+
   test("streaming model scoring equals the batch scorer across micro-batches") {
     import java.nio.file.Files
     import spark.implicits._
