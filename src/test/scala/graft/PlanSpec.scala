@@ -285,6 +285,20 @@ class PlanSpec extends SparkSpec {
       s"phrase term filters not broadcast:\n$plan")
   }
 
+  test("sketch aggregations combine map-side (register/histogram partials cap the shuffle)") {
+    // The sketches' whole point at scale: partials ship ≤ m rows per
+    // (partition, source) through the exchange regardless of token
+    // count. partial_max/partial_count in the plan IS that guarantee.
+    val hll = planOf("q_sketch_hll")
+    assert(hll.contains("partial_max"),
+      s"HLL registers must combine map-side:\n$hll")
+    val qq = planOf("q_sketch_quantile")
+    assert(qq.contains("partial_count"),
+      s"histogram must combine map-side:\n$qq")
+    assert(qq.contains("BroadcastNestedLoopJoin") || qq.contains("BroadcastExchange"),
+      s"the 1-row global bounds must broadcast:\n$qq")
+  }
+
   test("no query in the suite plans a cartesian product") {
     // Broadcast nested-loop joins against tiny probe/block-pair sets are
     // legitimate; an actual CartesianProduct (both sides shuffled, n×m)
