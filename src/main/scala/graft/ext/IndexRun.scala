@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** One-command index lifecycle for a corpus — the serving-side
+  * counterpart of CorpusRun's ingest chain: ensure every persisted
+  * artifact the query surface serves from (ANN index, phrase-search
+  * postings, BPE merge tables) and run each one's drift-aware
+  * maintenance pass, reporting what was done per artifact. This is the
+  * scheduled job a 100 TB deployment runs after every corpus publish:
+  * cheap no-ops when nothing moved, frozen-model appends for
+  * in-distribution growth, full retrains only when the drift gates say
+  * the fitted models no longer match the data.
+  *
+  *   - ANN: `AnnIndex.ensure` (build-if-absent) then
+  *     `rebuildIfDrifted` — append new vectors under the frozen model
+  *     or retrain on drift/removal (audited either way);
+  *   - postings: `PostingsIndex.ensure` — postings are per-document,
+  *     so currency is just count+path (append ≡ rebuild exactly; no
+  *     drift concept applies);
+  *   - BPE: `BpeArtifact.ensure` then `retrainIfDrifted` — versioned
+  *     retrain when the live bigram vocabulary moves past the overlap
+  *     bound.
+  *
+  * Each artifact keeps its own validity/commit discipline (meta-last
+  * or CURRENT-pointer); this driver only sequences them, so a crash
+  * mid-run leaves every artifact either at its prior version or fully
+  * committed — never half-written.
+  */
+object IndexRun {
+
+  final case class IndexReport(annBuilt: Boolean, annAction: String,
+                               annNew: Long, annRatio: Double,
+                               postingsBuilt: Boolean,
+                               bpeTrained: Boolean, bpeAction: String,
+                               bpeOverlap: Double)
+
+  def run(spark: SparkSession, corpusDir: String,
+          annBound: Double = 2.0, bpeMinOverlap: Double = 0.75): IndexReport = {
+    val annDir = AnnIndex.defaultIndexDir(corpusDir)
+    val annBuilt = AnnIndex.ensure(spark, corpusDir, annDir)
+    // ensure() already retrained if the corpus moved under the same
+    // path; the drift pass then provably no-ops on a fresh build — it
+    // exists for the standing-index case where corpusDir GREW (new
+    // vec_ids) rather than being re-keyed.
+    val drift = AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound)
+
+    val postDir = PostingsIndex.defaultDir(corpusDir)
+    val postingsBuilt = PostingsIndex.ensure(spark, corpusDir, postDir)
+
+    val bpeDir = BpeArtifact.defaultDir(corpusDir)
+    val bpeTrained = BpeArtifact.ensure(spark, corpusDir, bpeDir)
+    val bpe = BpeArtifact.retrainIfDrifted(spark, corpusDir, bpeDir, bpeMinOverlap)
+
+    IndexReport(annBuilt, drift.action, drift.nNew, drift.maxRatio,
+      postingsBuilt, bpeTrained, bpe.action, bpe.overlap)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-index-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, corpusDir))
+    finally spark.stop()
+  }
+}
