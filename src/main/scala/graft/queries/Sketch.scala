@@ -64,12 +64,18 @@ object Sketch {
     * collapses duplicates in-buffer. Memoized for the two sketch queries
     * and the exact-count overlay.
     */
+  /** Attach the 48-bit md5 value hash to any (source, tok) frame — the
+    * hashing step shared by the batch sketches and the streaming HLL
+    * twin (identical hv ⇒ identical registers wherever computed).
+    */
+  def hashTokens(d: DataFrame): DataFrame =
+    d.withColumn("hv", expr(hvExpr("tok")))
+
   private def hashedToks(spark: SparkSession, dir: String): DataFrame =
     Det.memoMulti(spark, s"sketch.toks:$dir",
         Set("q_sketch_hll", "q_sketch_kmv", "q_sketch_kmv_merge")) {
-      documents(spark, dir)
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("hv", expr(hvExpr("tok")))
+      hashTokens(documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok")))
     }
 
   private val hashedToksSql: String =

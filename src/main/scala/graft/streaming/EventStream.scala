@@ -1095,6 +1095,34 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming HLL register table — the cardinality sketch's state
+    * (Sketch.hllRegisters, the shared kernel) maintained over a
+    * document token stream: per-(source, register) MAX rank in a
+    * complete-mode aggregation. State is bounded at m·sources = 64 per
+    * source forever, and max is idempotent + commutative, so the
+    * stream table equals the batch registers over the same tokens and
+    * merges with any shard's registers by MAX — the HLL merge law as
+    * streaming state.
+    */
+  def hllStream(spark: SparkSession, sourceDir: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.queries.Sketch.hllRegisters(
+      graft.queries.Sketch.hashTokens(
+        reader.parquet(sourceDir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))))
+  }
+
+  def runHllStream(spark: SparkSession, sourceDir: String, queryName: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = hllStream(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming length-histogram sketch — the quantile sketch's counter
     * table (Sketch.qsHistOver, the shared kernel) maintained over a
     * document stream under FROZEN global bounds: [lo, hi] comes from

@@ -592,6 +592,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.max >= 7L)
   }
 
+  test("streaming HLL registers equal the batch kernel (max-merge across micro-batches)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", s"s${id % 2}", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq((1L, "alpha beta gamma alpha"), (2L, "delta beta"))
+    val b2 = Seq((3L, "epsilon zeta alpha"), (4L, "beta eta theta"))
+    val watched = Files.createTempDirectory("hll_src")
+    stageFile(watched, "a", mkDocs(b1), 0)
+    stageFile(watched, "b", mkDocs(b2), 10)
+    val streamed = EventStream.runHllStream(
+      spark, watched.toString, "hll_stream_test", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("j")) ->
+        r.getAs[Int]("mj")).toMap
+    assert(streamed.size <= 64 * 2, "register state exceeded m x sources")
+    val batch = graft.queries.Sketch.hllRegisters(
+      graft.queries.Sketch.hashTokens(mkDocs(b1 ++ b2)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("j")) ->
+        r.getAs[Int]("mj")).toMap
+    assert(streamed == batch, s"stream registers != batch: " +
+      s"onlyStream=${streamed.toSet -- batch.toSet} onlyBatch=${batch.toSet -- streamed.toSet}")
+  }
+
   test("streaming length-histogram counters equal the batch kernel under frozen bounds") {
     import java.nio.file.Files
     import spark.implicits._
