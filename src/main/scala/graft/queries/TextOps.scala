@@ -2048,7 +2048,61 @@ object TextOps {
       |GROUP BY g.doc_id, g.phrase, t.df
       |ORDER BY doc_id""".stripMargin
 
+  /** Postings-index health report (r12), SERVED from the persisted
+    * artifact: top-10 terms by document frequency plus the index-wide
+    * totals (postings / distinct terms / docs covered) every row
+    * carries — the operational check an index owner runs after a
+    * build or append. The oracle recomputes the same report from RAW
+    * TEXT, so the compare cross-checks the artifact against an
+    * independent derivation: a postings table that dropped or
+    * duplicated a single row hash-mismatches here.
+    *
+    * Scale shape: one aggregation over the artifact (no text read);
+    * the top-k is a bounded TakeOrdered over |vocab| df rows.
+    */
+  val postingsStats: Q = (spark, dir) => {
+    val idx = graft.ext.PostingsIndex.defaultDir(dir)
+    graft.ext.PostingsIndex.ensure(spark, dir, idx)
+    val post = graft.ext.PostingsIndex.postings(spark, idx)
+    val totals = post.agg(
+      count(lit(1)).as("n_postings"),
+      countDistinct(col("term")).as("n_terms"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val df = post.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("term")).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("term"))).cast("long"))
+    df.crossJoin(broadcast(totals))
+      .select(col("rank"), col("term"), col("df"), col("tf"),
+        col("n_postings"), col("n_terms"), col("n_docs"))
+      .orderBy(col("rank"))
+  }
+
+  val postingsStatsSql: String =
+    """WITH postings AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |totals AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_postings,
+      |    CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM postings),
+      |dfT AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM postings GROUP BY term
+      |  ORDER BY df DESC, term LIMIT 10),
+      |ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank,
+      |    term, df, tf
+      |  FROM dfT)
+      |SELECT r.rank, r.term, r.df, r.tf, t.n_postings, t.n_terms, t.n_docs
+      |FROM ranked r, totals t
+      |ORDER BY r.rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_postings_stats" -> postingsStats,
     "q_phrase_search" -> phraseSearch,
     "q_url_canon" -> urlCanon,
     "q_quality_model" -> qualityModel,
@@ -2082,6 +2136,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_postings_stats" -> postingsStatsSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_url_canon" -> urlCanonSql,
     "q_quality_model" -> qualityModelSql,
