@@ -31,7 +31,7 @@ object IndexRun {
 
   final case class IndexReport(annBuilt: Boolean, annAction: String,
                                annNew: Long, annRatio: Double,
-                               postingsBuilt: Boolean,
+                               postingsBuilt: Boolean, rpBuilt: Boolean,
                                bpeTrained: Boolean, bpeAction: String,
                                bpeOverlap: Double)
 
@@ -48,12 +48,16 @@ object IndexRun {
     val postDir = PostingsIndex.defaultDir(corpusDir)
     val postingsBuilt = PostingsIndex.ensure(spark, corpusDir, postDir)
 
+    // Projected store: per-document like postings — count+path currency,
+    // no drift concept (the md5 matrix is fixed; append ≡ rebuild).
+    val rpBuilt = RpIndex.ensure(spark, corpusDir, RpIndex.defaultDir(corpusDir))
+
     val bpeDir = BpeArtifact.defaultDir(corpusDir)
     val bpeTrained = BpeArtifact.ensure(spark, corpusDir, bpeDir)
     val bpe = BpeArtifact.retrainIfDrifted(spark, corpusDir, bpeDir, bpeMinOverlap)
 
     IndexReport(annBuilt, drift.action, drift.nNew, drift.maxRatio,
-      postingsBuilt, bpeTrained, bpe.action, bpe.overlap)
+      postingsBuilt, rpBuilt, bpeTrained, bpe.action, bpe.overlap)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1090,7 +1090,13 @@ object Similarity {
   private[graft] def rpTop5(spark: SparkSession, dir: String): DataFrame =
     rpTopK(spark, dir, 5)
 
-  private def rpTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  /** The projected-vector table (vec_id, pvec[16]) as a pure in-session
+    * derivation — the trainable half of the RP chain, factored out so
+    * ext.RpIndex persists EXACTLY what the in-plan path computes
+    * (decimal sums are order-free, parquet doubles round-trip exactly,
+    * so served ≡ derived bit-for-bit).
+    */
+  private[graft] def rpProjectInSession(spark: SparkSession, dir: String): DataFrame = {
     val vd = vdF(spark, dir)
     val dims = vd
       .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
@@ -1100,11 +1106,29 @@ object Similarity {
       .withColumn("sgn", when(
         expr("ascii(substring(md5(concat(cast(j AS string), ':', cast(i AS string))), 1, 1)) % 2 = 0"),
         lit(1.0)).otherwise(lit(-1.0)))
-    val pvecs = dims.join(broadcast(mat), "i")
+    dims.join(broadcast(mat), "i")
       .groupBy(col("vec_id"), col("j"))
       .agg(dsum(col("val") * col("sgn")).as("p"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, p))), s -> s.p)").as("pvec"))
+  }
+
+  /** Projected table resolution (the knnIvfPqRes pattern): consult the
+    * persisted artifact, build it once if absent/stale, serve from
+    * disk — the 64→16 projection of the whole corpus was recomputed
+    * per consumer (q_embed_rp runs the chain twice, rerank once more)
+    * and was the last whole-corpus derivation with no persisted twin.
+    */
+  private def rpProj(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ext.RpIndex.defaultDir(dir)
+    graft.ext.RpIndex.ensure(spark, dir, idx)
+    graft.ext.RpIndex.proj(spark, idx)
+  }
+
+  /** The projected-space top-k body, parameterized over where the
+    * projected table comes from (served artifact or in-session chain).
+    */
+  private[graft] def rpTopKOver(pvecs: DataFrame, k: Int): DataFrame = {
     val qp = pvecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("pvec").as("qvec"))
     val pdist =
@@ -1117,6 +1141,9 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id").as("qr"), col("vec_id").as("nr"))
   }
+
+  private def rpTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    rpTopKOver(rpProj(spark, dir), k)
 
   /** Two-stage retrieve-rerank — the pattern every compressed-index
     * deployment runs: a WIDE candidate set (top-20) retrieved in the

@@ -22,7 +22,7 @@ class IndexRunSpec extends SparkSpec {
 
   test("cold run builds all three artifacts; warm run is a pure no-op") {
     val r1 = IndexRun.run(spark, dir)
-    assert(r1.annBuilt && r1.postingsBuilt && r1.bpeTrained,
+    assert(r1.annBuilt && r1.postingsBuilt && r1.rpBuilt && r1.bpeTrained,
       s"cold run must build everything: $r1")
     assert(r1.annAction == "noop",
       s"a freshly built index has nothing to maintain: $r1")
@@ -32,7 +32,7 @@ class IndexRunSpec extends SparkSpec {
     assert(PostingsIndex.isBuilt(PostingsIndex.defaultDir(dir)))
     assert(BpeArtifact.isBuilt(BpeArtifact.defaultDir(dir)))
     val r2 = IndexRun.run(spark, dir)
-    assert(!r2.annBuilt && !r2.postingsBuilt && !r2.bpeTrained,
+    assert(!r2.annBuilt && !r2.postingsBuilt && !r2.rpBuilt && !r2.bpeTrained,
       s"warm run must not rebuild anything: $r2")
     assert(r2.annAction == "noop" && r2.bpeAction == "noop",
       s"warm run must decide no-op everywhere: $r2")
