@@ -35,22 +35,33 @@ object IndexRun {
                                bpeTrained: Boolean, bpeAction: String,
                                bpeOverlap: Double)
 
+  /** `withVectors = false` skips the embedding-backed artifacts (ANN +
+    * RP) for a text-only corpus — the publish path for dumps that carry
+    * no embeddings yet; postings + BPE still maintain.
+    */
   def run(spark: SparkSession, corpusDir: String,
-          annBound: Double = 2.0, bpeMinOverlap: Double = 0.75): IndexReport = {
-    val annDir = AnnIndex.defaultIndexDir(corpusDir)
-    val annBuilt = AnnIndex.ensure(spark, corpusDir, annDir)
-    // ensure() already retrained if the corpus moved under the same
-    // path; the drift pass then provably no-ops on a fresh build — it
-    // exists for the standing-index case where corpusDir GREW (new
-    // vec_ids) rather than being re-keyed.
-    val drift = AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound)
+          annBound: Double = 2.0, bpeMinOverlap: Double = 0.75,
+          withVectors: Boolean = true): IndexReport = {
+    val (annBuilt, drift) =
+      if (!withVectors)
+        (false, AnnIndex.DriftReport("skipped", 0L, 0L, 0.0))
+      else {
+        val annDir = AnnIndex.defaultIndexDir(corpusDir)
+        val built = AnnIndex.ensure(spark, corpusDir, annDir)
+        // ensure() already retrained if the corpus moved under the same
+        // path; the drift pass then provably no-ops on a fresh build — it
+        // exists for the standing-index case where corpusDir GREW (new
+        // vec_ids) rather than being re-keyed.
+        (built, AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound))
+      }
 
     val postDir = PostingsIndex.defaultDir(corpusDir)
     val postingsBuilt = PostingsIndex.ensure(spark, corpusDir, postDir)
 
     // Projected store: per-document like postings — count+path currency,
     // no drift concept (the md5 matrix is fixed; append ≡ rebuild).
-    val rpBuilt = RpIndex.ensure(spark, corpusDir, RpIndex.defaultDir(corpusDir))
+    val rpBuilt = withVectors &&
+      RpIndex.ensure(spark, corpusDir, RpIndex.defaultDir(corpusDir))
 
     val bpeDir = BpeArtifact.defaultDir(corpusDir)
     val bpeTrained = BpeArtifact.ensure(spark, corpusDir, bpeDir)
