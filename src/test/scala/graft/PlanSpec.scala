@@ -211,13 +211,21 @@ class PlanSpec extends SparkSpec {
       s"exact verify join no longer broadcasts:\n${plan.take(4000)}")
   }
 
-  test("random projection broadcasts the sign matrix into the dim join") {
-    // The 16×64 projection matrix is 1024 rows — it must ride a
-    // broadcast into the exploded-dims join, never shuffle the corpus
-    // side on `i`.
+  test("random projection: matrix broadcasts in the artifact build, query serves the artifact") {
+    // The 16×64 projection matrix is 1024 rows — in the BUILD it must
+    // ride a broadcast into the exploded-dims join, never shuffle the
+    // corpus side on `i`...
+    val build = graft.queries.Similarity.rpProjectInSession(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("BroadcastHashJoin"),
+      s"projection matrix join is not broadcast:\n$build")
+    // ...and the QUERY no longer derives at all (r12): it scans the
+    // persisted projection and still broadcasts its probe-side joins.
     val plan = planOf("q_embed_rp")
+    assert(plan.contains(graft.ext.RpIndex.defaultDir(sfDir)),
+      s"q_embed_rp must serve from the persisted projection:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
-      s"projection matrix join is not broadcast:\n$plan")
+      s"probe joins must broadcast:\n$plan")
   }
 
   test("boilerplate rewrite broadcasts the hot-segment set back to the corpus") {
