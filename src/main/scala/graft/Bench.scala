@@ -291,7 +291,10 @@ object Bench {
     // ext computation above for why raw loadavg cannot be the rule),
     // plus the raw start load (the JVM is idle before the first timed
     // query, so start load IS external).
-    val extMax = detail.flatMap(_.exts).max
+    // `:+ -1.0`: an empty sweep (SPARK_GRAFT_BENCH_ONLY matching nothing)
+    // must emit a line, not throw on max-of-empty; -1 reads as "no run
+    // observed external load" and can never trip the gate.
+    val extMax = (detail.flatMap(_.exts) :+ -1.0).max
     val contended = loadStart > loadGate || extMax > loadGate
     val procs = Runtime.getRuntime.availableProcessors
     // Runtime identity (r9 ADVICE: the committed baseline silently swapped

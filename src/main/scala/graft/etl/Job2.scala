@@ -131,9 +131,8 @@ object Job2 {
       date_format(col("date"), "yyyyMMdd"), concat(lit("day "), col("date")))
 
     val asset = harmonize(cust).unionAll(harmonize(prod)).unionAll(harmonize(time))
-    val assetFinal = harmonize(asset)
 
-    assetFinal.write.mode("overwrite").parquet(assetPath)
+    asset.write.mode("overwrite").parquet(assetPath)
     sales.unpersist()
 
     // Read-back verification through the SQL surface (S8/S9 as temp view).

@@ -47,45 +47,16 @@ object BpeArtifact {
     s"$root/$h/bpe"
   }
 
-  /** The committed version (0 = none). CURRENT is updated only by
-    * atomic rename, so this can never observe a torn value. Versions
-    * are staged whole before the flip, so version > 0 implies a
-    * complete artifact set.
+  /** The committed version (0 = none) — the shared snapshot discipline
+    * (ext/Versioned, extracted from here at r13). Versions are staged
+    * whole before the flip, so version > 0 implies a complete artifact
+    * set.
     */
-  def currentVersion(artDir: String): Long = {
-    val f = new java.io.File(artDir, "CURRENT")
-    if (!f.exists()) 0L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-  }
+  def currentVersion(artDir: String): Long = Versioned.currentVersion(artDir)
 
-  private def vdir(artDir: String, v: Long) = s"$artDir/v$v"
+  private def vdir(artDir: String, v: Long) = Versioned.versionDir(artDir, v)
 
-  private def nextVersion(artDir: String): Long = {
-    val dirs = Option(new java.io.File(artDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory).map(_.getName)
-      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-    (dirs :+ currentVersion(artDir)).max + 1
-  }
-
-  private def promote(artDir: String, v: Long): Unit = {
-    val root = new java.io.File(artDir); root.mkdirs()
-    val prev = currentVersion(artDir)
-    val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
-    java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val keep = Set(prev, v)
-    for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-           if d.isDirectory && d.getName.matches("v\\d+")
-           if !keep.contains(d.getName.drop(1).toLong))
-      deleteRecursively(d)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def promote(artDir: String, v: Long): Unit = Versioned.promote(artDir, v)
 
   def isBuilt(artDir: String): Boolean = currentVersion(artDir) > 0
 
@@ -107,7 +78,7 @@ object BpeArtifact {
     * CURRENT — readers keep the pinned version until the swap.
     */
   def save(spark: SparkSession, corpusDir: String, artDir: String): Unit = {
-    val v = nextVersion(artDir)
+    val v = Versioned.nextVersion(artDir)
     val vd = vdir(artDir, v)
     graft.queries.TextOps.bpeRules1Table(spark, corpusDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/rules1")

@@ -63,17 +63,12 @@ object IncrementalCorpus {
 
   // ---- versioned-state plumbing ----
 
-  /** The committed version (0 = no state yet). CURRENT is a one-line
-    * file updated only by atomic rename, so this read can never observe
-    * a torn value.
+  /** The committed version (0 = no state yet) — the shared snapshot
+    * discipline (ext/Versioned, extracted from here at r13).
     */
-  def currentVersion(stateDir: String): Long = {
-    val f = new java.io.File(stateDir, "CURRENT")
-    if (!f.exists()) 0L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-  }
+  def currentVersion(stateDir: String): Long = Versioned.currentVersion(stateDir)
 
-  def versionDir(stateDir: String, v: Long): String = s"$stateDir/v$v"
+  def versionDir(stateDir: String, v: Long): String = Versioned.versionDir(stateDir, v)
 
   /** A state table at the committed version — the ONLY read path; no
     * caller ever touches a version dir that CURRENT does not name.
@@ -84,73 +79,32 @@ object IncrementalCorpus {
     spark.read.parquet(s"${versionDir(stateDir, v)}/$name")
   }
 
-  /** Next free version number: above the committed version AND above any
-    * dead staging dir a killed commit abandoned (re-using a dead dir's
-    * number would mix a new commit into old garbage).
-    */
-  private def nextVersion(stateDir: String): Long = {
-    val dirs = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory).map(_.getName)
-      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-    (dirs :+ currentVersion(stateDir)).max + 1
-  }
-
-  /** Flip CURRENT to `v` (atomic rename — the commit point), then sweep
-    * every version dir except the newly committed one and its
-    * predecessor (kept for readers whose lazy plans still name it) —
-    * which removes older history AND any dead staging dir a killed
-    * commit abandoned, since neither is in the committed lineage.
-    * Hard-linked data files survive the sweep of the dir that first
-    * wrote them.
-    */
-  private[graft] def promote(stateDir: String, v: Long): Unit = {
-    val root = new java.io.File(stateDir); root.mkdirs()
-    val prev = currentVersion(stateDir)
-    val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
-    java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val keep = Set(prev, v)
-    for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-           if d.isDirectory && d.getName.matches("v\\d+")
-           if !keep.contains(d.getName.drop(1).toLong))
-      deleteRecursively(d)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
-    f.delete()
-  }
+  private[graft] def promote(stateDir: String, v: Long): Unit =
+    Versioned.promote(stateDir, v)
 
   /** Stage version cur+1 WITHOUT committing: per table, hard-link the
     * committed version's parquet data files (copy where the filesystem
     * refuses links), append `adds(table)`, and compact in place if the
     * staged file count exceeds `compactFileBound`. Returns the staged
     * version number for `promote`. Exposed private[graft] so the spec
-    * can kill a commit between staging and promotion.
+    * can kill a commit between staging and promotion. The compaction
+    * runs INSIDE the not-yet-visible dir, so its own rm-then-move is
+    * invisible to readers (unlike the pre-r13 PostingsIndex swap).
     */
   private[graft] def prepareAppend(spark: SparkSession, stateDir: String,
                                    adds: Map[String, DataFrame],
                                    compactFileBound: Int): Long = {
     val cur = currentVersion(stateDir)
-    val newV = nextVersion(stateDir)
+    val newV = Versioned.nextVersion(stateDir)
     for (t <- StateTables) {
       val dst = new java.io.File(versionDir(stateDir, newV), t)
-      dst.mkdirs()
       if (cur > 0)
-        for ((p, _) <- Compaction.dataFiles(spark, s"${versionDir(stateDir, cur)}/$t")) {
-          val src = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(p).toUri.getPath)
-          val link = new java.io.File(dst, src.getFileName.toString).toPath
-          try java.nio.file.Files.createLink(link, src)
-          catch { case _: UnsupportedOperationException =>
-            java.nio.file.Files.copy(src, link) }
-        }
+        Versioned.linkTable(spark, s"${versionDir(stateDir, cur)}/$t", dst.toString)
       adds(t).write.mode(SaveMode.Append).parquet(dst.toString)
       if (Compaction.dataFiles(spark, dst.toString).size > compactFileBound) {
         val tmp = s"$dst.compacting"
         Compaction.compact(spark, dst.toString, tmp)
-        deleteRecursively(dst)
+        Versioned.deleteRecursively(dst)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst.toPath)
       }
     }
@@ -181,7 +135,7 @@ object IncrementalCorpus {
   def initState(spark: SparkSession, cleanDocs: DataFrame, stateDir: String): Unit = {
     val docs = cleanDocs.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars"))
-    val v = nextVersion(stateDir)
+    val v = Versioned.nextVersion(stateDir)
     val vd = versionDir(stateDir, v)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$vd/docs")
     hashesOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$vd/hashes")

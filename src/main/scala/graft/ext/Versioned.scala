@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE snapshot-commit discipline every mutable serving artifact in
+  * this engine shares (r12 VERDICT #1-#3: IncrementalCorpus and
+  * BpeArtifact each carried a private copy of this plumbing while
+  * AnnIndex appended to live tables and PostingsIndex compacted with a
+  * non-atomic rm-then-move — now all of them, plus the Publish serving
+  * corpus and the RP projection, commit through here):
+  *
+  *   artDir/CURRENT   one line: the committed version number — flipped
+  *                    by ATOMIC rename, the only mutation a reader can
+  *                    ever observe
+  *   artDir/v<N>/...  a COMPLETE artifact version, staged fully before
+  *                    the flip
+  *
+  * A writer stages version N+1 in its entirety — unchanged tables as
+  * HARD LINKS to version N's immutable parquet data files (metadata-only
+  * reuse: a 100 TB table is never rewritten to grow it; on an object
+  * store the links become a manifest, which is the Iceberg/Delta
+  * snapshot commit re-expressed on a plain filesystem), new rows
+  * appended, compaction applied inside the not-yet-visible dir — and
+  * only then calls `promote`. A crash ANYWHERE before the flip leaves
+  * CURRENT at version N with every file of version N intact: readers —
+  * including ones concurrent with the commit — see version N in full or
+  * version N+1 in full, never a torn batch. `promote` then sweeps all
+  * version dirs except the new one and its predecessor (kept for
+  * readers whose lazy plans still name it), which also collects any
+  * dead staging dir a killed commit abandoned.
+  */
+object Versioned {
+
+  /** The committed version (0 = none). CURRENT is a one-line file
+    * updated only by atomic rename, so this read can never observe a
+    * torn value; version > 0 implies a complete artifact set.
+    */
+  def currentVersion(artDir: String): Long = {
+    val f = new java.io.File(artDir, "CURRENT")
+    if (!f.exists()) 0L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+  }
+
+  def versionDir(artDir: String, v: Long): String = s"$artDir/v$v"
+
+  /** The committed version's dir — the ONLY read path; no reader ever
+    * touches a version dir that CURRENT does not name.
+    */
+  def committedDir(artDir: String): String = {
+    val v = currentVersion(artDir)
+    require(v > 0, s"no committed version under $artDir")
+    versionDir(artDir, v)
+  }
+
+  /** Next free version number: above the committed version AND above any
+    * dead staging dir a killed commit abandoned (re-using a dead dir's
+    * number would mix a new commit into old garbage).
+    */
+  def nextVersion(artDir: String): Long = {
+    val dirs = Option(new java.io.File(artDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+    (dirs :+ currentVersion(artDir)).max + 1
+  }
+
+  /** Flip CURRENT to `v` (atomic rename — the commit point), then sweep
+    * every version dir except the newly committed one and its
+    * predecessor. Hard-linked data files survive the sweep of the dir
+    * that first wrote them.
+    */
+  def promote(artDir: String, v: Long): Unit = {
+    val root = new java.io.File(artDir); root.mkdirs()
+    val prev = currentVersion(artDir)
+    val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
+    java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val keep = Set(prev, v)
+    for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+           if d.isDirectory && d.getName.matches("v\\d+")
+           if !keep.contains(d.getName.drop(1).toLong))
+      deleteRecursively(d)
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Hard-link `srcTable`'s parquet data files into `dstTable` (copy
+    * where the filesystem refuses links) — the metadata-only carry of an
+    * unchanged or to-be-appended table into the next staged version.
+    */
+  def linkTable(spark: SparkSession, srcTable: String, dstTable: String): Unit = {
+    val dst = new java.io.File(dstTable)
+    dst.mkdirs()
+    for ((p, _) <- Compaction.dataFiles(spark, srcTable)) {
+      val src = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+      val link = new java.io.File(dst, src.getFileName.toString).toPath
+      try java.nio.file.Files.createLink(link, src)
+      catch { case _: UnsupportedOperationException =>
+        java.nio.file.Files.copy(src, link) }
+    }
+  }
+}
