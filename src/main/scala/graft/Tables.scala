@@ -13,8 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   final val AsOf = "2002-01-01" // frozen `as_of` replacing current_date (SURVEY.md §7.5.2)
 
+  /** Resolve a corpus dir that is a VERSION CHAIN (ext/Versioned: a
+    * CURRENT pointer naming snapshot dirs — the Publish serving corpus)
+    * to its committed snapshot; a plain directory resolves to itself.
+    * Callers keep the STABLE logical path (artifact currency keys stay
+    * path-stable across publishes); the flip to a new snapshot is
+    * observed here, at scan time, atomically.
+    */
+  def resolve(sfDir: String): String =
+    if (new java.io.File(sfDir, "CURRENT").exists())
+      ext.Versioned.versionDir(sfDir, ext.Versioned.currentVersion(sfDir))
+    else sfDir
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.read.parquet(s"${resolve(sfDir)}/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

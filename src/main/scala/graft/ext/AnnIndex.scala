@@ -6,32 +6,55 @@ import graft.queries.Similarity
 
 /** Persisted ANN index (r10 VERDICT #1): the trained IVF/PQ artifacts —
   * k-means centroids, inverted-list membership, PQ codebook, PQ code
-  * table — written ONCE to parquet and served from disk thereafter, so a
-  * fresh session answers kNN queries with ZERO training jobs. In-session
-  * memos (queries/Det.scala) die with the session; at 100 TB the index
-  * build is a scheduled batch job and every serving session must read
-  * its output, not re-run Lloyd's. Reference analogue: the external
-  * parquet table Job 2 reads instead of re-running Job 1
+  * table, residual codebooks/codes — written ONCE and served from disk
+  * thereafter, so a fresh session answers kNN queries with ZERO training
+  * jobs. In-session memos (queries/Det.scala) die with the session; at
+  * 100 TB the index build is a scheduled batch job and every serving
+  * session must read its output, not re-run Lloyd's. Reference analogue:
+  * the external parquet table Job 2 reads instead of re-running Job 1
   * (/root/reference/generate-asset.scala:38-40).
   *
-  * Layout under `idxDir` (all plain parquet, engine-portable):
-  *   centroids/    (cluster BIGINT, cent ARRAY<DOUBLE>)     k rows
-  *   membership/   (vec_id BIGINT, cluster BIGINT)          N rows
-  *   pq_codebook/  (sub INT, code BIGINT, cent ARRAY<DOUBLE>)  m*k rows
-  *   pq_codes/     (vec_id BIGINT, sub INT, code BIGINT)    N*m rows
-  *   meta/         (n_vectors, k, corpus_dir)               1 row, written LAST
+  * VERSION-CHAINED since r13 (r12 VERDICT #2: the append path used to
+  * append to the LIVE membership/pq_codes/res_codes tables — meta-last
+  * made a crash recoverable, but a concurrent reader could see a torn
+  * batch). Layout under `idxDir` (all plain parquet, engine-portable):
   *
-  * meta is the validity marker: it is written after every artifact, so a
-  * half-written index (killed save) reads as absent and rebuilds. A
-  * corpus swap under the same path is caught by comparing meta.n_vectors
-  * to the live embeddings count (cheap single-column scan) — matching
-  * count + path is taken as current, which holds for the immutable
-  * harness corpora this serves.
+  *   CURRENT         the committed version — flipped by ATOMIC rename
+  *                   (ext/Versioned), the only mutation a reader can
+  *                   ever observe
+  *   v<N>/centroids    (cluster BIGINT, cent ARRAY<DOUBLE>)       k rows
+  *   v<N>/membership   (vec_id BIGINT, cluster BIGINT, dist)      N rows
+  *   v<N>/pq_codebook  (sub INT, code BIGINT, cent ARRAY<DOUBLE>) m*k rows
+  *   v<N>/pq_codes     (vec_id BIGINT, sub INT, code BIGINT)      N*m rows
+  *   v<N>/res_codebook / res_codes — the residual IVFADC pair
+  *   v<N>/stats        (cluster, n_base, mean_base)               k rows —
+  *                   the BUILD-TIME per-cluster mean assign distance,
+  *                   FROZEN at save() and carried through appends
+  *                   unchanged: the drift reference new batches are
+  *                   compared against can never creep toward a drifted
+  *                   geometry, however many sub-threshold appends land
+  *                   (r12 ADVICE #1 — comparing against the live
+  *                   membership average let gradual drift delivered in
+  *                   small batches suppress the rebuild trigger forever)
+  *   v<N>/meta         (n_vectors, corpus_dir, schema_version,
+  *                    fingerprint) 1 row — the corpus content
+  *                   fingerprint (ext/Currency) the currency check
+  *                   compares, so a same-count in-place corpus swap
+  *                   invalidates
+  *   audit/          one row per maintenance decision (append-only log,
+  *                   outside the version chain)
+  *
+  * A save/append/rebuild stages the next version COMPLETELY — unchanged
+  * tables as hard links, new rows appended inside the not-yet-visible
+  * dir — then flips CURRENT: a reader concurrent with (or a crash
+  * during) any maintenance serves version N in full or version N+1 in
+  * full, never a torn batch.
   *
   * Serving reuses the EXACT search bodies the oracle-verified in-session
-  * queries run (Similarity.ivfSearch / pqAdcSearch): the served result is
-  * bit-identical to q_knn_ivf_kmeans / q_knn_pq by construction, which is
-  * why both served queries reuse those queries' DuckDB oracles verbatim.
+  * queries run (Similarity.ivfSearch / pqAdcSearch / ivfAdcSearch): the
+  * served result is bit-identical to q_knn_ivf_kmeans / q_knn_pq /
+  * q_knn_ivfpq_res by construction, which is why the served queries
+  * reuse those queries' DuckDB oracles verbatim.
   */
 object AnnIndex {
 
@@ -47,70 +70,82 @@ object AnnIndex {
     s"$root/$h"
   }
 
-  private def metaPath(idxDir: String) = s"$idxDir/meta"
-
   /** Bumped whenever the artifact set changes (v2 added the residual
-    * codebook/codes; v3 added the assignment distance to membership —
-    * the per-cluster drift reference rebuildIfDrifted compares new
-    * batches against); an index written by an older layout reads as
+    * codebook/codes; v3 added the assignment distance to membership; v4
+    * moved the tables behind the version chain, froze the drift
+    * reference into `stats`, and replaced count currency with the
+    * content fingerprint); an index written by an older layout reads as
     * stale and rebuilds rather than serving a partial artifact set.
     */
-  private val SchemaVersion = 3L
+  private val SchemaVersion = 4L
 
-  /** A complete index exists iff meta's _SUCCESS marker does (meta is
-    * written last — see object doc).
+  private val ModelTables = Seq("centroids", "pq_codebook", "res_codebook")
+  private val VectorTables = Seq("membership", "pq_codes", "res_codes")
+
+  /** A complete index exists iff a version is committed (versions are
+    * staged whole before the CURRENT flip — see object doc).
     */
-  def isBuilt(idxDir: String): Boolean =
-    new java.io.File(s"${metaPath(idxDir)}/_SUCCESS").exists()
+  def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
+
+  /** A table of the COMMITTED version — the only read path. */
+  def tablePath(idxDir: String, name: String): String =
+    s"${Versioned.committedDir(idxDir)}/$name"
 
   /** Train (via the session's memoized chains — shared with the
-    * in-session queries, so a sweep never trains twice) and persist all
-    * four artifacts, meta last.
+    * in-session queries, so a sweep never trains twice), stage ALL
+    * artifacts as the next version, and commit by flipping CURRENT.
     */
   def save(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
+    val v = Versioned.nextVersion(idxDir)
+    val vd = Versioned.versionDir(idxDir, v)
     Similarity.ivfCentroidsFor(spark, corpusDir)
-      .write.mode("overwrite").parquet(s"$idxDir/centroids")
-    // v3: membership carries the assignment distance. The searches prune
-    // it (they join on vec_id and read cluster only); rebuildIfDrifted
-    // reads it back as the per-cluster BUILD-TIME mean — the drift
-    // reference a new batch's assign distances are compared against.
-    // Same assignment as the memoized chain (identical argmin + ties),
-    // so the membership rows match the in-session ones exactly.
+      .write.mode("overwrite").parquet(s"$vd/centroids")
+    // membership carries the assignment distance (same assignment as the
+    // memoized chain — identical argmin + ties — so the rows match the
+    // in-session ones exactly); the searches prune it.
     Similarity.ivfAssignDist(
         Similarity.vdOf(spark, corpusDir),
         Similarity.ivfCentroidsFor(spark, corpusDir))
-      .write.mode("overwrite").parquet(s"$idxDir/membership")
+      .write.mode("overwrite").parquet(s"$vd/membership")
+    // The frozen drift reference: per-cluster build-time mean, computed
+    // from the just-staged membership (k rows out) and never updated by
+    // appends — only a full retrain re-derives it.
+    spark.read.parquet(s"$vd/membership").groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"), avg(col("dist")).as("mean_base"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$vd/stats")
     Similarity.pqCodebookFor(spark, corpusDir)
-      .write.mode("overwrite").parquet(s"$idxDir/pq_codebook")
+      .write.mode("overwrite").parquet(s"$vd/pq_codebook")
     Similarity.pqCodes(spark, corpusDir)
-      .write.mode("overwrite").parquet(s"$idxDir/pq_codes")
+      .write.mode("overwrite").parquet(s"$vd/pq_codes")
     Similarity.pqResCodebookFor(spark, corpusDir)
-      .write.mode("overwrite").parquet(s"$idxDir/res_codebook")
+      .write.mode("overwrite").parquet(s"$vd/res_codebook")
     Similarity.pqResCodesFor(spark, corpusDir)
-      .write.mode("overwrite").parquet(s"$idxDir/res_codes")
-    writeMeta(spark, idxDir,
-      graft.Tables.embeddings(spark, corpusDir).count(), corpusDir)
+      .write.mode("overwrite").parquet(s"$vd/res_codes")
+    writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
+    Versioned.promote(idxDir, v)
   }
 
-  private def writeMeta(spark: SparkSession, idxDir: String, n: Long,
-                        corpusDir: String): Unit =
-    spark.createDataFrame(Seq((n, corpusDir, SchemaVersion)))
-      .toDF("n_vectors", "corpus_dir", "schema_version")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(idxDir))
+  private def writeMeta(spark: SparkSession, versionDir: String,
+                        fp: Currency.Fp, corpusDir: String): Unit =
+    spark.createDataFrame(Seq((fp.n, corpusDir, SchemaVersion, fp.repr)))
+      .toDF("n_vectors", "corpus_dir", "schema_version", "fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$versionDir/meta")
 
-  /** Current = built AND meta matches the live corpus (row count +
-    * path). Count is one column-pruned scan — negligible next to any
-    * search, and the difference between "serve stale clusters" and
-    * "retrain" when a fixture dir is rewritten between runs.
+  /** Current = built AND the committed meta matches the live corpus by
+    * CONTENT FINGERPRINT (count + max id + sampled content hash — a
+    * same-count in-place swap invalidates) and path. The verdict is
+    * session-memoized (ext/Currency): the second serve in a session
+    * runs zero currency jobs.
     */
   private def isCurrent(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
-    isBuilt(idxDir) && {
-      val meta = spark.read.parquet(metaPath(idxDir)).head()
-      // Pre-v2 meta has no schema_version column: read as stale.
-      scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion &&
-        meta.getAs[Long]("n_vectors") ==
-          graft.Tables.embeddings(spark, corpusDir).count() &&
-        meta.getAs[String]("corpus_dir") == corpusDir
+    Currency.cached("ann", corpusDir, idxDir) {
+      isBuilt(idxDir) && {
+        val meta = spark.read.parquet(tablePath(idxDir, "meta")).head()
+        scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion &&
+          meta.getAs[String]("corpus_dir") == corpusDir &&
+          scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("") ==
+            Currency.vecsFp(spark, corpusDir).repr
+      }
     }
 
   /** Build-if-absent. Returns true iff this call TRAINED (the spec's
@@ -127,17 +162,18 @@ object AnnIndex {
     * own index dir. Merging is pure union of the per-vector tables —
     * membership, pq_codes, res_codes — because codes are a per-row
     * function of (vector, frozen model); the model tables ship through
-    * from shard 0 unchanged. At 100 TB this is how the index build
-    * parallelizes without any shared training state: train small,
-    * encode wide, merge by concatenation.
+    * from shard 0 unchanged, and the build-time stats are re-derived
+    * from the merged membership (every merged row IS a build-time
+    * assignment under the one frozen model). At 100 TB this is how the
+    * index build parallelizes without any shared training state: train
+    * small, encode wide, merge by concatenation. The merged index
+    * commits as a version like any other (staged whole, CURRENT last).
     *
     * Two gates make a bad merge impossible rather than silently wrong:
     * every shard's model tables must be row-identical to shard 0's (a
     * shard encoded under a drifted model poisons ADC distances), and
     * the shards' vec_id sets must be disjoint (a doubly-indexed vector
-    * would surface twice in every search). meta is written last with
-    * the merged count, so currency against `corpusDir` holds exactly
-    * when the shards cover the corpus.
+    * would surface twice in every search).
     */
   def mergeShards(spark: SparkSession, shardDirs: Seq[String], outDir: String,
                   corpusDir: String): Unit = {
@@ -145,16 +181,14 @@ object AnnIndex {
     val outCanon = new java.io.File(outDir).getCanonicalPath
     require(!shardDirs.exists(d => new java.io.File(d).getCanonicalPath == outCanon),
       s"outDir $outDir is one of the shard dirs — merging would overwrite a shard while reading it")
-    val modelTables = Seq("centroids", "pq_codebook", "res_codebook")
-    val dataTables = Seq("membership", "pq_codes", "res_codes")
-    for (t <- modelTables; d <- shardDirs.tail) {
-      val base = spark.read.parquet(s"${shardDirs.head}/$t")
-      val other = spark.read.parquet(s"$d/$t")
+    for (t <- ModelTables; d <- shardDirs.tail) {
+      val base = spark.read.parquet(tablePath(shardDirs.head, t))
+      val other = spark.read.parquet(tablePath(d, t))
       require(base.exceptAll(other).isEmpty && other.exceptAll(base).isEmpty,
         s"shard $d was encoded under a different model: $t differs from ${shardDirs.head}'s")
     }
     val members = shardDirs.map(d =>
-      spark.read.parquet(s"$d/membership").select("vec_id")).reduce(_.union(_))
+      spark.read.parquet(tablePath(d, "membership")).select("vec_id")).reduce(_.union(_))
     val nTotal = members.count()
     require(nTotal == members.distinct().count(),
       "shard vec_id sets overlap — a vector may be indexed by exactly one shard")
@@ -164,9 +198,9 @@ object AnnIndex {
     // duplicated code rows or codes for vectors outside its membership is
     // refused here rather than merged silently.
     for (d <- shardDirs) {
-      val mem = spark.read.parquet(s"$d/membership").select("vec_id").distinct()
+      val mem = spark.read.parquet(tablePath(d, "membership")).select("vec_id").distinct()
       for (t <- Seq("pq_codes", "res_codes")) {
-        val codes = spark.read.parquet(s"$d/$t")
+        val codes = spark.read.parquet(tablePath(d, t))
         val ids = codes.select("vec_id").distinct()
         require(ids.exceptAll(mem).isEmpty && mem.exceptAll(ids).isEmpty,
           s"shard $d is malformed: $t vec_ids differ from its membership vec_ids")
@@ -175,14 +209,20 @@ object AnnIndex {
           s"shard $d is malformed: $t has duplicate (vec_id, sub) code rows")
       }
     }
-    for (t <- dataTables)
-      shardDirs.map(d => spark.read.parquet(s"$d/$t"))
+    val v = Versioned.nextVersion(outDir)
+    val vd = Versioned.versionDir(outDir, v)
+    for (t <- VectorTables)
+      shardDirs.map(d => spark.read.parquet(tablePath(d, t)))
         .reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$outDir/$t")
-    for (t <- modelTables)
-      spark.read.parquet(s"${shardDirs.head}/$t")
-        .write.mode("overwrite").parquet(s"$outDir/$t")
-    writeMeta(spark, outDir, nTotal, corpusDir)
+        .write.mode("overwrite").parquet(s"$vd/$t")
+    spark.read.parquet(s"$vd/membership").groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"), avg(col("dist")).as("mean_base"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$vd/stats")
+    for (t <- ModelTables)
+      spark.read.parquet(tablePath(shardDirs.head, t))
+        .write.mode("overwrite").parquet(s"$vd/$t")
+    writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
+    Versioned.promote(outDir, v)
   }
 
   /** Outcome of one maintenance pass: what was done and why. Written to
@@ -200,29 +240,28 @@ object AnnIndex {
     * membership; vectors the index does not cover are "the new batch".
     * Each new vector is assigned to the FROZEN centroids (one broadcast
     * scan — the q_knn_ivf_incr shape) and the per-cluster mean assign
-    * distance is compared to the BUILD-TIME mean carried in the v3
-    * membership table:
+    * distance is compared to the BUILD-TIME mean in the frozen `stats`
+    * table (never the live membership average — r12 ADVICE #1):
     *
     *   - any cluster with ≥ `minNewPerCluster` new members whose
     *     mean-distance ratio exceeds `bound` → the frozen quantizer no
     *     longer fits the data: full retrain on `corpusDir` via `save`
-    *     (meta written last, so a killed rebuild reads as absent and
-    *     re-runs rather than serving a half-swapped artifact set);
+    *     (staged as a new version; readers flip atomically);
     *   - vectors REMOVED from the corpus also force a rebuild — an
     *     inverted list cannot un-index by append, and serving deleted
     *     vectors is worse than retraining;
     *   - otherwise the batch is in-distribution: encode it under the
     *     frozen model (coarse assign + PQ + residual codes — the cheap
-    *     per-batch cost incremental IVF exists for) and APPEND, meta
-    *     rewritten last with the new covered count. The build-time
-    *     drift reference in the PRE-EXISTING membership rows is left
-    *     untouched, so repeated in-distribution appends cannot creep
-    *     the reference toward a drifted geometry.
+    *     per-batch cost incremental IVF exists for) and commit version
+    *     N+1 = hard links to version N's files + the encoded batch
+    *     appended + fresh meta, CURRENT flipped last. stats is linked
+    *     UNCHANGED: the drift reference stays the build-time one.
     *
     * The drift decision reads k rows (one per cluster) to the driver —
     * a bounded model-artifact read, same class as the BPE merge-table
-    * collect. New-batch artifacts are staged to a temp dir before any
-    * append so no table is ever read and appended in the same job.
+    * collect. New-batch artifacts are staged to a temp dir (deleted in
+    * a finally — r12 ADVICE #4) so no table is ever read and appended
+    * in the same job.
     */
   def rebuildIfDrifted(spark: SparkSession, corpusDir: String, idxDir: String,
                        bound: Double = 2.0, minNewPerCluster: Long = 3L): DriftReport = {
@@ -233,31 +272,31 @@ object AnnIndex {
       .join(vd.select("vec_id"), Seq("vec_id"), "left_anti").count()
 
     val stage = java.nio.file.Files.createTempDirectory("graft_annidx_batch").toString
-    vd.join(member.select("vec_id"), Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$stage/new_vecs")
-    val nv = spark.read.parquet(s"$stage/new_vecs")
-    val cent = centroids(spark, idxDir)
-    Similarity.ivfAssignDist(nv, cent)
-      .write.mode("overwrite").parquet(s"$stage/membership")
-    val newAsg = spark.read.parquet(s"$stage/membership")
-    val nNew = newAsg.count()
+    val report = try {
+      vd.join(member.select("vec_id"), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/new_vecs")
+      val nv = spark.read.parquet(s"$stage/new_vecs")
+      val cent = centroids(spark, idxDir)
+      Similarity.ivfAssignDist(nv, cent)
+        .write.mode("overwrite").parquet(s"$stage/membership")
+      val newAsg = spark.read.parquet(s"$stage/membership")
+      val nNew = newAsg.count()
 
-    // k rows: (cluster, n_new, mean new dist, build-time mean dist).
-    val drift = newAsg.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_new"), avg(col("dist")).as("mean_new"))
-      .join(member.groupBy(col("cluster"))
-        .agg(avg(col("dist")).as("mean_base")), Seq("cluster"), "left_outer")
-      .collect()
-    val ratios = drift.toSeq
-      .filter(_.getAs[Long]("n_new") >= minNewPerCluster)
-      .map { r =>
-        val base = Option(r.getAs[java.lang.Double]("mean_base"))
-          .map(_.doubleValue).getOrElse(0.0)
-        r.getAs[Double]("mean_new") / math.max(base, 1e-12)
-      }
-    val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max
+      // k rows: (cluster, n_new, mean new dist, FROZEN build-time mean).
+      val drift = newAsg.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_new"), avg(col("dist")).as("mean_new"))
+        .join(stats(spark, idxDir).select(col("cluster"), col("mean_base")),
+          Seq("cluster"), "left_outer")
+        .collect()
+      val ratios = drift.toSeq
+        .filter(_.getAs[Long]("n_new") >= minNewPerCluster)
+        .map { r =>
+          val base = Option(r.getAs[java.lang.Double]("mean_base"))
+            .map(_.doubleValue).getOrElse(0.0)
+          r.getAs[Double]("mean_new") / math.max(base, 1e-12)
+        }
+      val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max
 
-    val report =
       if (nNew == 0 && nRemoved == 0)
         DriftReport("noop", 0L, 0L, maxRatio)
       else if (nRemoved > 0 || maxRatio > bound) {
@@ -270,12 +309,22 @@ object AnnIndex {
             Similarity.residualsFrozen(nv, newAsg, cent),
             resCodebook(spark, idxDir))
           .write.mode("overwrite").parquet(s"$stage/res_codes")
-        for (t <- Seq("membership", "pq_codes", "res_codes"))
+        // Commit the batch as version N+1: every table hard-linked from
+        // version N, the three vector tables grown by the staged batch,
+        // meta rewritten for the grown corpus, CURRENT flipped last.
+        val cvd = Versioned.committedDir(idxDir)
+        val newV = Versioned.nextVersion(idxDir)
+        val nvd = Versioned.versionDir(idxDir, newV)
+        for (t <- ModelTables ++ VectorTables :+ "stats")
+          Versioned.linkTable(spark, s"$cvd/$t", s"$nvd/$t")
+        for (t <- VectorTables)
           spark.read.parquet(s"$stage/$t")
-            .write.mode("append").parquet(s"$idxDir/$t")
-        writeMeta(spark, idxDir, vd.count(), corpusDir)
+            .write.mode("append").parquet(s"$nvd/$t")
+        writeMeta(spark, nvd, Currency.vecsFp(spark, corpusDir), corpusDir)
+        Versioned.promote(idxDir, newV)
         DriftReport("appended", nNew, 0L, maxRatio)
       }
+    } finally Versioned.deleteRecursively(new java.io.File(stage))
     import spark.implicits._
     Seq((report.action, report.nNew, report.nRemoved, report.maxRatio,
         bound, System.currentTimeMillis()))
@@ -286,17 +335,19 @@ object AnnIndex {
 
   // ---- loaded artifacts (plain parquet reads — nothing to train) ----
   def centroids(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/centroids")
+    spark.read.parquet(tablePath(idxDir, "centroids"))
   def membership(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/membership")
+    spark.read.parquet(tablePath(idxDir, "membership"))
   def pqCodebook(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/pq_codebook")
+    spark.read.parquet(tablePath(idxDir, "pq_codebook"))
   def pqCodes(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/pq_codes")
+    spark.read.parquet(tablePath(idxDir, "pq_codes"))
   def resCodebook(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/res_codebook")
+    spark.read.parquet(tablePath(idxDir, "res_codebook"))
   def resCodes(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/res_codes")
+    spark.read.parquet(tablePath(idxDir, "res_codes"))
+  def stats(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "stats"))
 
   /** IVF search served from the loaded index: the same search body as
     * q_knn_ivf_kmeans over parquet-read centroids + membership. The only

@@ -61,15 +61,20 @@ object BpeArtifact {
   def isBuilt(artDir: String): Boolean = currentVersion(artDir) > 0
 
   /** Current = built AND the committed version's meta matches the live
-    * corpus (document count + path) — one column-pruned scan,
-    * negligible next to tokenizing.
+    * corpus by CONTENT FINGERPRINT (ext/Currency — count + max id +
+    * sampled content hash, so a same-count in-place swap invalidates)
+    * and path; the verdict is session-memoized, so repeat serves run
+    * zero currency jobs. A pre-r13 meta has no fingerprint column and
+    * reads as stale (one retrain on upgrade).
     */
   def isCurrent(spark: SparkSession, corpusDir: String, artDir: String): Boolean =
-    isBuilt(artDir) && {
-      val meta = spark.read.parquet(s"${vdir(artDir, currentVersion(artDir))}/meta").head()
-      meta.getAs[Long]("n_docs") ==
-        graft.Tables.documents(spark, corpusDir).count() &&
-        meta.getAs[String]("corpus_dir") == corpusDir
+    Currency.cached("bpe", corpusDir, artDir) {
+      isBuilt(artDir) && {
+        val meta = spark.read.parquet(s"${vdir(artDir, currentVersion(artDir))}/meta").head()
+        meta.getAs[String]("corpus_dir") == corpusDir &&
+          scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("") ==
+            Currency.docsFp(spark, corpusDir).repr
+      }
     }
 
   /** Train both merge tables via the session's shared chains (the pinned
@@ -87,9 +92,9 @@ object BpeArtifact {
       case ((pat, rep), i) => (i, pat, rep)
     }).toDF("ord", "pattern", "replacement")
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/rules2")
-    val n = graft.Tables.documents(spark, corpusDir).count()
-    spark.createDataFrame(Seq((n, corpusDir)))
-      .toDF("n_docs", "corpus_dir")
+    val fp = Currency.docsFp(spark, corpusDir)
+    spark.createDataFrame(Seq((fp.n, corpusDir, fp.repr)))
+      .toDF("n_docs", "corpus_dir", "fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/meta")
     promote(artDir, v)
   }

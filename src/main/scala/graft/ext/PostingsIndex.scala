@@ -12,28 +12,42 @@ import org.apache.spark.sql.functions._
   * the external table Job 2 reads instead of re-deriving Job 1's
   * output (/root/reference/generate-asset.scala:38-40).
   *
-  * Layout under `idxDir` (AnnIndex discipline — meta written LAST as
-  * the validity gate, so a killed build/append reads as absent and
-  * rebuilds):
-  *   postings/  (doc_id, pos, term)  — range-partitioned BY TERM, so
-  *              parquet min/max stats make a single-term lookup skip
-  *              every file outside the term's range (the bucketed-by-
-  *              term layout a 100 TB postings store would use)
-  *   meta/      (n_docs, corpus_dir, schema_version)  1 row
+  * VERSION-CHAINED since r13 (r12 VERDICT #3 / ADVICE #2: the
+  * compaction swap was rm-then-move — a crash between the two left NO
+  * postings dir while a previously-written meta still existed, and a
+  * concurrently serving reader crashed). Layout under `idxDir`:
+  *
+  *   CURRENT          the committed version — flipped by ATOMIC rename
+  *                    (ext/Versioned), the only mutation a reader can
+  *                    ever observe
+  *   v<N>/postings/   (doc_id, pos, term) — range-partitioned BY TERM,
+  *                    so parquet min/max stats make a single-term
+  *                    lookup skip every file outside the term's range
+  *                    (the bucketed-by-term layout a 100 TB postings
+  *                    store would use)
+  *   v<N>/meta/       (n_docs, corpus_dir, schema_version, fingerprint)
+  *                    1 row — the corpus content fingerprint
+  *                    (ext/Currency) currency compares, so a same-count
+  *                    in-place corpus swap invalidates
   *
   * Maintenance is append-only: `appendDocs` tokenizes ONLY the new
-  * documents (O(increment)) and appends; because postings are a
-  * per-document function, append ≡ full rebuild EXACTLY (the property
-  * PostingsIndexSpec pins — unlike ANN, there is no frozen-model
-  * approximation here). Appends past the file-count bound trigger an
-  * in-place compaction (re-sorted by term to restore pruning), staged
-  * to a sibling dir and swapped before meta is rewritten — a crash
-  * mid-swap leaves meta stale, which reads as absent-and-rebuild,
-  * never as a half-compacted serving index.
+  * documents (O(increment)) and stages version N+1 = hard links to
+  * version N's postings files + the increment appended; when the staged
+  * file count exceeds the bound, the compaction (re-sorted by term to
+  * restore pruning) happens INSIDE the not-yet-visible version dir.
+  * Either way CURRENT flips last: a reader concurrent with (or a crash
+  * during) any append or compaction serves version N in full or N+1 in
+  * full — there is no window in which the index is absent or torn.
+  * Because postings are a per-document function, append ≡ full rebuild
+  * EXACTLY (the property PostingsIndexSpec pins — unlike ANN, there is
+  * no frozen-model approximation here).
   */
 object PostingsIndex {
 
-  private val SchemaVersion = 1L
+  /** v2 = the version-chain layout + fingerprint currency (a v1 flat
+    * index has no CURRENT and reads as unbuilt → rebuilds once).
+    */
+  private val SchemaVersion = 2L
 
   def defaultDir(corpusDir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
@@ -43,10 +57,10 @@ object PostingsIndex {
     s"$root/postings_$h"
   }
 
-  private def metaPath(idxDir: String) = s"$idxDir/meta"
+  def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
-  def isBuilt(idxDir: String): Boolean =
-    new java.io.File(s"${metaPath(idxDir)}/_SUCCESS").exists()
+  private[graft] def tablePath(idxDir: String, name: String): String =
+    s"${Versioned.committedDir(idxDir)}/$name"
 
   /** Whitespace tokenization with 0-based positions — the exact posting
     * definition the oracle-verified in-session q_phrase_search uses.
@@ -56,25 +70,35 @@ object PostingsIndex {
 
   def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
     val docs = graft.Tables.documents(spark, corpusDir)
+    val v = Versioned.nextVersion(idxDir)
+    val vd = Versioned.versionDir(idxDir, v)
     tokenize(docs)
       .repartitionByRange(col("term"), col("doc_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/postings")
-    writeMeta(spark, idxDir, docs.count(), corpusDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/postings")
+    writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir)
+    Versioned.promote(idxDir, v)
   }
 
-  private def writeMeta(spark: SparkSession, idxDir: String, n: Long,
-                        corpusDir: String): Unit =
-    spark.createDataFrame(Seq((n, corpusDir, SchemaVersion)))
-      .toDF("n_docs", "corpus_dir", "schema_version")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(idxDir))
+  private def writeMeta(spark: SparkSession, versionDir: String,
+                        fp: Currency.Fp, corpusDir: String): Unit =
+    spark.createDataFrame(Seq((fp.n, corpusDir, SchemaVersion, fp.repr)))
+      .toDF("n_docs", "corpus_dir", "schema_version", "fingerprint")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$versionDir/meta")
 
+  /** Current = built AND committed meta matches the live corpus by
+    * content fingerprint + path; session-memoized (ext/Currency), so
+    * q_phrase_search pays the corpus fingerprint once per session, not
+    * per run (r12 demerit #2).
+    */
   private def isCurrent(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
-    isBuilt(idxDir) && {
-      val meta = spark.read.parquet(metaPath(idxDir)).head()
-      scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion &&
-        meta.getAs[Long]("n_docs") ==
-          graft.Tables.documents(spark, corpusDir).count() &&
-        meta.getAs[String]("corpus_dir") == corpusDir
+    Currency.cached("postings", corpusDir, idxDir) {
+      isBuilt(idxDir) && {
+        val meta = spark.read.parquet(tablePath(idxDir, "meta")).head()
+        scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion &&
+          meta.getAs[String]("corpus_dir") == corpusDir &&
+          scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("") ==
+            Currency.docsFp(spark, corpusDir).repr
+      }
     }
 
   /** Build-if-absent. Returns true iff this call BUILT. */
@@ -83,12 +107,12 @@ object PostingsIndex {
     else { build(spark, corpusDir, idxDir); true }
 
   def postings(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/postings")
+    spark.read.parquet(tablePath(idxDir, "postings"))
 
   /** Streaming maintenance: new documents land as parquet files under
     * `sourceDir`; each micro-batch appends its postings via the SAME
     * `appendDocs` (foreachBatch — identical tokenization, compaction
-    * and meta discipline as a hand-run append, so stream-maintained
+    * and commit discipline as a hand-run append, so stream-maintained
     * and batch-maintained indexes are the same artifact). Sequential
     * micro-batches are the correctness assumption, as with
     * IncrementalCorpus.incrementalStream.
@@ -106,34 +130,45 @@ object PostingsIndex {
       .start()
   }
 
-  /** Append-only maintenance: index `newDocs` (tokenize the increment
-    * only), compact past `compactFileBound` files, meta rewritten LAST
-    * with the grown doc count. Postings are per-document, so the
-    * appended index equals a from-scratch build over the union — no
-    * drift, no rebuild trigger needed.
+  /** Append-only maintenance: tokenize the increment only and commit it
+    * as version N+1 (links + append + in-staging compaction past
+    * `compactFileBound` files, CURRENT flipped last). Postings are
+    * per-document, so the appended index equals a from-scratch build
+    * over the union — no drift, no rebuild trigger needed.
     */
   def appendDocs(spark: SparkSession, idxDir: String, newDocs: DataFrame,
                  compactFileBound: Int = 64): Unit = {
     require(isBuilt(idxDir), s"no postings index at $idxDir — build before appending")
-    val meta = spark.read.parquet(metaPath(idxDir)).head()
+    val cvd = Versioned.committedDir(idxDir)
+    val meta = spark.read.parquet(s"$cvd/meta").head()
     val nAdd = newDocs.count()
-    tokenize(newDocs).write.mode(SaveMode.Append).parquet(s"$idxDir/postings")
-    val files = Compaction.dataFiles(spark, s"$idxDir/postings")
+    val newV = Versioned.nextVersion(idxDir)
+    val nvd = Versioned.versionDir(idxDir, newV)
+    Versioned.linkTable(spark, s"$cvd/postings", s"$nvd/postings")
+    tokenize(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/postings")
+    val files = Compaction.dataFiles(spark, s"$nvd/postings")
     if (files.size > compactFileBound) {
+      // In-staging compaction: nothing here is visible to a reader until
+      // the CURRENT flip, so the rewrite needs no atomicity of its own.
       val nFiles = math.max(1,
         math.ceil(files.map(_._2).sum.toDouble / (128L * 1024 * 1024)).toInt)
-      val tmp = s"$idxDir/postings.compacting"
-      spark.read.parquet(s"$idxDir/postings")
+      val tmp = s"$nvd/postings.compacting"
+      spark.read.parquet(s"$nvd/postings")
         .repartitionByRange(nFiles, col("term"), col("doc_id"))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      val dst = new java.io.File(s"$idxDir/postings")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete()
-      }
-      rm(dst)
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst.toPath)
+      Versioned.deleteRecursively(new java.io.File(s"$nvd/postings"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(s"$nvd/postings"))
     }
-    writeMeta(spark, idxDir, meta.getAs[Long]("n_docs") + nAdd,
-      meta.getAs[String]("corpus_dir"))
+    // The appended corpus is (committed fingerprint's corpus + newDocs):
+    // recompute the fingerprint constituents incrementally — count adds,
+    // max-id maxes, sample-hash sums — without touching old documents.
+    val oldFp = Currency.parse(
+      scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
+    val addFp = Currency.fp(newDocs, "doc_id", substring(col("text"), 1, 64))
+    val fp = Currency.Fp(oldFp.n + addFp.n,
+      math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
+    writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"))
+    Versioned.promote(idxDir, newV)
   }
 }

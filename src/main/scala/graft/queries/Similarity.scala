@@ -1096,8 +1096,17 @@ object Similarity {
     * (decimal sums are order-free, parquet doubles round-trip exactly,
     * so served ≡ derived bit-for-bit).
     */
-  private[graft] def rpProjectInSession(spark: SparkSession, dir: String): DataFrame = {
-    val vd = vdF(spark, dir)
+  private[graft] def rpProjectInSession(spark: SparkSession, dir: String): DataFrame =
+    rpProjectVecs(spark, vdF(spark, dir))
+
+  /** The same projection over an ARBITRARY (vec_id, emb_d) frame — the
+    * kernel ext.RpIndex.appendVecs runs on just the increment: the
+    * projection is per-vector (the matrix is a fixed md5-derived
+    * constant), so projecting old∪new ≡ projecting each part, which is
+    * why the RP artifact can grow by O(increment) appends that equal a
+    * full rebuild bit-for-bit (RpIndexSpec pins it).
+    */
+  private[graft] def rpProjectVecs(spark: SparkSession, vd: DataFrame): DataFrame = {
     val dims = vd
       .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("pos", "val")))
       .select(col("vec_id"), (col("pos") + 1).as("i"), col("val"))

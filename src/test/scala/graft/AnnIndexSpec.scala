@@ -112,13 +112,16 @@ class AnnIndexSpec extends SparkSpec {
     Det.releasePins(fresh)
   }
 
-  test("a pre-v2 index layout reads as stale and rebuilds (schema_version gate)") {
+  test("an older index layout reads as stale and rebuilds (schema_version gate)") {
     val tmpIdx = java.nio.file.Files.createTempDirectory("graft_annidx_v1").toString
     assert(AnnIndex.ensure(spark, sfDir, tmpIdx))
-    // Rewrite meta WITHOUT the schema_version column — the v1 layout.
+    // Rewrite the committed meta WITHOUT the schema_version column — an
+    // older layout's meta shape.
     val n = graft.Tables.embeddings(spark, sfDir).count()
     spark.createDataFrame(Seq((n, sfDir))).toDF("n_vectors", "corpus_dir")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmpIdx/meta")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(AnnIndex.tablePath(tmpIdx, "meta"))
+    graft.ext.Currency.invalidate(sfDir)
     assert(AnnIndex.ensure(spark, sfDir, tmpIdx),
       "an index written by an older layout must rebuild, not serve a partial artifact set")
   }
@@ -141,10 +144,11 @@ class AnnIndexSpec extends SparkSpec {
       .map(p => java.nio.file.Files.createTempDirectory(p).toString)
     for ((d, par) <- dirs.zipWithIndex) {
       for (t <- Seq("centroids", "pq_codebook", "res_codebook"))
-        spark.read.parquet(s"$idxDir/$t").write.parquet(s"$d/$t")
+        spark.read.parquet(AnnIndex.tablePath(idxDir, t)).write.parquet(s"$d/v1/$t")
       for (t <- Seq("membership", "pq_codes", "res_codes"))
-        spark.read.parquet(s"$idxDir/$t").filter(expr(s"vec_id % 2 = $par"))
-          .write.parquet(s"$d/$t")
+        spark.read.parquet(AnnIndex.tablePath(idxDir, t)).filter(expr(s"vec_id % 2 = $par"))
+          .write.parquet(s"$d/v1/$t")
+      graft.ext.Versioned.promote(d, 1)
     }
     val merged = java.nio.file.Files.createTempDirectory("graft_merged").toString
     AnnIndex.mergeShards(spark, dirs, merged, sfDir)
@@ -164,15 +168,16 @@ class AnnIndexSpec extends SparkSpec {
       .map(p => java.nio.file.Files.createTempDirectory(p).toString)
     for ((d, par) <- dirs.zipWithIndex) {
       for (t <- Seq("centroids", "pq_codebook", "res_codebook"))
-        spark.read.parquet(s"$idxDir/$t").write.parquet(s"$d/$t")
+        spark.read.parquet(AnnIndex.tablePath(idxDir, t)).write.parquet(s"$d/v1/$t")
       for (t <- Seq("membership", "pq_codes", "res_codes"))
-        spark.read.parquet(s"$idxDir/$t").filter(expr(s"vec_id % 2 = $par"))
-          .write.parquet(s"$d/$t")
+        spark.read.parquet(AnnIndex.tablePath(idxDir, t)).filter(expr(s"vec_id % 2 = $par"))
+          .write.parquet(s"$d/v1/$t")
+      graft.ext.Versioned.promote(d, 1)
     }
     // Drift shard d's coarse model by dropping a centroid (ids are
     // row_number-based, 1..k).
-    spark.read.parquet(s"$idxDir/centroids").filter(col("cluster") =!= 1L)
-      .write.mode("overwrite").parquet(s"${dirs(1)}/centroids")
+    spark.read.parquet(AnnIndex.tablePath(idxDir, "centroids")).filter(col("cluster") =!= 1L)
+      .write.mode("overwrite").parquet(AnnIndex.tablePath(dirs(1), "centroids"))
     val out = java.nio.file.Files.createTempDirectory("graft_merged_bad").toString
     intercept[IllegalArgumentException] {
       AnnIndex.mergeShards(spark, dirs, out, sfDir)
@@ -265,6 +270,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(r.action == "rebuilt" && r.nRemoved == 50, s"got $r")
     assert(AnnIndex.membership(spark, idx).count() == 250)
     assert(!AnnIndex.ensure(spark, shrunk, idx))
+    Det.releasePins(spark)
+  }
+
+  test("a reader bound to the prior version survives an append commit (no torn batch)") {
+    val base = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_d").toString
+    AnnIndex.ensure(spark, base, idx)
+    val v1 = graft.ext.Versioned.currentVersion(idx)
+    // Bind a lazy reader to the committed version BEFORE maintenance —
+    // the concurrent-reader stand-in (tablePath resolves at call time).
+    val reader = AnnIndex.membership(spark, idx)
+    val plus = writeBlobs((0L until 300L) ++ (1000L until 1030L), _ => 0f)
+    assert(AnnIndex.rebuildIfDrifted(spark, plus, idx).action == "appended")
+    assert(graft.ext.Versioned.currentVersion(idx) == v1 + 1,
+      "an append must commit a NEW version, never grow the live tables")
+    assert(reader.count() == 300,
+      "the pre-commit reader must still see version N whole (predecessor retained)")
+    assert(AnnIndex.membership(spark, idx).count() == 330,
+      "a post-commit reader must see version N+1 whole")
+    Det.releasePins(spark)
+  }
+
+  test("a maintenance crash mid-stage leaves serving untouched; the next commit sweeps it") {
+    val base = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_e").toString
+    AnnIndex.ensure(spark, base, idx)
+    val before = AnnIndex.searchIvf(spark, base, idx).collect().map(_.toSeq).toSeq
+    // Simulate the kill window: a half-written next version (one table,
+    // garbage bytes, no meta) that never flipped CURRENT.
+    val v = graft.ext.Versioned.nextVersion(idx)
+    val dead = new java.io.File(graft.ext.Versioned.versionDir(idx, v), "membership")
+    dead.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dead, "part-garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(AnnIndex.searchIvf(spark, base, idx).collect().map(_.toSeq).toSeq == before,
+      "a reader must never touch a version CURRENT does not name")
+    assert(!AnnIndex.ensure(spark, base, idx),
+      "a crashed stage must not read as stale — the committed version serves")
+    // The next real commit claims a HIGHER number (no mixing into dead
+    // garbage) and its promote sweeps the dead staging dir.
+    val plus = writeBlobs((0L until 300L) ++ (1000L until 1030L), _ => 0f)
+    assert(AnnIndex.rebuildIfDrifted(spark, plus, idx).action == "appended")
+    assert(graft.ext.Versioned.currentVersion(idx) > v)
+    assert(!new java.io.File(graft.ext.Versioned.versionDir(idx, v)).exists(),
+      "promote must sweep the dead staging dir")
     Det.releasePins(spark)
   }
 

@@ -128,6 +128,10 @@ class BpeArtifactSpec extends SparkSpec {
     half.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     spark.read.parquet(s"$tmp/documents.parquet")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // In-place mutation of a plain (un-versioned) corpus dir: the session
+    // currency memo must be told, like Spark's own REFRESH TABLE for its
+    // file-listing caches; the FINGERPRINT then does the detecting.
+    graft.ext.Currency.invalidate(dir)
     assert(!BpeArtifact.isCurrent(spark, dir, art),
       "stale artifact served after a corpus swap")
     assert(BpeArtifact.ensure(spark, dir, art), "swap must retrain")

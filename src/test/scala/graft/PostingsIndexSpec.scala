@@ -127,11 +127,46 @@ class PostingsIndexSpec extends SparkSpec {
     val add = Seq((20L, "more words to append", "en", "s0", 20L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
-    val files = graft.ext.Compaction.dataFiles(spark, s"$idx/postings")
+    val files = graft.ext.Compaction.dataFiles(spark,
+      PostingsIndex.tablePath(idx, "postings"))
     assert(files.size <= 1, s"bound-1 compaction must leave ≤1 file, got ${files.size}")
     val after = PostingsIndex.postings(spark, idx)
       .filter(col("doc_id") =!= 20L)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(after == before, "compaction must preserve every pre-existing posting")
+  }
+
+  test("a commit killed at ANY step leaves a servable index; the next commit sweeps it") {
+    // The r12 ADVICE #2 crash window: the old rm-then-move compaction
+    // could leave NO postings dir while meta survived. Under the version
+    // chain every pre-flip state is a half-staged dir CURRENT never
+    // names — simulate the worst kill (garbage postings, no meta).
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_kill").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val committed = graft.ext.Versioned.currentVersion(idx)
+    val before = PostingsIndex.postings(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val v = graft.ext.Versioned.nextVersion(idx)
+    val dead = new java.io.File(graft.ext.Versioned.versionDir(idx, v), "postings")
+    dead.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dead, "part-garbage.parquet").toPath,
+      Array[Byte](0))
+    assert(graft.ext.Versioned.currentVersion(idx) == committed)
+    assert(PostingsIndex.postings(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq == before,
+      "a reader concurrent with the crash must serve the committed version whole")
+    // The next real append commits ABOVE the dead dir and sweeps it.
+    val add = Seq((30L, "fresh words after the crash", "en", "s0", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    PostingsIndex.appendDocs(spark, idx, add)
+    assert(graft.ext.Versioned.currentVersion(idx) > v)
+    assert(!new java.io.File(graft.ext.Versioned.versionDir(idx, v)).exists(),
+      "promote must sweep the dead staging dir")
+    val grown = PostingsIndex.postings(spark, idx)
+    assert(grown.filter(col("doc_id") === 30L).count() > 0)
+    assert(grown.filter(col("doc_id") =!= 30L)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq == before,
+      "the surviving commit must carry every committed posting forward")
   }
 }

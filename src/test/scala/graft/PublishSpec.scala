@@ -56,6 +56,48 @@ class PublishSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("a publish killed mid-stage leaves the prior serving version readable AND indexed") {
+    // r12 VERDICT #1: the serving corpus was the last in-place-mutated
+    // serving artifact. Now it version-chains: kill the publish between
+    // staging and the CURRENT flip and the prior snapshot keeps serving
+    // with every index still current; the flip itself is atomic.
+    val lines = (0L until 6L).map(i => jline(200 + i, freshText(s"k$i")))
+    val src = java.nio.file.Files.createTempDirectory("publish_src3")
+    java.nio.file.Files.write(src.resolve("dump.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("publish_out3").toString
+    val servingDir = s"$out/serving"
+    Publish.run(spark, src.resolve("dump.jsonl").toString, out)
+    val v1 = graft.ext.Versioned.currentVersion(servingDir)
+    val docsBefore = Tables.documents(spark, servingDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // The kill window: stage the next snapshot completely, die before
+    // the flip (stageServing is exactly the pre-promote half of run).
+    val v2 = Publish.stageServing(spark, out, embeddings = None)
+    assert(v2 > v1)
+    assert(graft.ext.Versioned.currentVersion(servingDir) == v1,
+      "an unpromoted stage must be invisible")
+    assert(Tables.documents(spark, servingDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == docsBefore,
+      "readers must still see the prior serving version whole")
+    // The prior version is not just readable — it is still INDEXED:
+    // phrase search serves from the postings artifact, no rebuild.
+    assert(!PostingsIndex.ensure(spark, servingDir,
+      PostingsIndex.defaultDir(servingDir)),
+      "the prior snapshot's index must still read as current")
+    assert(graft.queries.TextOps.queries("q_phrase_search")(spark, servingDir)
+      .collect() != null)
+
+    // Re-publish completes the flip atomically: same content → the
+    // snapshot advances but every artifact fingerprint-matches → no-op.
+    val r = Publish.run(spark, src.resolve("dump.jsonl").toString, out)
+    assert(graft.ext.Versioned.currentVersion(servingDir) > v1)
+    assert(!r.index.postingsBuilt && !r.index.bpeTrained,
+      "an unchanged corpus re-published must not rebuild any artifact")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("a text-only publish skips the vector artifacts and still serves postings/BPE") {
     val lines = (0L until 6L).map(i => jline(100 + i, freshText(s"t$i")))
     val src = java.nio.file.Files.createTempDirectory("publish_src2")

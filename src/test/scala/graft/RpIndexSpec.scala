@@ -53,4 +53,60 @@ class RpIndexSpec extends SparkSpec {
       "count mismatch must force a re-derivation")
     graft.queries.Det.releasePins(spark)
   }
+
+  test("a SAME-COUNT in-place corpus swap invalidates (content fingerprint)") {
+    // The r12 demerit: count+path currency cannot detect a corpus
+    // overwritten in place with the same row count. The fingerprint's
+    // sampled content hash must.
+    val d = java.nio.file.Files.createTempDirectory("rpidx_swapcorp").toString
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("rpidx3").toString
+    assert(RpIndex.ensure(spark, d, idx))
+    assert(!RpIndex.ensure(spark, d, idx), "unchanged corpus must serve")
+    // Same ids, same count, every component shifted — a regenerated
+    // corpus landing under the same path.
+    val tmp = java.nio.file.Files.createTempDirectory("rpidx_swaptmp").toString
+    Tables.embeddings(spark, d)
+      .withColumn("embedding", expr("transform(embedding, x -> x + CAST(1.0 AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    spark.read.parquet(s"$tmp/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // In-place mutation of a plain (un-versioned) dir: tell the session
+    // memo (the REFRESH TABLE analogue); the FINGERPRINT then detects.
+    graft.ext.Currency.invalidate(d)
+    assert(RpIndex.ensure(spark, d, idx),
+      "same-count swap must re-derive — count+path currency could never catch this")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("appendVecs commits O(increment) growth that equals a full rebuild bit-for-bit") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dirA = java.nio.file.Files.createTempDirectory("rpidx_half_a").toString
+    all.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("rpidx_append").toString
+    RpIndex.build(spark, dirA, idx)
+    val v1 = graft.ext.Versioned.currentVersion(idx)
+    RpIndex.appendVecs(spark, idx, all.filter(col("vec_id") % 2 === 1))
+    assert(graft.ext.Versioned.currentVersion(idx) == v1 + 1,
+      "append must commit as a new version, never mutate the live table")
+    // Full rebuild over the union — the appended artifact must equal it
+    // exactly (per-vector projection + order-free decimal sums).
+    val dirB = java.nio.file.Files.createTempDirectory("rpidx_full_b").toString
+    all.write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    val idx2 = java.nio.file.Files.createTempDirectory("rpidx_full").toString
+    RpIndex.build(spark, dirB, idx2)
+    val appended = RpIndex.proj(spark, idx).collect().map(_.toSeq).toSet
+    val rebuilt = RpIndex.proj(spark, idx2).collect().map(_.toSeq).toSet
+    assert(appended == rebuilt, "append ≡ rebuild must hold bit-for-bit")
+    // The incrementally-merged fingerprint equals the union corpus's
+    // (count adds, max maxes, sample-hash sums) — old vectors unread.
+    val fpMerged = spark.read
+      .parquet(s"${graft.ext.Versioned.committedDir(idx)}/meta")
+      .head().getAs[String]("fingerprint")
+    assert(fpMerged == graft.ext.Currency.vecsFp(spark, dirB).repr,
+      "mergeable fingerprint must equal the union corpus's fingerprint")
+    graft.queries.Det.releasePins(spark)
+  }
 }
