@@ -82,7 +82,24 @@ object ScaleData {
       "lineitem", math.max(4, replicas * 2))
     w(inflate(t("events"), replicas,
       Map("event_id" -> offE, "user_id" -> offU)), "events", 4)
-    w(inflate(t("documents"), replicas, Map("doc_id" -> offD)), "documents", 2)
+    // Replica documents DIVERGE textually (every token prefixed with the
+    // replica tag): each replica carries the base corpus's internal
+    // near-dup/exact-dup/phrase structure verbatim, but shares no
+    // shingle, hash or term across replicas — so dedup candidate pairs
+    // and phrase matches grow LINEARLY with scale, which is what a
+    // bigger crawl looks like (duplication RATE constant). Verbatim
+    // replication would instead grow near-dup cliques with R and
+    // candidate pairs with R² — a corpus pathology measurement, not an
+    // engine one. Term-selective queries (phrase search) keep
+    // constant-size answers over a growing corpus — the pruning
+    // scenario a term-partitioned postings artifact exists for.
+    w(t("documents").crossJoin(broadcast(spark.range(replicas).toDF("__r")))
+      .withColumn("doc_id", col("doc_id") + col("__r") * lit(offD))
+      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+        concat_ws(" ", expr(
+          "transform(split(text, ' '), t -> concat('x', CAST(__r AS STRING), t))"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__r"), "documents", 2)
     // Embedding jitter: hash-derived ±0.002 per (vec_id, dim) — replicas
     // stay in their original's coarse neighborhood, never exact ties.
     w(inflate(t("embeddings"), replicas, Map("vec_id" -> offV))

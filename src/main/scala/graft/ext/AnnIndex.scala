@@ -74,10 +74,14 @@ object AnnIndex {
     * codebook/codes; v3 added the assignment distance to membership; v4
     * moved the tables behind the version chain, froze the drift
     * reference into `stats`, and replaced count currency with the
-    * content fingerprint); an index written by an older layout reads as
-    * stale and rebuilds rather than serving a partial artifact set.
+    * content fingerprint; v5 is the INVERTED-LIST physical layout —
+    * membership and res_codes cluster-range-partitioned with cluster on
+    * every res_codes row, so the served searches' probed-cluster
+    * prefilter prunes whole files by parquet min/max); an index written
+    * by an older layout reads as stale and rebuilds rather than serving
+    * a partial artifact set.
     */
-  private val SchemaVersion = 4L
+  private val SchemaVersion = 5L
 
   private val ModelTables = Seq("centroids", "pq_codebook", "res_codebook")
   private val VectorTables = Seq("membership", "pq_codes", "res_codes")
@@ -102,10 +106,14 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$vd/centroids")
     // membership carries the assignment distance (same assignment as the
     // memoized chain — identical argmin + ties — so the rows match the
-    // in-session ones exactly); the searches prune it.
+    // in-session ones exactly); the searches prune it. Cluster-range
+    // partitioning = the inverted-list physical layout: each parquet
+    // file covers a tight cluster range, so the serve-time probed-
+    // cluster IN filter skips every file outside the probe set.
     Similarity.ivfAssignDist(
         Similarity.vdOf(spark, corpusDir),
         Similarity.ivfCentroidsFor(spark, corpusDir))
+      .repartitionByRange(col("cluster"), col("vec_id"))
       .write.mode("overwrite").parquet(s"$vd/membership")
     // The frozen drift reference: per-cluster build-time mean, computed
     // from the just-staged membership (k rows out) and never updated by
@@ -119,7 +127,15 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$vd/pq_codes")
     Similarity.pqResCodebookFor(spark, corpusDir)
       .write.mode("overwrite").parquet(s"$vd/res_codebook")
+    // res_codes carry their coarse cluster (v5) and share the inverted-
+    // list layout, so the IVFADC serve prunes code files by the same
+    // probed-cluster filter — at scale the ADC candidate scan reads
+    // ~nprobe/k of the code table, not all of it. The extra column is
+    // dropped at serve time before the shared search body (which takes
+    // cluster from membership), keeping served ≡ in-session bit-exact.
     Similarity.pqResCodesFor(spark, corpusDir)
+      .join(spark.read.parquet(s"$vd/membership").select("vec_id", "cluster"), "vec_id")
+      .repartitionByRange(col("cluster"), col("vec_id"), col("sub"))
       .write.mode("overwrite").parquet(s"$vd/res_codes")
     writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
     Versioned.promote(idxDir, v)
@@ -211,10 +227,17 @@ object AnnIndex {
     }
     val v = Versioned.nextVersion(outDir)
     val vd = Versioned.versionDir(outDir, v)
-    for (t <- VectorTables)
-      shardDirs.map(d => spark.read.parquet(tablePath(d, t)))
+    for (t <- VectorTables) {
+      val merged = shardDirs.map(d => spark.read.parquet(tablePath(d, t)))
         .reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$vd/$t")
+      // Restore the inverted-list layout across the union: shard files
+      // are cluster-tight individually but interleave after a merge.
+      val laidOut =
+        if (merged.columns.contains("cluster"))
+          merged.repartitionByRange(col("cluster"), col("vec_id"))
+        else merged
+      laidOut.write.mode("overwrite").parquet(s"$vd/$t")
+    }
     spark.read.parquet(s"$vd/membership").groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_base"), avg(col("dist")).as("mean_base"))
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/stats")
@@ -308,6 +331,9 @@ object AnnIndex {
         Similarity.pqEncodeFrozen(
             Similarity.residualsFrozen(nv, newAsg, cent),
             resCodebook(spark, idxDir))
+          // v5: code rows carry their coarse cluster (from the frozen-
+          // model assignment) so appended files prune like built ones.
+          .join(newAsg.select("vec_id", "cluster"), "vec_id")
           .write.mode("overwrite").parquet(s"$stage/res_codes")
         // Commit the batch as version N+1: every table hard-linked from
         // version N, the three vector tables grown by the staged batch,
@@ -317,9 +343,17 @@ object AnnIndex {
         val nvd = Versioned.versionDir(idxDir, newV)
         for (t <- ModelTables ++ VectorTables :+ "stats")
           Versioned.linkTable(spark, s"$cvd/$t", s"$nvd/$t")
-        for (t <- VectorTables)
-          spark.read.parquet(s"$stage/$t")
-            .write.mode("append").parquet(s"$nvd/$t")
+        for (t <- VectorTables) {
+          val batch = spark.read.parquet(s"$stage/$t")
+          // Cluster-carrying batches append range-sorted so the new
+          // files keep tight cluster min/max — appended files prune
+          // exactly like built ones.
+          val laidOut =
+            if (batch.columns.contains("cluster"))
+              batch.repartitionByRange(col("cluster"), col("vec_id"))
+            else batch
+          laidOut.write.mode("append").parquet(s"$nvd/$t")
+        }
         writeMeta(spark, nvd, Currency.vecsFp(spark, corpusDir), corpusDir)
         Versioned.promote(idxDir, newV)
         DriftReport("appended", nNew, 0L, maxRatio)
@@ -349,16 +383,33 @@ object AnnIndex {
   def stats(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "stats"))
 
+  /** The query batch's probed cluster ids (≤ 10·nprobe values from a
+    * k-row broadcast ranking — a bounded driver read, same class as the
+    * centroid reads). Served searches push them into the cluster-range-
+    * partitioned artifact scans as a literal IN: parquet min/max then
+    * skips every file outside the probe set, so the serve reads
+    * ~nprobe/k of the inverted lists instead of scanning and discarding
+    * (PlanSpec asserts the pushed filter). Filtering to the UNION of
+    * the batch's probes is result-neutral: the search bodies' per-query
+    * broadcast probe join does the exact per-query pruning as before.
+    */
+  private def probedIds(spark: SparkSession, corpusDir: String,
+                        idxDir: String): Seq[Long] =
+    Similarity.probedPairsFor(spark, corpusDir, centroids(spark, idxDir))
+      .select("probed_cluster").distinct().collect().map(_.getLong(0)).toSeq
+
   /** IVF search served from the loaded index: the same search body as
-    * q_knn_ivf_kmeans over parquet-read centroids + membership. The only
-    * per-query work is probe ranking (k-row broadcast), the pruned
-    * inverted-list join, and the exact re-rank — no Lloyd's anywhere in
-    * the plan (AnnIndexSpec asserts the absence of the seed-hash
-    * expression).
+    * q_knn_ivf_kmeans over parquet-read centroids + membership (pruned
+    * to the batch's probed clusters — see probedIds). The only per-query
+    * work is probe ranking (k-row broadcast), the pruned inverted-list
+    * join, and the exact re-rank — no Lloyd's anywhere in the plan
+    * (AnnIndexSpec asserts the absence of the seed-hash expression).
     */
   def searchIvf(spark: SparkSession, corpusDir: String, idxDir: String): DataFrame =
     Similarity.ivfSearch(spark, corpusDir,
-      centroids(spark, idxDir), membership(spark, idxDir))
+      centroids(spark, idxDir),
+      membership(spark, idxDir)
+        .filter(col("cluster").isin(probedIds(spark, corpusDir, idxDir): _*)))
 
   /** PQ ADC search served from the loaded index: codes + codebook read
     * from parquet; the floats are touched only to build the per-query
@@ -376,10 +427,18 @@ object AnnIndex {
     * ranking, the per-(query, cluster) residual LUT (floats touched for
     * 10 probe vectors only), and the codes-only candidate scan.
     */
-  def searchRes(spark: SparkSession, corpusDir: String, idxDir: String): DataFrame =
+  def searchRes(spark: SparkSession, corpusDir: String, idxDir: String): DataFrame = {
+    val probes = probedIds(spark, corpusDir, idxDir)
     Similarity.ivfAdcSearch(spark, corpusDir,
-      centroids(spark, idxDir), membership(spark, idxDir),
-      resCodebook(spark, idxDir), resCodes(spark, idxDir))
+      centroids(spark, idxDir),
+      membership(spark, idxDir).filter(col("cluster").isin(probes: _*)),
+      resCodebook(spark, idxDir),
+      // The v5 cluster column exists ONLY to prune the code scan; the
+      // shared search body takes cluster from membership, so drop it
+      // after the pushed filter to keep served ≡ in-session bit-exact.
+      resCodes(spark, idxDir).filter(col("cluster").isin(probes: _*))
+        .drop("cluster"))
+  }
 
   /** Verified entries: build-if-absent then serve FROM DISK. First call
     * in a cold environment pays one training+save; every later call (and

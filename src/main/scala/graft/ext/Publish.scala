@@ -41,11 +41,20 @@ object Publish {
                                  servingDocs: Long, servingVecs: Long,
                                  index: IndexRun.IndexReport)
 
+  /** `keepVersions` (default 2: the committed snapshot + its
+    * predecessor) widens the serving corpus's retention into a
+    * TIME-TRAVEL window: any retained snapshot reads as a plain corpus
+    * dir via `servingVersionDir` — `Tables.documents(spark,
+    * servingVersionDir(outDir, v))` is the Iceberg snapshot-id read on
+    * a plain FS. Retention costs only the retained versions' un-shared
+    * files (unchanged tables are hard links).
+    */
   def run(spark: SparkSession, inPath: String, outDir: String,
           embeddings: Option[DataFrame] = None,
           benchmarkDir: Option[String] = None,
           maxDocsPerSource: Option[Int] = None,
-          containmentThreshold: Option[Double] = None): PublishReport = {
+          containmentThreshold: Option[Double] = None,
+          keepVersions: Int = 2): PublishReport = {
     val rc = CorpusRun.run(spark, inPath, outDir,
       benchmarkDir = benchmarkDir, embeddings = embeddings,
       maxDocsPerSource = maxDocsPerSource,
@@ -53,7 +62,7 @@ object Publish {
 
     val servingDir = s"$outDir/serving"
     val v = stageServing(spark, outDir, embeddings)
-    Versioned.promote(servingDir, v)
+    Versioned.promote(servingDir, v, keepVersions)
 
     // Counts read THROUGH the pointer — what a serving consumer sees.
     val servingDocs = graft.Tables.documents(spark, servingDir).count()
@@ -64,6 +73,20 @@ object Publish {
     val index = IndexRun.run(spark, servingDir, withVectors = embeddings.nonEmpty)
     PublishReport(rc, servingDocs, servingVecs, index)
   }
+
+  /** Committed serving snapshots still on disk, ascending — the
+    * time-travel window `keepVersions` bought.
+    */
+  def servingVersions(outDir: String): Seq[Long] =
+    Versioned.versions(s"$outDir/serving")
+
+  /** A RETAINED snapshot as a plain corpus dir (no CURRENT inside a
+    * version dir, so `Tables.resolve` passes it through): feed it to
+    * any `queries` entry to run today's query against yesterday's
+    * corpus.
+    */
+  def servingVersionDir(outDir: String, v: Long): String =
+    Versioned.versionDir(s"$outDir/serving", v)
 
   /** Stage the serving snapshot WITHOUT committing: write documents (+
     * restricted, re-keyed embeddings) under the next version dir and

@@ -69,18 +69,63 @@ object Versioned {
     * predecessor. Hard-linked data files survive the sweep of the dir
     * that first wrote them.
     */
-  def promote(artDir: String, v: Long): Unit = {
+  def promote(artDir: String, v: Long): Unit = promote(artDir, v, 2)
+
+  /** As `promote`, retaining the newest `keep` committed versions
+    * (counting the one being committed). keep=2 — the default every
+    * artifact uses — holds the predecessor for readers whose lazy plans
+    * still name it; a larger retention turns the chain into a
+    * time-travel window (`versionDir(artDir, olderV)` reads any
+    * retained snapshot — the Iceberg snapshot-id read on a plain FS) at
+    * the cost of the extra versions' un-shared files. Dirs ABOVE `v`
+    * are always swept: they can only be dead staging from killed
+    * commits, and retaining them would let `nextVersion` climb past a
+    * garbage dir forever.
+    */
+  def promote(artDir: String, v: Long, keep: Int): Unit = {
+    require(keep >= 1, s"keep must retain at least the committed version, got $keep")
     val root = new java.io.File(artDir); root.mkdirs()
-    val prev = currentVersion(artDir)
+    // A dir below the new v is not necessarily a committed predecessor —
+    // a commit that died mid-stage leaves its dir behind, and once a
+    // LATER commit succeeds the dead dir sits below v. Only versions
+    // CURRENT ever named are retention candidates; the HISTORY file
+    // (rewritten by atomic rename after the flip) records them. A crash
+    // between flip and history write loses at most the newest entry,
+    // which the union with CURRENT restores on the next read.
+    val committed = history(root) :+ currentVersion(artDir)
     val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
     java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val keep = Set(prev, v)
+    val retained = (committed :+ v).distinct.filter(x => x > 0 && x <= v)
+      .sorted.takeRight(keep).toSet
+    val htmp = java.io.File.createTempFile(".HISTORY", ".tmp", root)
+    java.nio.file.Files.write(htmp.toPath,
+      retained.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(htmp.toPath, new java.io.File(root, "HISTORY").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
            if d.isDirectory && d.getName.matches("v\\d+")
-           if !keep.contains(d.getName.drop(1).toLong))
+           if !retained.contains(d.getName.drop(1).toLong))
       deleteRecursively(d)
+  }
+
+  private def history(root: java.io.File): Seq[Long] = {
+    val f = new java.io.File(root, "HISTORY")
+    if (!f.exists()) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+  }
+
+  /** Committed versions still on disk, ascending — CURRENT plus any
+    * retained predecessors (the time-travel window under `keep` > 2).
+    * Dead staging dirs from killed commits are never listed.
+    */
+  def versions(artDir: String): Seq[Long] = {
+    val root = new java.io.File(artDir)
+    (history(root) :+ currentVersion(artDir)).distinct
+      .filter(v => v > 0 && new java.io.File(versionDir(artDir, v)).isDirectory)
+      .sorted
   }
 
   def deleteRecursively(f: java.io.File): Unit = {

@@ -676,10 +676,16 @@ object Similarity {
     * body means the served path is bit-identical to the oracle-verified
     * one by construction.
     */
-  private[graft] def ivfSearch(spark: SparkSession, dir: String,
-                               cent: DataFrame, member: DataFrame): DataFrame = {
-    val v = withNorm(spark, dir)
-    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
+  /** The query batch's probe ranking — (query_id, probed_cluster),
+    * nprobe = 3 — shared by the IVF and IVFADC search bodies and by the
+    * served paths' scan-pruning prefilter (ext.AnnIndex collects the
+    * ≤ 10·nprobe distinct cluster ids — a bounded driver read — and
+    * pushes them into the cluster-range-partitioned artifact scans as a
+    * literal IN, so parquet min/max skips every non-probed file).
+    */
+  private[graft] def probedPairsFor(spark: SparkSession, dir: String,
+                                    cent: DataFrame): DataFrame =
+    vdF(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb_d"))
       .crossJoin(broadcast(cent))
       .withColumn("dist", expr(kmDistExpr))
@@ -687,6 +693,11 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("cluster").as("probed_cluster"))
+
+  private[graft] def ivfSearch(spark: SparkSession, dir: String,
+                               cent: DataFrame, member: DataFrame): DataFrame = {
+    val v = withNorm(spark, dir)
+    val probed = probedPairsFor(spark, dir, cent)
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
@@ -1900,14 +1911,7 @@ object Similarity {
   private[graft] def ivfAdcSearch(spark: SparkSession, dir: String,
                                   cent: DataFrame, member: DataFrame,
                                   rcb: DataFrame, rcodes: DataFrame): DataFrame = {
-    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb_d"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", expr(kmDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    val probed = probedPairsFor(spark, dir, cent)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     val lut = pqResLut(spark, dir, probed, cent, rcb)
       .withColumnRenamed("sub", "lsub").withColumnRenamed("code", "lcode")

@@ -307,6 +307,21 @@ class PlanSpec extends SparkSpec {
       s"the 1-row global bounds must broadcast:\n$qq")
   }
 
+  test("served ANN scans push the probed-cluster filter into the inverted-list layout") {
+    // v5 layout: membership and res_codes are cluster-range-partitioned
+    // and the serve prefilters them to the query batch's probed
+    // clusters — the literal IN must reach the parquet scan (parquet
+    // min/max then skips every non-probed file; the 100 TB serve reads
+    // ~nprobe/k of the lists instead of scanning and discarding).
+    graft.ext.AnnIndex.ensure(spark, sfDir, graft.ext.AnnIndex.defaultIndexDir(sfDir))
+    for (q <- Seq("q_knn_served", "q_knn_served_res")) {
+      val plan = planOf(q)
+      assert(plan.contains("PushedFilters: [In(cluster"),
+        s"$q must push the probed-cluster IN filter into the artifact scan:\n$plan")
+    }
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("no query in the suite plans a cartesian product") {
     // Broadcast nested-loop joins against tiny probe/block-pair sets are
     // legitimate; an actual CartesianProduct (both sides shuffled, n×m)

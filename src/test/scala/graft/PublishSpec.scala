@@ -98,6 +98,36 @@ class PublishSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("retained snapshots time-travel: yesterday's corpus queryable after today's publish") {
+    def dump(dir: java.nio.file.Path, ids: Seq[Long], tag: String): String = {
+      val p = dir.resolve(s"dump_$tag.jsonl")
+      java.nio.file.Files.write(p,
+        ids.map(i => jline(i, freshText(s"$tag$i"))).mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val src = java.nio.file.Files.createTempDirectory("publish_src_tt")
+    val out = java.nio.file.Files.createTempDirectory("publish_out_tt").toString
+    Publish.run(spark, dump(src, 300L until 306L, "a"), out, keepVersions = 3)
+    Publish.run(spark, dump(src, 310L until 318L, "b"), out, keepVersions = 3)
+    val vs = Publish.servingVersions(out)
+    assert(vs.size == 2, s"both snapshots retained under keep=3: $vs")
+    // Time travel: the SAME reader API over the retained snapshot dir.
+    val oldIds = Tables.documents(spark, Publish.servingVersionDir(out, vs.head))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curIds = Tables.documents(spark, s"$out/serving")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oldIds == (300L until 306L).toSet, s"v${vs.head} must serve dump A: $oldIds")
+    assert(curIds == (310L until 318L).toSet, s"CURRENT must serve dump B: $curIds")
+    // Default retention (keep=2) trims the window back to two snapshots.
+    Publish.run(spark, dump(src, 320L until 324L, "c"), out)
+    val vs2 = Publish.servingVersions(out)
+    assert(vs2.size == 2 && vs2.last > vs.last,
+      s"keep=2 publish must retain only the new snapshot and its predecessor: $vs2")
+    assert(!new java.io.File(Publish.servingVersionDir(out, vs.head)).exists(),
+      "the oldest snapshot must be swept once retention passes it")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("a text-only publish skips the vector artifacts and still serves postings/BPE") {
     val lines = (0L until 6L).map(i => jline(100 + i, freshText(s"t$i")))
     val src = java.nio.file.Files.createTempDirectory("publish_src2")
