@@ -285,6 +285,12 @@ object AnnIndex {
     * collect. New-batch artifacts are staged to a temp dir (deleted in
     * a finally — r12 ADVICE #4) so no table is ever read and appended
     * in the same job.
+    *
+    * If `corpusDir` was mutated IN PLACE this session (rather than
+    * being a fresh dir or a version-chained pointer), call
+    * `Det.releaseForDir(spark, corpusDir)` + `Currency.invalidate`
+    * first — the session-memo contract (queries/Det.scala);
+    * `maintainStream` below does both per micro-batch.
     */
   def rebuildIfDrifted(spark: SparkSession, corpusDir: String, idxDir: String,
                        bound: Double = 2.0, minNewPerCluster: Long = 3L): DriftReport = {
@@ -365,6 +371,51 @@ object AnnIndex {
       .toDF("action", "n_new", "n_removed", "max_ratio", "bound", "decided_at_ms")
       .coalesce(1).write.mode("append").parquet(s"$idxDir/audit")
     report
+  }
+
+  /** Streaming maintenance — the stream face of `rebuildIfDrifted`
+    * (ivfDriftTriggerStream EMITS the decision; this CONSUMES it): new
+    * embedding batches land as parquet files under `sourceDir`, each
+    * micro-batch is appended to the corpus and the SAME maintenance
+    * pass runs (foreachBatch — identical frozen-model append /
+    * drift-rebuild / version-commit / audit discipline as a hand-run
+    * pass, so stream-maintained and batch-maintained indexes are the
+    * same artifact, and the audit table IS the stream's decision log).
+    * Sequential micro-batches are the correctness assumption, as with
+    * PostingsIndex.postingsStream. The corpus dir is mutated in place
+    * (the plain-dir case), so the session currency memo is invalidated
+    * per batch — the REFRESH TABLE analogue ext.Currency documents.
+    */
+  def maintainStream(spark: SparkSession, sourceDir: String, corpusDir: String,
+                     idxDir: String, bound: Double = 2.0,
+                     minNewPerCluster: Long = 3L,
+                     maxFilesPerTrigger: Option[Int] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
+          Currency.invalidate(corpusDir)
+          // The corpus just mutated in place: session memos keyed by
+          // this dir (the sim.* training chains) would serve the
+          // PRE-batch corpus to a drift-triggered retrain — release
+          // exactly this dir's memos (other families' pins survive).
+          graft.queries.Det.releaseForDir(spark, corpusDir)
+          rebuildIfDrifted(spark, corpusDir, idxDir, bound, minNewPerCluster)
+          ()
+        }
+      }
+      .start()
   }
 
   // ---- loaded artifacts (plain parquet reads — nothing to train) ----

@@ -71,6 +71,39 @@ object IndexRun {
       postingsBuilt, rpBuilt, bpeTrained, bpe.action, bpe.overlap)
   }
 
+  final case class ArtifactStatus(kind: String, dir: String, version: Long,
+                                  retained: Seq[Long], files: Long, bytes: Long,
+                                  corpusDir: String, fingerprint: String)
+
+  /** Fleet inspection — the ops face of the version chains: per
+    * artifact, the committed version, the retained (time-travel)
+    * window, the on-disk footprint, and the corpus identity the
+    * committed meta pins (path + content fingerprint). Pure driver-side
+    * file walking plus one-row meta reads — no data-path jobs; safe to
+    * run against a fleet that is concurrently serving.
+    */
+  def status(spark: SparkSession, corpusDir: String): Seq[ArtifactStatus] = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (1L, f.length())
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(walk).foldLeft((0L, 0L)) { case ((n, b), (n2, b2)) => (n + n2, b + b2) }
+    Seq("ann" -> AnnIndex.defaultIndexDir(corpusDir),
+        "postings" -> PostingsIndex.defaultDir(corpusDir),
+        "rp" -> RpIndex.defaultDir(corpusDir),
+        "bpe" -> BpeArtifact.defaultDir(corpusDir)).map { case (kind, d) =>
+      val v = Versioned.currentVersion(d)
+      val (files, bytes) = walk(new java.io.File(d))
+      val (mc, fp) =
+        if (v == 0) ("", "")
+        else {
+          val meta = spark.read.parquet(s"${Versioned.versionDir(d, v)}/meta").head()
+          (meta.getAs[String]("corpus_dir"),
+            scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse(""))
+        }
+      ArtifactStatus(kind, d, v, Versioned.versions(d), files, bytes, mc, fp)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val corpusDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()

@@ -251,6 +251,32 @@ object Det {
     }
   }
 
+  /** Release exactly the memos keyed to one source dir (every memo key
+    * ends `:<dir>` by convention) — the surgical REFRESH for an
+    * in-place-mutated corpus: the stale chains die, every other
+    * family's pins survive. The in-place mutator's contract
+    * (memo docstring above) is `releaseForDir` + `Currency.invalidate`;
+    * AnnIndex.maintainStream runs both per micro-batch.
+    */
+  def releaseForDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val suffix = s":$dir"
+    val keys = memoRegistry.keys
+      .filter { case (s, k) => (s eq spark) && k.endsWith(suffix) }.toList
+    val memos = keys.flatMap(memoRegistry.remove)
+    keys.foreach { k => lastConsumer.remove(k); remaining.remove(k) }
+    if (memos.nonEmpty) {
+      // Same self-protect discipline as releaseAfter: evict from the pin
+      // registry FIRST so a released memo's own checkpoint-backed
+      // LogicalRDD cannot protect itself, then deep-unpersist with the
+      // survivors' protect set.
+      pinRegistry.get(spark).foreach { buf =>
+        buf.synchronized { buf.filterInPlace(d => !memos.exists(_ eq d)) }
+      }
+      val protectIds = liveLogicalRddIds(spark)
+      memos.foreach(unpersistDeep(_, protectIds))
+    }
+  }
+
   /** Unpersist every pin owned by `spark` and evict its memo entries.
     * Memo eviction matters: an unpersisted-but-memoized DataFrame would
     * silently recompute its HOF chain per consumer on reuse (the exact

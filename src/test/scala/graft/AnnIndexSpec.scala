@@ -190,10 +190,9 @@ class AnnIndexSpec extends SparkSpec {
     * id % 10, proto + tiny jitter, with an optional per-id offset so a
     * batch can be planted in-distribution (offset 0) or far away.
     */
-  private def writeBlobs(ids: Seq[Long], shiftOf: Long => Float): String = {
+  private def blobDf(ids: Seq[Long], shiftOf: Long => Float) = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_driftcorp").toString
-    val pts = ids.map { p =>
+    ids.map { p =>
       val blob = (p % 10).toInt
       val emb = Array.tabulate(64) { i =>
         val proto = ((blob * 31 + i * 7) % 13 - 6).toFloat * 10f
@@ -201,9 +200,12 @@ class AnnIndexSpec extends SparkSpec {
         proto + jitter + shiftOf(p)
       }
       (p, emb, blob)
-    }
-    pts.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private def writeBlobs(ids: Seq[Long], shiftOf: Long => Float): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftcorp").toString
+    blobDf(ids, shiftOf).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -270,6 +272,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(r.action == "rebuilt" && r.nRemoved == 50, s"got $r")
     assert(AnnIndex.membership(spark, idx).count() == 250)
     assert(!AnnIndex.ensure(spark, shrunk, idx))
+    Det.releasePins(spark)
+  }
+
+  test("streaming maintenance: in-distribution batch appends, drifted batch rebuilds (stream ≡ batch)") {
+    val corpus = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_s").toString
+    AnnIndex.ensure(spark, corpus, idx)
+    // File source wants a flat dir of data files: land each batch's
+    // single part file under a stable name (the postingsStream pattern).
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val q = AnnIndex.maintainStream(spark, src, corpus, idx,
+      maxFilesPerTrigger = Some(1))
+    try {
+      land(blobDf(1000L until 1030L, _ => 0f), "b0")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 330,
+        "in-distribution stream batch must append under the frozen model")
+      val centBefore = AnnIndex.centroids(spark, idx).collect().map(_.toSeq).toSet
+      land(blobDf(2000L until 2030L, _ => 500f), "b1")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 360)
+      assert(AnnIndex.centroids(spark, idx).collect().map(_.toSeq).toSet != centBefore,
+        "a drifted stream batch must retrain the coarse model")
+      // The audit table IS the stream's decision log.
+      val actions = spark.read.parquet(s"$idx/audit")
+        .orderBy("decided_at_ms").collect().map(_.getAs[String]("action")).toSeq
+      assert(actions == Seq("appended", "rebuilt"), s"got $actions")
+      assert(!AnnIndex.ensure(spark, corpus, idx),
+        "stream-maintained index must read as current for the grown corpus")
+    } finally q.stop()
     Det.releasePins(spark)
   }
 

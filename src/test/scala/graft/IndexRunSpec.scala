@@ -38,4 +38,19 @@ class IndexRunSpec extends SparkSpec {
       s"warm run must decide no-op everywhere: $r2")
     graft.queries.Det.releasePins(spark)
   }
+
+  test("fleet status reports every artifact's committed version, footprint and corpus pin") {
+    IndexRun.run(spark, dir) // idempotent warm pass — artifacts exist
+    val st = IndexRun.status(spark, dir)
+    assert(st.map(_.kind).sorted == Seq("ann", "bpe", "postings", "rp"))
+    for (a <- st) {
+      assert(a.version >= 1, s"${a.kind} must be committed: $a")
+      assert(a.retained.contains(a.version), s"${a.kind} retained window: $a")
+      assert(a.files > 0 && a.bytes > 0, s"${a.kind} footprint: $a")
+      assert(a.corpusDir == dir, s"${a.kind} must pin the corpus path: $a")
+      assert(a.fingerprint.nonEmpty,
+        s"${a.kind} must pin the corpus content fingerprint: $a")
+    }
+    graft.queries.Det.releasePins(spark)
+  }
 }

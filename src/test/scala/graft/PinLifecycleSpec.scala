@@ -91,6 +91,23 @@ class PinLifecycleSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("releaseForDir drops exactly the named dir's memos (others survive)") {
+    Det.releasePins(spark)
+    var buildsA = 0; var buildsB = 0
+    def memoA() = Det.memo(spark, "test.rfd:/d/A") {
+      buildsA += 1; spark.range(5).toDF("id")
+    }
+    def memoB() = Det.memo(spark, "test.rfd:/d/B") {
+      buildsB += 1; spark.range(5).toDF("id")
+    }
+    memoA().count(); memoB().count()
+    Det.releaseForDir(spark, "/d/A")
+    memoA().count(); memoB().count()
+    assert(buildsA == 2, "the mutated dir's memo must rebuild after releaseForDir")
+    assert(buildsB == 1, "an unrelated dir's memo must survive releaseForDir")
+    Det.releasePins(spark)
+  }
+
   test("pins rebuild (not silently uncached) after release") {
     Det.releasePins(spark)
     val cm = spark.sharedState.cacheManager
