@@ -88,6 +88,23 @@ object Publish {
   def servingVersionDir(outDir: String, v: Long): String =
     Versioned.versionDir(s"$outDir/serving", v)
 
+  /** What the last publish actually did: the snapshot-diff kernel
+    * (Dedup.snapshotDiffOver — hash-before-join, one full-outer
+    * shuffle) over the two newest RETAINED serving versions →
+    * (source, class, n) with class ∈ added/removed/changed/unchanged.
+    * The Delta-CDF-style "changes since the previous snapshot" read,
+    * paid for by retention alone — no change log is maintained.
+    * Requires a retention window ≥ 2 (the default keeps predecessor +
+    * current).
+    */
+  def servingDiff(spark: SparkSession, outDir: String): DataFrame = {
+    val vs = servingVersions(outDir)
+    require(vs.size >= 2, s"need two retained serving versions to diff, have $vs")
+    graft.queries.Dedup.snapshotDiffOver(
+      graft.Tables.documents(spark, servingVersionDir(outDir, vs(vs.size - 2))),
+      graft.Tables.documents(spark, servingVersionDir(outDir, vs.last)))
+  }
+
   /** Stage the serving snapshot WITHOUT committing: write documents (+
     * restricted, re-keyed embeddings) under the next version dir and
     * return its number for `Versioned.promote`. Exposed private[graft]

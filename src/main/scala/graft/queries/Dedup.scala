@@ -1278,20 +1278,23 @@ object Dedup {
     * This is the Delta-Lake-CDF-shaped diff re-expressed as plain
     * relational algebra over content hashes.
     */
-  val snapshotDiff: Q = (spark, dir) => {
-    val d = documents(spark, dir)
-    // Presence is carried as an explicit non-null marker per side, NOT
-    // inferred from h_old/h_new nullness: md5(NULL text) is NULL, and a
-    // null-text doc present on both sides must classify by the same rule
-    // the oracle uses (side-presence via the outer join), never "added".
-    val old = d.filter(col("doc_id") % 10 < 8)
-      .select(col("doc_id"), col("source"), md5(col("text")).as("h_old"),
-        lit(true).as("in_old"))
-    val neu = d.filter(col("doc_id") % 10 >= 2)
-      .select(col("doc_id"), col("source").as("source_new"),
-        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text"))).as("h_new"),
-        lit(true).as("in_new"))
+  /** The diff kernel over two ARBITRARY document snapshots (doc_id,
+    * source, text): each side hashed BEFORE the one full-outer join —
+    * text never ships into it. `snapshotDiff` feeds it two
+    * deterministically-derived views of one corpus (so the DuckDB
+    * oracle sees identical snapshots); ext.Publish.servingDiff feeds it
+    * two RETAINED serving versions — "what did the last publish do".
+    *
+    * Presence is carried as an explicit non-null marker per side, NOT
+    * inferred from h_old/h_new nullness: md5(NULL text) is NULL, and a
+    * null-text doc present on both sides must classify by the same rule
+    * the oracle uses (side-presence via the outer join), never "added".
+    */
+  private[graft] def snapshotDiffOver(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val old = oldDocs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h_old"), lit(true).as("in_old"))
+    val neu = newDocs.select(col("doc_id"), col("source").as("source_new"),
+      md5(col("text")).as("h_new"), lit(true).as("in_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("source"), col("source_new")).as("source"),
@@ -1302,6 +1305,17 @@ object Dedup {
       .groupBy(col("source"), col("class"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("source"), col("class"))
+  }
+
+  val snapshotDiff: Q = (spark, dir) => {
+    val d = documents(spark, dir)
+    snapshotDiffOver(
+      d.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("source"), col("text")),
+      d.filter(col("doc_id") % 10 >= 2)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text")))
   }
 
   val snapshotDiffSql: String =

@@ -118,6 +118,13 @@ class PublishSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(oldIds == (300L until 306L).toSet, s"v${vs.head} must serve dump A: $oldIds")
     assert(curIds == (310L until 318L).toSet, s"CURRENT must serve dump B: $curIds")
+    // The publish's own change report: diff of the two retained
+    // snapshots — dump A's docs removed, dump B's added, nothing shared.
+    val diff = Publish.servingDiff(spark, out).collect()
+      .map(r => (r.getAs[String]("class"), r.getAs[Long]("n")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    assert(diff == Map("added" -> 8L, "removed" -> 6L),
+      s"servingDiff must report the publish's effect: $diff")
     // Default retention (keep=2) trims the window back to two snapshots.
     Publish.run(spark, dump(src, 320L until 324L, "c"), out)
     val vs2 = Publish.servingVersions(out)
