@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
   *                    lookup skip every file outside the term's range
   *                    (the bucketed-by-term layout a 100 TB postings
   *                    store would use)
-  *   v<N>/meta/       (n_docs, corpus_dir, schema_version, fingerprint)
-  *                    1 row — the corpus content fingerprint
+  *   v<N>/termstats/  (term, doc_id, dl, tf) — the BM25 sufficient
+  *                    statistics, term-range-partitioned like the
+  *                    postings so a query-term lookup reads only the
+  *                    matching term ranges' files (dl denormalized on so
+  *                    scoring needs no doc-side join)
+  *   v<N>/meta/       (n_docs, corpus_dir, schema_version, fingerprint,
+  *                    sum_dl) 1 row — the corpus content fingerprint
   *                    (ext/Currency) currency compares, so a same-count
-  *                    in-place corpus swap invalidates
+  *                    in-place corpus swap invalidates; sum_dl (total
+  *                    token count, mergeable) gives avgdl without a scan
   *
   * Maintenance is append-only: `appendDocs` tokenizes ONLY the new
   * documents (O(increment)) and stages version N+1 = hard links to
@@ -44,10 +50,12 @@ import org.apache.spark.sql.functions._
   */
 object PostingsIndex {
 
-  /** v2 = the version-chain layout + fingerprint currency (a v1 flat
-    * index has no CURRENT and reads as unbuilt → rebuilds once).
+  /** v3 = v2 (version chain + fingerprint currency) + the `termstats`
+    * table and the mergeable `sum_dl` meta column that let BM25
+    * retrieval serve from the artifact (an older layout reads as stale
+    * → rebuilds once).
     */
-  private val SchemaVersion = 2L
+  private val SchemaVersion = 3L
 
   def defaultDir(corpusDir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
@@ -68,6 +76,20 @@ object PostingsIndex {
   def tokenize(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
 
+  /** Per-(term, doc) frequency with the document length denormalized on
+    * (dl is a per-document constant, so carrying it keeps BM25 serving a
+    * single pruned scan with no doc-side join) — the BM25 sufficient
+    * statistics. A per-document function of the text, so append ≡ full
+    * rebuild exactly, like the postings themselves.
+    */
+  def termStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
     val docs = graft.Tables.documents(spark, corpusDir)
     val v = Versioned.nextVersion(idxDir)
@@ -75,14 +97,27 @@ object PostingsIndex {
     tokenize(docs)
       .repartitionByRange(col("term"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/postings")
-    writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir)
+    termStats(docs)
+      .repartitionByRange(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/termstats")
+    writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir,
+      sumDl(spark, s"$vd/termstats"))
     Versioned.promote(idxDir, v)
   }
 
+  /** Total corpus token count (Σ dl), read off the staged termstats so
+    * build and append derive it from the same rows they just wrote. One
+    * dl per doc_id: max(dl) collapses the per-term duplication exactly.
+    */
+  private def sumDl(spark: SparkSession, termstatsPath: String): Long =
+    spark.read.parquet(termstatsPath)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+
   private def writeMeta(spark: SparkSession, versionDir: String,
-                        fp: Currency.Fp, corpusDir: String): Unit =
-    spark.createDataFrame(Seq((fp.n, corpusDir, SchemaVersion, fp.repr)))
-      .toDF("n_docs", "corpus_dir", "schema_version", "fingerprint")
+                        fp: Currency.Fp, corpusDir: String, sumDl: Long): Unit =
+    spark.createDataFrame(Seq((fp.n, corpusDir, SchemaVersion, fp.repr, sumDl)))
+      .toDF("n_docs", "corpus_dir", "schema_version", "fingerprint", "sum_dl")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$versionDir/meta")
 
   /** Current = built AND committed meta matches the live corpus by
@@ -108,6 +143,15 @@ object PostingsIndex {
 
   def postings(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "postings"))
+
+  def termstats(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "termstats"))
+
+  /** Committed corpus-level BM25 constants: (n_docs, Σ dl). */
+  def corpusStats(spark: SparkSession, idxDir: String): (Long, Long) = {
+    val m = spark.read.parquet(tablePath(idxDir, "meta")).head()
+    (m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"))
+  }
 
   /** Streaming maintenance: new documents land as parquet files under
     * `sourceDir`; each micro-batch appends its postings via the SAME
@@ -141,34 +185,48 @@ object PostingsIndex {
     require(isBuilt(idxDir), s"no postings index at $idxDir — build before appending")
     val cvd = Versioned.committedDir(idxDir)
     val meta = spark.read.parquet(s"$cvd/meta").head()
-    val nAdd = newDocs.count()
+    require(scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion,
+      s"postings index at $idxDir has an older layout — rebuild (ensure) before appending")
     val newV = Versioned.nextVersion(idxDir)
     val nvd = Versioned.versionDir(idxDir, newV)
     Versioned.linkTable(spark, s"$cvd/postings", s"$nvd/postings")
     tokenize(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/postings")
-    val files = Compaction.dataFiles(spark, s"$nvd/postings")
-    if (files.size > compactFileBound) {
-      // In-staging compaction: nothing here is visible to a reader until
-      // the CURRENT flip, so the rewrite needs no atomicity of its own.
-      val nFiles = math.max(1,
-        math.ceil(files.map(_._2).sum.toDouble / (128L * 1024 * 1024)).toInt)
-      val tmp = s"$nvd/postings.compacting"
-      spark.read.parquet(s"$nvd/postings")
-        .repartitionByRange(nFiles, col("term"), col("doc_id"))
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      Versioned.deleteRecursively(new java.io.File(s"$nvd/postings"))
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(s"$nvd/postings"))
-    }
+    compactIfNeeded(spark, s"$nvd/postings", compactFileBound)
+    Versioned.linkTable(spark, s"$cvd/termstats", s"$nvd/termstats")
+    termStats(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/termstats")
+    compactIfNeeded(spark, s"$nvd/termstats", compactFileBound)
     // The appended corpus is (committed fingerprint's corpus + newDocs):
     // recompute the fingerprint constituents incrementally — count adds,
     // max-id maxes, sample-hash sums — without touching old documents.
+    // sum_dl merges the same way (token counts add).
     val oldFp = Currency.parse(
       scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
     val addFp = Currency.fp(newDocs, "doc_id", substring(col("text"), 1, 64))
     val fp = Currency.Fp(oldFp.n + addFp.n,
       math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
-    writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"))
+    val addDl = newDocs.select(coalesce(sum(size(split(col("text"), " ")).cast("long")),
+      lit(0L))).head().getLong(0)
+    writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"),
+      meta.getAs[Long]("sum_dl") + addDl)
     Versioned.promote(idxDir, newV)
+  }
+
+  /** In-staging compaction (re-sorted by term to restore file pruning):
+    * nothing here is visible to a reader until the CURRENT flip, so the
+    * rewrite needs no atomicity of its own.
+    */
+  private def compactIfNeeded(spark: SparkSession, table: String, bound: Int): Unit = {
+    val files = Compaction.dataFiles(spark, table)
+    if (files.size > bound) {
+      val nFiles = math.max(1,
+        math.ceil(files.map(_._2).sum.toDouble / (128L * 1024 * 1024)).toInt)
+      val tmp = s"$table.compacting"
+      spark.read.parquet(table)
+        .repartitionByRange(nFiles, col("term"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      Versioned.deleteRecursively(new java.io.File(table))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(table))
+    }
   }
 }

@@ -234,6 +234,84 @@ object TextOps {
        |  ${sqlR6("score")} AS bm25
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 retrieval: score every document containing any of a fixed
+    * query-term set and return the top-20 by summed BM25 — the ranked
+    * keyword retrieval a corpus-audit or RAG pipeline runs against a
+    * training corpus ("which documents dominate for these terms?").
+    *
+    * SERVED FROM THE POSTINGS ARTIFACT (ext.PostingsIndex v3): the
+    * `termstats` table holds the BM25 sufficient statistics
+    * (term, doc_id, dl, tf) term-range-partitioned, and meta carries
+    * (n_docs, Σ dl), so the warm plan is: one scan of the ≤4 query
+    * terms' file ranges (the `term IN (…)` predicate reaches the
+    * parquet scan and min/max stats skip every other file — the same
+    * pruning q_phrase_search gets), a tiny per-term df aggregate
+    * broadcast back, and a per-doc top-k. The corpus text is never
+    * read, and no corpus-wide tf/df job runs at query time — at 100 TB
+    * this is the difference between a retrieval and a recount.
+    *
+    * Determinism: Robertson rational idf (no ln — see textBm25), the
+    * per-doc score sum in exact DECIMAL (Det.dsum), r6 rounding, and a
+    * doc_id tiebreak on the top-k boundary.
+    */
+  private val Bm25QueryTerms = Seq("vector", "hash", "merge", "window")
+
+  val bm25Search: Q = (spark, dir) => {
+    val idx = graft.ext.PostingsIndex.defaultDir(dir)
+    graft.ext.PostingsIndex.ensure(spark, dir, idx)
+    val (nDocs, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idx)
+    bm25SearchOver(graft.ext.PostingsIndex.termstats(spark, idx), nDocs, sumDl)
+  }
+
+  /** The same algebra over in-session sufficient statistics — no
+    * artifact consulted; kept so specs can pin served ≡ in-session.
+    */
+  private[graft] val bm25SearchInSession: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+    val s = docs.agg(
+      count(lit(1)),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))).head()
+    bm25SearchOver(graft.ext.PostingsIndex.termStats(docs), s.getLong(0), s.getLong(1))
+  }
+
+  private def bm25SearchOver(termstats: DataFrame, nDocs: Long, sumDl: Long): DataFrame = {
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val hits = termstats.filter(col("term").isin(Bm25QueryTerms: _*))
+    val dfc = hits.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = hits.join(broadcast(dfc), "term")
+      .withColumn("score",
+        ((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl)))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), r6(dsum(col("score"))).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("bm25"))
+  }
+
+  val bm25SearchSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         CAST(sum(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sum_dl
+       |  FROM toks),
+       |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+       |hits AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM tf WHERE term IN ('vector', 'hash', 'merge', 'window')
+       |  GROUP BY doc_id, dl, term),
+       |scored AS (
+       |  SELECT h.doc_id,
+       |    ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      ((h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / (s.sum_dl / s.n_docs)))) AS score
+       |  FROM hits h
+       |  JOIN (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY term) d USING (term)
+       |  CROSS JOIN stats s)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, ${sqlR6(sqlDsum("score"))} AS bm25
+       |FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   /** Training-chunk splitting: every document sliced into 64-token
     * windows with stride 48 (16-token overlap) — the canonical LLM
     * pre-training preprocessing step. Chunk boundaries come from a
@@ -2104,6 +2182,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q_postings_stats" -> postingsStats,
     "q_phrase_search" -> phraseSearch,
+    "q_bm25_search" -> bm25Search,
     "q_url_canon" -> urlCanon,
     "q_quality_model" -> qualityModel,
     "q_split_assign" -> splitAssign,
@@ -2138,6 +2217,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_postings_stats" -> postingsStatsSql,
     "q_phrase_search" -> phraseSearchSql,
+    "q_bm25_search" -> bm25SearchSql,
     "q_url_canon" -> urlCanonSql,
     "q_quality_model" -> qualityModelSql,
     "q_split_assign" -> splitAssignSql,

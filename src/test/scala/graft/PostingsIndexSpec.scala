@@ -118,6 +118,63 @@ class PostingsIndexSpec extends SparkSpec {
       "stream-maintained postings must equal a from-scratch build over the union")
   }
 
+  // Query terms of q_bm25_search (TextOps.Bm25QueryTerms) woven into a
+  // corpus where tf, df and dl all vary, so ranking is non-degenerate.
+  private val bm25Rows = Seq(
+    1L -> "vector hash merge window vector",
+    2L -> "hash table scan with a hash and another hash inside",
+    3L -> "merge sort merge join merge again merge forever and the window",
+    4L -> "window functions over a window frame",
+    5L -> "no query term appears in this document at all",
+    6L -> "vector")
+
+  test("served BM25 equals the in-session statistics; warm plan scans only termstats") {
+    val corpus = mkCorpus(bm25Rows)
+    val inSession = TextOps.bm25SearchInSession(spark, corpus).collect().map(_.toSeq)
+    assert(inSession.nonEmpty, "spec corpus must score at least one document")
+    val served = TextOps.queries("q_bm25_search")(spark, corpus)
+    assert(served.collect().map(_.toSeq).toSeq == inSession.toSeq,
+      "artifact-served BM25 must equal the in-session sufficient statistics")
+    // Warm plan: the termstats table feeds the scan (not the raw
+    // postings, not the corpus text), the term IN (…) predicate reaches
+    // the parquet source, and nothing re-tokenizes.
+    val fresh = spark.newSession()
+    val qe = TextOps.queries("q_bm25_search")(fresh, corpus).queryExecution
+    val phys = qe.executedPlan.toString
+    // (The plan string elides long paths, so pin the termstats scan by
+    // its read schema — only that table carries (dl, tf).)
+    assert(phys.contains("struct<term:string,doc_id:bigint,dl:bigint,tf:bigint>"),
+      "warm plan must scan the termstats table")
+    assert(!phys.contains("documents.parquet"), "warm plan must not re-read the corpus")
+    assert(phys.contains("PushedFilters: [In(term,") || phys.contains("In(term, ["),
+      s"the query-term IN filter must reach the parquet scan:\n$phys")
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("posexplode"),
+      "warm plan must not re-tokenize")
+    graft.queries.Det.releasePins(fresh)
+  }
+
+  test("appended termstats equal a from-scratch build; corpus stats merge exactly") {
+    val corpus = mkCorpus(bm25Rows)
+    val newRows = Seq(
+      10L -> "vector window vector window hash",
+      11L -> "entirely novel words only")
+    val union = mkCorpus(bm25Rows ++ newRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_bm").toString
+    val idxFull = java.nio.file.Files.createTempDirectory("postings_idx_bmf").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    PostingsIndex.appendDocs(spark, idx,
+      newRows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    PostingsIndex.ensure(spark, union, idxFull)
+    def stats(d: String) = PostingsIndex.termstats(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(stats(idx) == stats(idxFull),
+      "appended termstats must equal a from-scratch build over the union")
+    assert(PostingsIndex.corpusStats(spark, idx) ==
+      PostingsIndex.corpusStats(spark, idxFull),
+      "merged (n_docs, sum_dl) must equal the from-scratch corpus stats")
+  }
+
   test("compaction bounds the file count and preserves content") {
     val corpus = mkCorpus(baseRows)
     val idx = java.nio.file.Files.createTempDirectory("postings_idx5").toString
@@ -127,9 +184,10 @@ class PostingsIndexSpec extends SparkSpec {
     val add = Seq((20L, "more words to append", "en", "s0", 20L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
-    val files = graft.ext.Compaction.dataFiles(spark,
-      PostingsIndex.tablePath(idx, "postings"))
-    assert(files.size <= 1, s"bound-1 compaction must leave ≤1 file, got ${files.size}")
+    for (t <- Seq("postings", "termstats")) {
+      val files = graft.ext.Compaction.dataFiles(spark, PostingsIndex.tablePath(idx, t))
+      assert(files.size <= 1, s"bound-1 compaction must leave ≤1 $t file, got ${files.size}")
+    }
     val after = PostingsIndex.postings(spark, idx)
       .filter(col("doc_id") =!= 20L)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
