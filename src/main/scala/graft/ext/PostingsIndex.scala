@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   *                    postings so a query-term lookup reads only the
   *                    matching term ranges' files (dl denormalized on so
   *                    scoring needs no doc-side join)
+  *   v<N>/gramstats/  (phrase, df) — per-batch trigram document-
+  *                    frequency PARTIALS (LSM-style): appended batches
+  *                    land their own segment, readers sum partials
+  *                    (exact — appended doc sets are disjoint),
+  *                    compaction pre-merges; serves phrase-frequency
+  *                    ranking without the query-time 3-way postings
+  *                    self-join
   *   v<N>/meta/       (n_docs, corpus_dir, schema_version, fingerprint,
   *                    sum_dl) 1 row — the corpus content fingerprint
   *                    (ext/Currency) currency compares, so a same-count
@@ -52,10 +59,11 @@ object PostingsIndex {
 
   /** v3 = v2 (version chain + fingerprint currency) + the `termstats`
     * table and the mergeable `sum_dl` meta column that let BM25
-    * retrieval serve from the artifact (an older layout reads as stale
-    * → rebuilds once).
+    * retrieval serve from the artifact; v4 adds the `gramstats`
+    * trigram-df table that serves q_phrase_search's phrase ranking (an
+    * older layout reads as stale → rebuilds once).
     */
-  private val SchemaVersion = 3L
+  private val SchemaVersion = 4L
 
   def defaultDir(corpusDir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
@@ -90,6 +98,24 @@ object PostingsIndex {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Per-batch trigram document frequencies — the LSM-style partial
+    * aggregate behind phrase-frequency ranking. Each build/append batch
+    * contributes (phrase, df-within-batch) rows; because an append's
+    * documents are NEW (disjoint doc sets), the true corpus df of a
+    * phrase is the plain SUM of its partials across segments — exact
+    * under any merge order, so a reader aggregates segments and a
+    * compaction pre-merges them, both to the same numbers. Trigrams are
+    * per-document (never span documents), so append ≡ full rebuild
+    * exactly, like every other table here.
+    */
+  def gramDfs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("phrase"))
+      .groupBy(col("phrase")).agg(countDistinct(col("doc_id")).as("df"))
+
   def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
     val docs = graft.Tables.documents(spark, corpusDir)
     val v = Versioned.nextVersion(idxDir)
@@ -100,6 +126,9 @@ object PostingsIndex {
     termStats(docs)
       .repartitionByRange(col("term"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/termstats")
+    gramDfs(docs)
+      .repartitionByRange(col("phrase"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/gramstats")
     writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir,
       sumDl(spark, s"$vd/termstats"))
     Versioned.promote(idxDir, v)
@@ -146,6 +175,13 @@ object PostingsIndex {
 
   def termstats(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "termstats"))
+
+  /** Corpus trigram document frequencies, merged across whatever
+    * segments the version holds (see gramDfs — the sum is exact).
+    */
+  def gramstats(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "gramstats"))
+      .groupBy(col("phrase")).agg(sum(col("df")).as("df"))
 
   /** Committed corpus-level BM25 constants: (n_docs, Σ dl). */
   def corpusStats(spark: SparkSession, idxDir: String): (Long, Long) = {
@@ -195,6 +231,13 @@ object PostingsIndex {
     Versioned.linkTable(spark, s"$cvd/termstats", s"$nvd/termstats")
     termStats(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/termstats")
     compactIfNeeded(spark, s"$nvd/termstats", compactFileBound)
+    Versioned.linkTable(spark, s"$cvd/gramstats", s"$nvd/gramstats")
+    gramDfs(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/gramstats")
+    compactIfNeeded(spark, s"$nvd/gramstats", compactFileBound,
+      // LSM merge: collapse per-batch df partials (sum is exact — see
+      // gramDfs) so the compacted segment is the aggregated table.
+      df => df.groupBy(col("phrase")).agg(sum(col("df")).as("df")),
+      Seq(col("phrase")))
     // The appended corpus is (committed fingerprint's corpus + newDocs):
     // recompute the fingerprint constituents incrementally — count adds,
     // max-id maxes, sample-hash sums — without touching old documents.
@@ -215,14 +258,17 @@ object PostingsIndex {
     * nothing here is visible to a reader until the CURRENT flip, so the
     * rewrite needs no atomicity of its own.
     */
-  private def compactIfNeeded(spark: SparkSession, table: String, bound: Int): Unit = {
+  private def compactIfNeeded(spark: SparkSession, table: String, bound: Int,
+                              merge: DataFrame => DataFrame = identity,
+                              sortCols: Seq[org.apache.spark.sql.Column] =
+                                Seq(col("term"), col("doc_id"))): Unit = {
     val files = Compaction.dataFiles(spark, table)
     if (files.size > bound) {
       val nFiles = math.max(1,
         math.ceil(files.map(_._2).sum.toDouble / (128L * 1024 * 1024)).toInt)
       val tmp = s"$table.compacting"
-      spark.read.parquet(table)
-        .repartitionByRange(nFiles, col("term"), col("doc_id"))
+      merge(spark.read.parquet(table))
+        .repartitionByRange(nFiles, sortCols: _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       Versioned.deleteRecursively(new java.io.File(table))
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp),

@@ -2065,31 +2065,46 @@ object TextOps {
   val phraseSearch: Q = (spark, dir) => {
     val idx = graft.ext.PostingsIndex.defaultDir(dir)
     graft.ext.PostingsIndex.ensure(spark, dir, idx)
-    phraseSearchOver(graft.ext.PostingsIndex.postings(spark, idx))
+    // Ranking serves from the persisted trigram-df table (PostingsIndex
+    // v4): the query-time 3-way postings self-join the in-session chain
+    // pays — two (doc_id, pos±k) shuffle joins over the WHOLE postings
+    // table, the dominant scaler at 100× data — is replaced by a scan +
+    // top-1 over pre-aggregated (phrase, df) segments. The positional
+    // lookup below is unchanged: that part was always index-shaped.
+    phraseSearchOver(graft.ext.PostingsIndex.postings(spark, idx),
+      topPhrase(graft.ext.PostingsIndex.gramstats(spark, idx)))
   }
 
   /** The same algebra over freshly tokenized text — no artifact
     * consulted; kept so specs can pin served ≡ in-session.
     */
-  private[graft] val phraseSearchInSession: Q = (spark, dir) =>
-    phraseSearchOver(graft.ext.PostingsIndex.tokenize(documents(spark, dir)))
-
-  private def phraseSearchOver(postings: DataFrame): DataFrame = {
+  private[graft] val phraseSearchInSession: Q = (spark, dir) => {
+    val postings = graft.ext.PostingsIndex.tokenize(documents(spark, dir))
     val grams = postings.as("p1")
       .join(postings.as("p2"),
         col("p1.doc_id") === col("p2.doc_id") && col("p2.pos") === col("p1.pos") + 1)
       .join(postings.as("p3"),
         col("p1.doc_id") === col("p3.doc_id") && col("p3.pos") === col("p1.pos") + 2)
       .select(col("p1.doc_id").as("doc_id"),
-        concat_ws(" ", col("p1.term"), col("p2.term"), col("p3.term")).as("phrase"),
-        col("p1.pos").as("pos"))
-    val top = grams.groupBy(col("phrase"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+        concat_ws(" ", col("p1.term"), col("p2.term"), col("p3.term")).as("phrase"))
+      .groupBy(col("phrase")).agg(countDistinct(col("doc_id")).as("df"))
+    phraseSearchOver(postings, topPhrase(grams))
+  }
+
+  /** Top trigram by document frequency (ties lexicographic) from a
+    * (phrase, df) frame — the shared ranking head of the served and
+    * in-session chains (gramDfs-derived and self-join-derived df are
+    * the same numbers, so the two chains pick the same phrase).
+    */
+  private def topPhrase(phraseDfs: DataFrame): DataFrame =
+    phraseDfs
       .orderBy(col("df").desc, col("phrase")).limit(1)
       .select(col("phrase"), col("df"),
         split(col("phrase"), " ").getItem(0).as("w1"),
         split(col("phrase"), " ").getItem(1).as("w2"),
         split(col("phrase"), " ").getItem(2).as("w3"))
+
+  private def phraseSearchOver(postings: DataFrame, top: DataFrame): DataFrame = {
     // The actual lookup: each leg reads ONLY the matching term's postings
     // (broadcast-filtered before any doc-level join), then aligns offsets.
     val t1 = postings.join(broadcast(top), col("term") === col("w1"))

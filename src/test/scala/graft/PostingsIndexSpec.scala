@@ -44,6 +44,16 @@ class PostingsIndexSpec extends SparkSpec {
       "warm plan must not re-read the corpus text")
     assert(!qe.optimizedPlan.toString.toLowerCase.contains("posexplode"),
       "warm plan must not re-tokenize")
+    // v4: the phrase-frequency ranking reads the pre-aggregated
+    // gramstats segments (schema (phrase, df)) — the 3-way (doc_id,
+    // pos±k) self-join over the whole postings table is gone from the
+    // warm plan; only the lookup's two alignment joins remain.
+    assert(phys.contains("struct<phrase:string,df:bigint>"),
+      "warm ranking must scan the gramstats table")
+    // The query-time ranking aggregation (countDistinct over the gram
+    // self-join) is what v4 removed — its absence is the discriminator.
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("count(distinct"),
+      "warm ranking must not recompute per-phrase document frequencies")
     graft.queries.Det.releasePins(fresh)
   }
 
@@ -173,6 +183,12 @@ class PostingsIndexSpec extends SparkSpec {
     assert(PostingsIndex.corpusStats(spark, idx) ==
       PostingsIndex.corpusStats(spark, idxFull),
       "merged (n_docs, sum_dl) must equal the from-scratch corpus stats")
+    // gramstats: the appended segment's df partials must SUM to the
+    // from-scratch document frequencies (the LSM merge law).
+    def gstats(d: String) = PostingsIndex.gramstats(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(gstats(idx) == gstats(idxFull),
+      "summed gramstats partials must equal a from-scratch build over the union")
   }
 
   test("compaction bounds the file count and preserves content") {
