@@ -126,6 +126,16 @@ class PostingsIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(rows(idx) == rows(idxFull),
       "stream-maintained postings must equal a from-scratch build over the union")
+    // The stream appends through the same appendDocs, so the BM25 and
+    // phrase-ranking tables are maintained too — pin all three.
+    def trows(d: String) = PostingsIndex.termstats(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(trows(idx) == trows(idxFull),
+      "stream-maintained termstats must equal a from-scratch build")
+    def grows(d: String) = PostingsIndex.gramstats(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(grows(idx) == grows(idxFull),
+      "stream-maintained gramstats partials must sum to a from-scratch build")
   }
 
   // Query terms of q_bm25_search (TextOps.Bm25QueryTerms) woven into a
