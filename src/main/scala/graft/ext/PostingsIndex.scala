@@ -183,11 +183,21 @@ object PostingsIndex {
     spark.read.parquet(tablePath(idxDir, "gramstats"))
       .groupBy(col("phrase")).agg(sum(col("df")).as("df"))
 
-  /** Committed corpus-level BM25 constants: (n_docs, Σ dl). */
+  /** Committed corpus-level BM25 constants: (n_docs, Σ dl). Immutable
+    * per committed version, so memoized per (idxDir, version) — a warm
+    * q_bm25_search serve reads no meta file; a version bump (append /
+    * rebuild) self-invalidates through the key.
+    */
   def corpusStats(spark: SparkSession, idxDir: String): (Long, Long) = {
-    val m = spark.read.parquet(tablePath(idxDir, "meta")).head()
-    (m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"))
+    val v = Versioned.currentVersion(idxDir)
+    statsMemo.getOrElseUpdate((idxDir, v), {
+      val m = spark.read.parquet(s"${Versioned.versionDir(idxDir, v)}/meta").head()
+      (m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"))
+    })
   }
+
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, Long)]
 
   /** Streaming maintenance: new documents land as parquet files under
     * `sourceDir`; each micro-batch appends its postings via the SAME
@@ -223,35 +233,41 @@ object PostingsIndex {
     val meta = spark.read.parquet(s"$cvd/meta").head()
     require(scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion,
       s"postings index at $idxDir has an older layout — rebuild (ensure) before appending")
-    val newV = Versioned.nextVersion(idxDir)
-    val nvd = Versioned.versionDir(idxDir, newV)
-    Versioned.linkTable(spark, s"$cvd/postings", s"$nvd/postings")
-    tokenize(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/postings")
-    compactIfNeeded(spark, s"$nvd/postings", compactFileBound)
-    Versioned.linkTable(spark, s"$cvd/termstats", s"$nvd/termstats")
-    termStats(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/termstats")
-    compactIfNeeded(spark, s"$nvd/termstats", compactFileBound)
-    Versioned.linkTable(spark, s"$cvd/gramstats", s"$nvd/gramstats")
-    gramDfs(newDocs).write.mode(SaveMode.Append).parquet(s"$nvd/gramstats")
-    compactIfNeeded(spark, s"$nvd/gramstats", compactFileBound,
-      // LSM merge: collapse per-batch df partials (sum is exact — see
-      // gramDfs) so the compacted segment is the aggregated table.
-      df => df.groupBy(col("phrase")).agg(sum(col("df")).as("df")),
-      Seq(col("phrase")))
-    // The appended corpus is (committed fingerprint's corpus + newDocs):
-    // recompute the fingerprint constituents incrementally — count adds,
-    // max-id maxes, sample-hash sums — without touching old documents.
-    // sum_dl merges the same way (token counts add).
-    val oldFp = Currency.parse(
-      scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
-    val addFp = Currency.fp(newDocs, "doc_id", substring(col("text"), 1, 64))
-    val fp = Currency.Fp(oldFp.n + addFp.n,
-      math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
-    val addDl = newDocs.select(coalesce(sum(size(split(col("text"), " ")).cast("long")),
-      lit(0L))).head().getLong(0)
-    writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"),
-      meta.getAs[Long]("sum_dl") + addDl)
-    Versioned.promote(idxDir, newV)
+    // Five jobs read the increment (three table derivations + two
+    // aggregates); pin it once so a streaming micro-batch's source is
+    // deserialized once, not five times.
+    val docs = newDocs.persist()
+    try {
+      val newV = Versioned.nextVersion(idxDir)
+      val nvd = Versioned.versionDir(idxDir, newV)
+      Versioned.linkTable(spark, s"$cvd/postings", s"$nvd/postings")
+      tokenize(docs).write.mode(SaveMode.Append).parquet(s"$nvd/postings")
+      compactIfNeeded(spark, s"$nvd/postings", compactFileBound)
+      Versioned.linkTable(spark, s"$cvd/termstats", s"$nvd/termstats")
+      termStats(docs).write.mode(SaveMode.Append).parquet(s"$nvd/termstats")
+      compactIfNeeded(spark, s"$nvd/termstats", compactFileBound)
+      Versioned.linkTable(spark, s"$cvd/gramstats", s"$nvd/gramstats")
+      gramDfs(docs).write.mode(SaveMode.Append).parquet(s"$nvd/gramstats")
+      compactIfNeeded(spark, s"$nvd/gramstats", compactFileBound,
+        // LSM merge: collapse per-batch df partials (sum is exact — see
+        // gramDfs) so the compacted segment is the aggregated table.
+        Some(df => df.groupBy(col("phrase")).agg(sum(col("df")).as("df"))),
+        Seq(col("phrase")))
+      // The appended corpus is (committed fingerprint's corpus + newDocs):
+      // recompute the fingerprint constituents incrementally — count adds,
+      // max-id maxes, sample-hash sums — without touching old documents.
+      // sum_dl merges the same way (token counts add).
+      val oldFp = Currency.parse(
+        scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
+      val addFp = Currency.fp(docs, "doc_id", substring(col("text"), 1, 64))
+      val fp = Currency.Fp(oldFp.n + addFp.n,
+        math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
+      val addDl = docs.select(coalesce(sum(size(split(col("text"), " ")).cast("long")),
+        lit(0L))).head().getLong(0)
+      writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"),
+        meta.getAs[Long]("sum_dl") + addDl)
+      Versioned.promote(idxDir, newV)
+    } finally docs.unpersist()
   }
 
   /** In-staging compaction (re-sorted by term to restore file pruning):
@@ -259,15 +275,25 @@ object PostingsIndex {
     * rewrite needs no atomicity of its own.
     */
   private def compactIfNeeded(spark: SparkSession, table: String, bound: Int,
-                              merge: DataFrame => DataFrame = identity,
+                              merge: Option[DataFrame => DataFrame] = None,
                               sortCols: Seq[org.apache.spark.sql.Column] =
                                 Seq(col("term"), col("doc_id"))): Unit = {
     val files = Compaction.dataFiles(spark, table)
     if (files.size > bound) {
-      val nFiles = math.max(1,
-        math.ceil(files.map(_._2).sum.toDouble / (128L * 1024 * 1024)).toInt)
+      val preBytes = files.map(_._2).sum.toDouble
+      // A merging compaction can shrink the data by a large factor;
+      // size the output by post-merge rows × the pre-merge bytes/row
+      // (two metadata-cheap counts, paid only on the rare compaction)
+      // so the compacted table isn't sliced into far-under-sized files.
+      val outBytes = merge match {
+        case None => preBytes
+        case Some(m) =>
+          val preRows = spark.read.parquet(table).count().max(1L)
+          preBytes * m(spark.read.parquet(table)).count() / preRows
+      }
+      val nFiles = math.max(1, math.ceil(outBytes / (128L * 1024 * 1024)).toInt)
       val tmp = s"$table.compacting"
-      merge(spark.read.parquet(table))
+      merge.getOrElse(identity[DataFrame] _)(spark.read.parquet(table))
         .repartitionByRange(nFiles, sortCols: _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       Versioned.deleteRecursively(new java.io.File(table))

@@ -210,7 +210,7 @@ class PostingsIndexSpec extends SparkSpec {
     val add = Seq((20L, "more words to append", "en", "s0", 20L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
-    for (t <- Seq("postings", "termstats")) {
+    for (t <- Seq("postings", "termstats", "gramstats")) {
       val files = graft.ext.Compaction.dataFiles(spark, PostingsIndex.tablePath(idx, t))
       assert(files.size <= 1, s"bound-1 compaction must leave ≤1 $t file, got ${files.size}")
     }
@@ -218,6 +218,16 @@ class PostingsIndexSpec extends SparkSpec {
       .filter(col("doc_id") =!= 20L)
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(after == before, "compaction must preserve every pre-existing posting")
+    // The gramstats compaction is the only one that REWRITES row content
+    // (groupBy-sum of df partials) — verify the merged content against a
+    // from-scratch build over the same union, not just the file count.
+    val unionIdx = java.nio.file.Files.createTempDirectory("postings_idx5u").toString
+    PostingsIndex.ensure(spark,
+      mkCorpus(baseRows :+ (20L -> "more words to append")), unionIdx)
+    def gstats(d: String) = PostingsIndex.gramstats(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(gstats(idx) == gstats(unionIdx),
+      "merge-compacted gramstats must equal a from-scratch build's frequencies")
   }
 
   test("a commit killed at ANY step leaves a servable index; the next commit sweeps it") {
