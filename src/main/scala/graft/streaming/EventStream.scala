@@ -752,6 +752,72 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming BM25 relevance routing — q_bm25_search's scorer applied
+    * to documents AS THEY ARRIVE against the FROZEN corpus statistics
+    * (per-term df, n_docs, avgdl) loaded once from the persisted
+    * postings artifact (ext.PostingsIndex v3+): the train-rarely /
+    * apply-per-batch asymmetry again (IVF assign, boilerplate cut).
+    * The ≤ a-handful query-term dfs embed as literals, so scoring is a
+    * PURE per-row map — no join, no shuffle, no state store — and
+    * micro-batch boundaries are invisible (stream ≡ batch-with-same-
+    * stats row for row; StreamingSpec pins it). The routing use: score
+    * an incoming crawl for a standing keyword audit and keep/flag by
+    * relevance without ever touching the standing corpus.
+    *
+    * Scores use the same Robertson rational idf and k1/b folding as
+    * q_bm25_search; a document containing none of the terms scores 0
+    * with n_terms 0 (the batch query drops such docs — the stream must
+    * not, since routing needs the negative verdict too).
+    */
+  def bm25ScoreTransform(termDfs: Seq[(String, Double)], nDocs: Long,
+                         avgdl: Double)(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val perTerm = termDfs.map { case (t, df) =>
+      val tf = expr(
+        s"CAST(size(filter(toks, x -> x = '${t.replace("'", "''")}')) AS DOUBLE)")
+      val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+      (when(tf > lit(0.0),
+        lit(idf) * ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))))
+        .otherwise(lit(0.0)),
+        when(tf > lit(0.0), lit(1L)).otherwise(lit(0L)))
+    }
+    base.select(col("doc_id"), col("source"),
+      perTerm.map(_._2).reduce(_ + _).as("n_terms"),
+      graft.queries.Det.r6(perTerm.map(_._1).reduce(_ + _)).as("bm25"))
+  }
+
+  /** Frozen-stat loader + stream assembly: one 1-row meta read and one
+    * pruned ≤|terms|-row aggregate against the committed index version,
+    * collected to literals before the stream starts.
+    */
+  def bm25Stream(spark: SparkSession, sourceDir: String, idxDir: String,
+                 terms: Seq[String],
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val (nDocs, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idxDir)
+    val dfs = graft.ext.PostingsIndex.termstats(spark, idxDir)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val termDfs = terms.map(t => t -> dfs.getOrElse(t, 0.0))
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    bm25ScoreTransform(termDfs, nDocs, sumDl.toDouble / nDocs.toDouble)(
+      reader.parquet(sourceDir))
+  }
+
+  def runBm25Stream(spark: SparkSession, sourceDir: String, idxDir: String,
+                    terms: Seq[String], queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = bm25Stream(spark, sourceDir, idxDir, terms, maxFilesPerTrigger)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming boilerplate removal — the q_text_boilerplate rewrite
     * applied to documents AS THEY ARRIVE against a FROZEN hot-segment
     * set (TextOps.boilerHotSegments, trained on the corpus-so-far or

@@ -562,6 +562,53 @@ class StreamingSpec extends SparkSpec {
     assert(byId(4L) == "plain unique text with no banner at all here")
   }
 
+  test("streaming BM25 scoring equals the batch transform under frozen index stats") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // The standing corpus the index (and so df/n_docs/avgdl) is frozen on.
+    val corpusRows = Seq(
+      1L -> "vector hash merge window vector",
+      2L -> "hash table scan with a hash inside",
+      3L -> "merge sort merge join merge again and the window",
+      4L -> "no query term at all")
+    val corpusDir = Files.createTempDirectory("bm25s_corpus").toString
+    mkDocs(corpusRows).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val idx = Files.createTempDirectory("bm25s_idx").toString
+    graft.ext.PostingsIndex.ensure(spark, corpusDir, idx)
+    val terms = Seq("vector", "hash", "merge", "window")
+    // Arriving docs across two micro-batches, incl. a zero-hit doc.
+    val b1 = Seq(10L -> "vector vector hash arrives now",
+                 11L -> "nothing relevant in this one")
+    val b2 = Seq(12L -> "window merge window")
+    val watched = Files.createTempDirectory("bm25s_src")
+    stageFile(watched, "a", mkDocs(b1), 0)
+    stageFile(watched, "b", mkDocs(b2), 10)
+    val streamed = EventStream.runBm25Stream(
+      spark, watched.toString, idx, terms, "bm25_stream_test",
+      maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSet
+    // Batch twin: the same transform with the same frozen stats.
+    val (n, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idx)
+    val dfs = graft.ext.PostingsIndex.termstats(spark, idx)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = EventStream.bm25ScoreTransform(
+      terms.map(t => t -> dfs.getOrElse(t, 0.0)), n, sumDl.toDouble / n)(
+      mkDocs(b1 ++ b2))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.size == 3 && streamed == batch,
+      s"stream $streamed != batch $batch")
+    // The zero-hit doc is ROUTED (kept with a negative verdict), not dropped.
+    assert(streamed.exists(r => r(0) == 11L && r(2) == 0L && r(3) == 0.0))
+    // A hit doc scores positive with the right term count.
+    assert(streamed.exists(r => r(0) == 10L && r(2) == 2L &&
+      r(3).asInstanceOf[Double] > 0.0))
+  }
+
   test("streaming CMS counter table equals the batch kernel over the same files") {
     import java.nio.file.Files
     import spark.implicits._
