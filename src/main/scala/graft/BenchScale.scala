@@ -61,8 +61,13 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A ScaleQueries name absent from the registry is a bug (typo or a
+    // renamed query), not a query to silently drop — a shrunk sweep would
+    // read as "covered" (the repo's no-silent-caps bench principle).
+    val unknown = ScaleQueries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"ScaleQueries name(s) not in SparkEntry.queries: ${unknown.mkString(", ")}")
     val sweep = ScaleQueries.filter(q => only.forall(q.startsWith))
-      .filter(SparkEntry.queries.contains)
     def label(dir: String) = dir.split("/").last
 
     // dir -> (rows(lineitem+documents+events), query -> best sec)

@@ -95,17 +95,24 @@ object ScaleData {
     // scenario a term-partitioned postings artifact exists for.
     w(t("documents").crossJoin(broadcast(spark.range(replicas).toDF("__r")))
       .withColumn("doc_id", col("doc_id") + col("__r") * lit(offD))
-      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+      // Replica 0 IS the source corpus verbatim; replicas keep NULL text
+      // NULL (a null doc tagged through transform/concat_ws would turn
+      // into an empty string and change the corpus's null profile).
+      .withColumn("text", when(col("__r") === 0 || col("text").isNull,
+        col("text")).otherwise(
         concat_ws(" ", expr(
           "transform(split(text, ' '), t -> concat('x', CAST(__r AS STRING), t))"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r"), "documents", 2)
     // Embedding jitter: hash-derived ±0.002 per (vec_id, dim) — replicas
     // stay in their original's coarse neighborhood, never exact ties.
-    w(inflate(t("embeddings"), replicas, Map("vec_id" -> offV))
-      .withColumn("embedding", expr(
-        "transform(embedding, (x, i) -> x + CAST(pmod(vec_id * 31 + i * 7, 5) - 2 AS FLOAT) * CAST(0.001 AS FLOAT))")),
-      "embeddings", 2)
+    // Replica 0 ships UNCHANGED (gated like the documents path), so the
+    // scaled dir contains the source corpus's vectors verbatim.
+    w(t("embeddings").crossJoin(broadcast(spark.range(replicas).toDF("__r")))
+      .withColumn("vec_id", col("vec_id") + col("__r") * lit(offV))
+      .withColumn("embedding", when(col("__r") === 0, col("embedding")).otherwise(expr(
+        "transform(embedding, (x, i) -> x + CAST(pmod(vec_id * 31 + i * 7, 5) - 2 AS FLOAT) * CAST(0.001 AS FLOAT))")))
+      .drop("__r"), "embeddings", 2)
 
     val counts = Seq("customer", "orders", "lineitem", "events", "documents",
       "embeddings").map(n => s"$n=${spark.read.parquet(s"$out/$n.parquet").count()}")

@@ -91,16 +91,37 @@ object AnnIndex {
     */
   def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
-  /** A table of the COMMITTED version — the only read path. */
-  def tablePath(idxDir: String, name: String): String =
-    s"${Versioned.committedDir(idxDir)}/$name"
+  /** A table of the version a reader should see: `idxDir` is either an
+    * artifact root (CURRENT present → the committed version's table) or
+    * a PINNED version dir handed out by `servingDir` for a Publish
+    * time-travel snapshot (no CURRENT → the dir itself is the root).
+    */
+  def tablePath(idxDir: String, name: String): String = {
+    val v = Versioned.currentVersion(idxDir)
+    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name" else s"$idxDir/$name"
+  }
+
+  /** The artifact dir to SERVE `corpusDir` from. A Publish time-travel
+    * snapshot (r13 VERDICT #3) resolves to the ANN index version
+    * RECORDED at its publish — no ensure, no currency job, no training
+    * keyed off the snapshot path; anything else ensures the live
+    * artifact. The handle feeds the same search bodies either way.
+    */
+  def servingDir(spark: SparkSession, corpusDir: String): String =
+    Publish.pinnedIndexDir(corpusDir, "ann").getOrElse {
+      val idx = defaultIndexDir(corpusDir)
+      ensure(spark, corpusDir, idx)
+      idx
+    }
 
   /** Train (via the session's memoized chains — shared with the
     * in-session queries, so a sweep never trains twice), stage ALL
     * artifacts as the next version, and commit by flipping CURRENT.
     */
   def save(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
-    val v = Versioned.nextVersion(idxDir)
+    // O_EXCL claim + CAS promote: a racing maintainer fails loudly at
+    // the flip instead of silently orphaning this commit (r13 VERDICT #1).
+    val (v, parent) = Versioned.claimVersion(idxDir)
     val vd = Versioned.versionDir(idxDir, v)
     Similarity.ivfCentroidsFor(spark, corpusDir)
       .write.mode("overwrite").parquet(s"$vd/centroids")
@@ -138,7 +159,7 @@ object AnnIndex {
       .repartitionByRange(col("cluster"), col("vec_id"), col("sub"))
       .write.mode("overwrite").parquet(s"$vd/res_codes")
     writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
-    Versioned.promote(idxDir, v)
+    Versioned.promote(idxDir, v, 2, parent)
   }
 
   private def writeMeta(spark: SparkSession, versionDir: String,
@@ -225,7 +246,7 @@ object AnnIndex {
           s"shard $d is malformed: $t has duplicate (vec_id, sub) code rows")
       }
     }
-    val v = Versioned.nextVersion(outDir)
+    val (v, parent) = Versioned.claimVersion(outDir)
     val vd = Versioned.versionDir(outDir, v)
     for (t <- VectorTables) {
       val merged = shardDirs.map(d => spark.read.parquet(tablePath(d, t)))
@@ -245,7 +266,7 @@ object AnnIndex {
       spark.read.parquet(tablePath(shardDirs.head, t))
         .write.mode("overwrite").parquet(s"$vd/$t")
     writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
-    Versioned.promote(outDir, v)
+    Versioned.promote(outDir, v, 2, parent)
   }
 
   /** Outcome of one maintenance pass: what was done and why. Written to
@@ -295,8 +316,17 @@ object AnnIndex {
   def rebuildIfDrifted(spark: SparkSession, corpusDir: String, idxDir: String,
                        bound: Double = 2.0, minNewPerCluster: Long = 3L): DriftReport = {
     require(isBuilt(idxDir), s"no index at $idxDir — build one before maintaining it")
+    // Pin the parent version ONCE: every artifact this pass reads (the
+    // drift decision's membership/stats, the frozen model it encodes
+    // under, the tables it links forward) comes from v(parentV), and the
+    // append commit CAS-checks against it — a maintainer racing this one
+    // fails at promote instead of publishing an interleaving mixing two
+    // parents (r13 VERDICT #1).
+    val parentV = Versioned.currentVersion(idxDir)
+    val pvd = Versioned.versionDir(idxDir, parentV)
+    def ptable(name: String) = spark.read.parquet(s"$pvd/$name")
     val vd = Similarity.vdOf(spark, corpusDir)
-    val member = membership(spark, idxDir)
+    val member = ptable("membership")
     val nRemoved = member.select("vec_id")
       .join(vd.select("vec_id"), Seq("vec_id"), "left_anti").count()
 
@@ -305,7 +335,7 @@ object AnnIndex {
       vd.join(member.select("vec_id"), Seq("vec_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$stage/new_vecs")
       val nv = spark.read.parquet(s"$stage/new_vecs")
-      val cent = centroids(spark, idxDir)
+      val cent = ptable("centroids")
       Similarity.ivfAssignDist(nv, cent)
         .write.mode("overwrite").parquet(s"$stage/membership")
       val newAsg = spark.read.parquet(s"$stage/membership")
@@ -314,7 +344,7 @@ object AnnIndex {
       // k rows: (cluster, n_new, mean new dist, FROZEN build-time mean).
       val drift = newAsg.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_new"), avg(col("dist")).as("mean_new"))
-        .join(stats(spark, idxDir).select(col("cluster"), col("mean_base")),
+        .join(ptable("stats").select(col("cluster"), col("mean_base")),
           Seq("cluster"), "left_outer")
         .collect()
       val ratios = drift.toSeq
@@ -332,23 +362,23 @@ object AnnIndex {
         save(spark, corpusDir, idxDir)
         DriftReport("rebuilt", nNew, nRemoved, maxRatio)
       } else {
-        Similarity.pqEncodeFrozen(nv, pqCodebook(spark, idxDir))
+        Similarity.pqEncodeFrozen(nv, ptable("pq_codebook"))
           .write.mode("overwrite").parquet(s"$stage/pq_codes")
         Similarity.pqEncodeFrozen(
             Similarity.residualsFrozen(nv, newAsg, cent),
-            resCodebook(spark, idxDir))
+            ptable("res_codebook"))
           // v5: code rows carry their coarse cluster (from the frozen-
           // model assignment) so appended files prune like built ones.
           .join(newAsg.select("vec_id", "cluster"), "vec_id")
           .write.mode("overwrite").parquet(s"$stage/res_codes")
         // Commit the batch as version N+1: every table hard-linked from
-        // version N, the three vector tables grown by the staged batch,
-        // meta rewritten for the grown corpus, CURRENT flipped last.
-        val cvd = Versioned.committedDir(idxDir)
-        val newV = Versioned.nextVersion(idxDir)
+        // the PINNED parent version, the three vector tables grown by
+        // the staged batch, meta rewritten for the grown corpus, CURRENT
+        // flipped last — CAS against the pinned parent.
+        val (newV, _) = Versioned.claimVersion(idxDir)
         val nvd = Versioned.versionDir(idxDir, newV)
         for (t <- ModelTables ++ VectorTables :+ "stats")
-          Versioned.linkTable(spark, s"$cvd/$t", s"$nvd/$t")
+          Versioned.linkTable(spark, s"$pvd/$t", s"$nvd/$t")
         for (t <- VectorTables) {
           val batch = spark.read.parquet(s"$stage/$t")
           // Cluster-carrying batches append range-sorted so the new
@@ -361,7 +391,7 @@ object AnnIndex {
           laidOut.write.mode("append").parquet(s"$nvd/$t")
         }
         writeMeta(spark, nvd, Currency.vecsFp(spark, corpusDir), corpusDir)
-        Versioned.promote(idxDir, newV)
+        Versioned.promote(idxDir, newV, 2, parentV)
         DriftReport("appended", nNew, 0L, maxRatio)
       }
     } finally Versioned.deleteRecursively(new java.io.File(stage))
@@ -404,15 +434,40 @@ object AnnIndex {
     reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          batch.write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
-          Currency.invalidate(corpusDir)
-          // The corpus just mutated in place: session memos keyed by
-          // this dir (the sim.* training chains) would serve the
-          // PRE-batch corpus to a drift-triggered retrain — release
-          // exactly this dir's memos (other families' pins survive).
-          graft.queries.Det.releaseForDir(spark, corpusDir)
-          rebuildIfDrifted(spark, corpusDir, idxDir, bound, minNewPerCluster)
-          ()
+          // Disjointness gate BEFORE the corpus mutates (r13 VERDICT #2):
+          // a REPLAYED drop file (ids already in the corpus) would
+          // double-deliver vectors — the batch is refused, the refusal
+          // recorded in the audit log (the stream's decision table), and
+          // the corpus and index stay exactly as committed.
+          val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+          val corpusMax = Option(corpus.agg(max(col("vec_id"))).head().get(0))
+            .map(_.toString.toLong).getOrElse(Long.MinValue)
+          val admitted =
+            try { Gate.requireDisjoint(batch, "vec_id", corpusMax, corpus,
+              "ann-corpus"); true }
+            catch {
+              case e: Gate.OverlappingAppendException =>
+                import spark.implicits._
+                Seq(("refused", batch.count(), 0L, 0.0, bound,
+                    System.currentTimeMillis()))
+                  .toDF("action", "n_new", "n_removed", "max_ratio", "bound",
+                    "decided_at_ms")
+                  .coalesce(1).write.mode("append").parquet(s"$idxDir/audit")
+                System.err.println(
+                  s"[AnnIndex.maintainStream] batch refused: ${e.getMessage}")
+                false
+            }
+          if (admitted) {
+            batch.write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
+            Currency.invalidate(corpusDir)
+            // The corpus just mutated in place: session memos keyed by
+            // this dir (the sim.* training chains) would serve the
+            // PRE-batch corpus to a drift-triggered retrain — release
+            // exactly this dir's memos (other families' pins survive).
+            graft.queries.Det.releaseForDir(spark, corpusDir)
+            rebuildIfDrifted(spark, corpusDir, idxDir, bound, minNewPerCluster)
+            ()
+          }
         }
       }
       .start()
@@ -497,18 +552,12 @@ object AnnIndex {
     * queries' own SQL — the served path must reproduce them exactly.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_knn_served" -> ((spark, dir) => {
-      ensure(spark, dir, defaultIndexDir(dir))
-      searchIvf(spark, dir, defaultIndexDir(dir))
-    }),
-    "q_knn_served_pq" -> ((spark, dir) => {
-      ensure(spark, dir, defaultIndexDir(dir))
-      searchPq(spark, dir, defaultIndexDir(dir))
-    }),
-    "q_knn_served_res" -> ((spark, dir) => {
-      ensure(spark, dir, defaultIndexDir(dir))
-      searchRes(spark, dir, defaultIndexDir(dir))
-    }))
+    "q_knn_served" -> ((spark, dir) =>
+      searchIvf(spark, dir, servingDir(spark, dir))),
+    "q_knn_served_pq" -> ((spark, dir) =>
+      searchPq(spark, dir, servingDir(spark, dir))),
+    "q_knn_served_res" -> ((spark, dir) =>
+      searchRes(spark, dir, servingDir(spark, dir))))
 
   val oracles: Map[String, String] = Map(
     "q_knn_served" -> Similarity.knnIvfKmeansSql,

@@ -56,8 +56,6 @@ object BpeArtifact {
 
   private def vdir(artDir: String, v: Long) = Versioned.versionDir(artDir, v)
 
-  private def promote(artDir: String, v: Long): Unit = Versioned.promote(artDir, v)
-
   def isBuilt(artDir: String): Boolean = currentVersion(artDir) > 0
 
   /** Current = built AND the committed version's meta matches the live
@@ -83,7 +81,9 @@ object BpeArtifact {
     * CURRENT — readers keep the pinned version until the swap.
     */
   def save(spark: SparkSession, corpusDir: String, artDir: String): Unit = {
-    val v = Versioned.nextVersion(artDir)
+    // O_EXCL claim + CAS promote: a racing retrainer fails loudly at the
+    // flip instead of silently orphaning this commit (r13 VERDICT #1).
+    val (v, parent) = Versioned.claimVersion(artDir)
     val vd = vdir(artDir, v)
     graft.queries.TextOps.bpeRules1Table(spark, corpusDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/rules1")
@@ -96,7 +96,7 @@ object BpeArtifact {
     spark.createDataFrame(Seq((fp.n, corpusDir, fp.repr)))
       .toDF("n_docs", "corpus_dir", "fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/meta")
-    promote(artDir, v)
+    Versioned.promote(artDir, v, 2, parent)
   }
 
   /** Build-if-absent. Returns true iff this call TRAINED. */

@@ -79,23 +79,25 @@ object IncrementalCorpus {
     spark.read.parquet(s"${versionDir(stateDir, v)}/$name")
   }
 
-  private[graft] def promote(stateDir: String, v: Long): Unit =
-    Versioned.promote(stateDir, v)
+  private[graft] def promote(stateDir: String, v: Long, expectedParent: Long): Unit =
+    Versioned.promote(stateDir, v, 2, expectedParent)
 
   /** Stage version cur+1 WITHOUT committing: per table, hard-link the
     * committed version's parquet data files (copy where the filesystem
     * refuses links), append `adds(table)`, and compact in place if the
-    * staged file count exceeds `compactFileBound`. Returns the staged
-    * version number for `promote`. Exposed private[graft] so the spec
+    * staged file count exceeds `compactFileBound`. Returns (staged
+    * version, the committed parent it staged off) for the CAS `promote`
+    * — a racing maintainer fails at the flip instead of publishing an
+    * interleaving (r13 VERDICT #1). Exposed private[graft] so the spec
     * can kill a commit between staging and promotion. The compaction
     * runs INSIDE the not-yet-visible dir, so its own rm-then-move is
     * invisible to readers (unlike the pre-r13 PostingsIndex swap).
     */
   private[graft] def prepareAppend(spark: SparkSession, stateDir: String,
                                    adds: Map[String, DataFrame],
-                                   compactFileBound: Int): Long = {
+                                   compactFileBound: Int): (Long, Long) = {
     val cur = currentVersion(stateDir)
-    val newV = Versioned.nextVersion(stateDir)
+    val (newV, _) = Versioned.claimVersion(stateDir)
     for (t <- StateTables) {
       val dst = new java.io.File(versionDir(stateDir, newV), t)
       if (cur > 0)
@@ -108,7 +110,7 @@ object IncrementalCorpus {
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst.toPath)
       }
     }
-    newV
+    (newV, cur)
   }
 
   private def shingled(docs: DataFrame): DataFrame = docs
@@ -135,14 +137,14 @@ object IncrementalCorpus {
   def initState(spark: SparkSession, cleanDocs: DataFrame, stateDir: String): Unit = {
     val docs = cleanDocs.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars"))
-    val v = Versioned.nextVersion(stateDir)
+    val (v, parent) = Versioned.claimVersion(stateDir)
     val vd = versionDir(stateDir, v)
     docs.write.mode(SaveMode.Overwrite).parquet(s"$vd/docs")
     hashesOf(docs).write.mode(SaveMode.Overwrite).parquet(s"$vd/hashes")
     val sh = shingled(docs)
     sh.write.mode(SaveMode.Overwrite).parquet(s"$vd/shingles")
     bandsOf(sh).write.mode(SaveMode.Overwrite).parquet(s"$vd/bands")
-    promote(stateDir, v)
+    promote(stateDir, v, parent)
   }
 
   /** Clean `newDocs` against the standing state, append survivors, and
@@ -243,12 +245,12 @@ object IncrementalCorpus {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/incr_dropped")
     val landed = spark.read.parquet(s"$outDir/increment_clean")
     val landedSh = shingled(landed)
-    val newV = prepareAppend(spark, stateDir, Map(
+    val (newV, parentV) = prepareAppend(spark, stateDir, Map(
       "docs" -> landed,
       "hashes" -> hashesOf(landed),
       "shingles" -> landedSh,
       "bands" -> bandsOf(landedSh)), compactFileBound)
-    promote(stateDir, newV)
+    promote(stateDir, newV, parentV)
     val standingAfter = stateTable(spark, stateDir, "docs").count()
 
     quality.unpersist(blocking = false)

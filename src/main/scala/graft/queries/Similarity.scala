@@ -1139,11 +1139,8 @@ object Similarity {
     * per consumer (q_embed_rp runs the chain twice, rerank once more)
     * and was the last whole-corpus derivation with no persisted twin.
     */
-  private def rpProj(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.ext.RpIndex.defaultDir(dir)
-    graft.ext.RpIndex.ensure(spark, dir, idx)
-    graft.ext.RpIndex.proj(spark, idx)
-  }
+  private def rpProj(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.RpIndex.proj(spark, graft.ext.RpIndex.servingDir(spark, dir))
 
   /** The projected-space top-k body, parameterized over where the
     * projected table comes from (served artifact or in-session chain).
@@ -1887,11 +1884,9 @@ object Similarity {
     * (AnnIndexSpec asserts it). q_knn_served_res remains the
     * fresh-session zero-training witness for the same path.
     */
-  val knnIvfPqRes: Q = (spark, dir) => {
-    val idx = graft.ext.AnnIndex.defaultIndexDir(dir)
-    graft.ext.AnnIndex.ensure(spark, dir, idx)
-    graft.ext.AnnIndex.searchRes(spark, dir, idx)
-  }
+  val knnIvfPqRes: Q = (spark, dir) =>
+    graft.ext.AnnIndex.searchRes(spark, dir,
+      graft.ext.AnnIndex.servingDir(spark, dir))
 
   /** The residual chain as a pure in-session computation (no persisted
     * index consulted) — the training-path body `knnIvfPqRes` serves

@@ -257,8 +257,9 @@ object TextOps {
   private val Bm25QueryTerms = Seq("vector", "hash", "merge", "window")
 
   val bm25Search: Q = (spark, dir) => {
-    val idx = graft.ext.PostingsIndex.defaultDir(dir)
-    graft.ext.PostingsIndex.ensure(spark, dir, idx)
+    // servingDir: a Publish time-travel snapshot resolves to its RECORDED
+    // index version (zero builds); anything else ensures the live artifact.
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
     val (nDocs, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idx)
     bm25SearchOver(graft.ext.PostingsIndex.termstats(spark, idx), nDocs, sumDl)
   }
@@ -270,7 +271,10 @@ object TextOps {
     val docs = documents(spark, dir)
     val s = docs.agg(
       count(lit(1)),
-      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))).head()
+      // Null-text docs count dl = 0 (the DuckDB oracle's sum ignores NULL;
+      // legacy sizeOfNull would add -1 per null doc and diverge).
+      coalesce(sum(when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long"))), lit(0L))).head()
     bm25SearchOver(graft.ext.PostingsIndex.termStats(docs), s.getLong(0), s.getLong(1))
   }
 
@@ -1080,6 +1084,22 @@ object TextOps {
     * quadratic and nothing collects.
     */
   val lmScore: Q = (spark, dir) => {
+    // SERVED FROM THE POSTINGS ARTIFACT (ext.PostingsIndex v5 — r13
+    // VERDICT #6): the trained LM (bigramstats → p = c12/c1, plus the
+    // novelty dfs) and the per-doc gram counts (docgrams) are persisted
+    // tables, so the warm plan joins two artifact scans and rolls up —
+    // the three corpus-sized training aggregates (the bigram explode ×3)
+    // never run at query time. The in-session twin below is the same
+    // algebra over freshly derived stats; specs pin served ≡ in-session.
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    lmScoreOver(graft.ext.PostingsIndex.docgrams(spark, idx),
+      graft.ext.PostingsIndex.bigramLm(spark, idx))
+  }
+
+  /** The same algebra over in-session derivations — no artifact
+    * consulted; kept so specs can pin served ≡ in-session.
+    */
+  private[graft] val lmScoreInSession: Q = (spark, dir) => {
     val bg = documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
@@ -1093,7 +1113,18 @@ object TextOps {
       .select(col("gram"), (col("c12").cast("double") / col("c1").cast("double")).as("p"))
     val df = bg.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("gdf"))
     val docGrams = bg.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
-    docGrams.join(lm, "gram").join(df, "gram")
+    lmScoreOver(docGrams, lm.join(df, "gram"))
+  }
+
+  /** The per-doc LM rollup, parameterized over where (doc, gram, n_occ)
+    * and the trained (gram, p, gdf) model come from — the persisted
+    * artifact or the in-session derivation. One body keeps the served
+    * path bit-identical to the oracle-verified one by construction
+    * (c12/c1 are exact longs either way, so p is the same IEEE double;
+    * the mean rides Det.dsum — order-free decimal).
+    */
+  private[graft] def lmScoreOver(docGrams: DataFrame, lm: DataFrame): DataFrame =
+    docGrams.join(lm, "gram")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_occ")).as("n_bigrams"),
@@ -1105,7 +1136,6 @@ object TextOps {
         r6(col("novel_types").cast("double") / col("n_types").cast("double")).as("novel_frac"),
         r6(col("mp")).as("mean_prob"))
       .orderBy(col("doc_id"))
-  }
 
   val lmScoreSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2063,8 +2093,7 @@ object TextOps {
     * corpus at all (PostingsIndexSpec asserts it).
     */
   val phraseSearch: Q = (spark, dir) => {
-    val idx = graft.ext.PostingsIndex.defaultDir(dir)
-    graft.ext.PostingsIndex.ensure(spark, dir, idx)
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
     // Ranking serves from the persisted trigram-df table (PostingsIndex
     // v4): the query-time 3-way postings self-join the in-session chain
     // pays — two (doc_id, pos±k) shuffle joins over the WHOLE postings
@@ -2154,8 +2183,7 @@ object TextOps {
     * the top-k is a bounded TakeOrdered over |vocab| df rows.
     */
   val postingsStats: Q = (spark, dir) => {
-    val idx = graft.ext.PostingsIndex.defaultDir(dir)
-    graft.ext.PostingsIndex.ensure(spark, dir, idx)
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
     val post = graft.ext.PostingsIndex.postings(spark, idx)
     val totals = post.agg(
       count(lit(1)).as("n_postings"),

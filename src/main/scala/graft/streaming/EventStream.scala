@@ -775,8 +775,11 @@ object EventStream {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("dl", size(col("toks")).cast("double"))
     val perTerm = termDfs.map { case (t, df) =>
-      val tf = expr(
-        s"CAST(size(filter(toks, x -> x = '${t.replace("'", "''")}')) AS DOUBLE)")
+      // Column-API lambda, not an interpolated expr string: Spark lexes
+      // ''-doubled quotes as two ADJACENT literals concatenated
+      // ('o''brien' → 'obrien'), so a quoted term would silently match
+      // the wrong token; comparing against lit(t) needs no escaping.
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
       val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
       (when(tf > lit(0.0),
         lit(idf) * ((tf * lit(2.2)) /

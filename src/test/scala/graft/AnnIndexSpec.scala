@@ -313,6 +313,77 @@ class AnnIndexSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("two racing maintenance passes interleave: the loser FAILS, one winner's increment stands") {
+    val base = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_race").toString
+    AnnIndex.ensure(spark, base, idx)
+    val v1 = graft.ext.Versioned.currentVersion(idx)
+    // Two in-distribution grown corpora — each maintainer sees its own
+    // disjoint batch on top of the same committed parent.
+    val corpusA = writeBlobs((0L until 300L) ++ (1000L until 1030L), _ => 0f)
+    val corpusB = writeBlobs((0L until 300L) ++ (3000L until 3030L), _ => 0f)
+    // Writer B's ENTIRE maintenance pass runs inside writer A's promote
+    // (after A staged off v1, before A's CAS check).
+    @volatile var fired = false
+    graft.ext.Versioned.beforePromote = (dir, _) => {
+      if (!fired && dir == idx) {
+        fired = true
+        assert(AnnIndex.rebuildIfDrifted(spark, corpusB, idx).action == "appended")
+      }
+    }
+    try {
+      intercept[graft.ext.Versioned.ConcurrentCommitException] {
+        AnnIndex.rebuildIfDrifted(spark, corpusA, idx)
+      }
+    } finally graft.ext.Versioned.beforePromote = (_, _) => ()
+    val ids = AnnIndex.membership(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 300L) ++ (3000L until 3030L)).toSet,
+      "the committed index must be EXACTLY one winner's increment")
+    assert(graft.ext.Versioned.currentVersion(idx) > v1)
+    Det.releasePins(spark)
+  }
+
+  test("a replayed stream batch is REFUSED and audited; corpus and index stay committed") {
+    val corpus = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_rg").toString
+    AnnIndex.ensure(spark, corpus, idx)
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src_rg").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp_rg").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val q = AnnIndex.maintainStream(spark, src, corpus, idx,
+      maxFilesPerTrigger = Some(1))
+    try {
+      land(blobDf(1000L until 1030L, _ => 0f), "b0")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 330)
+      val vAfter = graft.ext.Versioned.currentVersion(idx)
+      // The at-least-once failure: the same batch delivered again.
+      land(blobDf(1000L until 1030L, _ => 0f), "b1")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 330,
+        "a replayed batch must not re-enter the index")
+      assert(spark.read.parquet(s"$corpus/embeddings.parquet").count() == 330,
+        "a replayed batch must not re-enter the corpus")
+      assert(graft.ext.Versioned.currentVersion(idx) == vAfter,
+        "a refusal must not commit a version")
+      // The stream survives and admits the next disjoint batch.
+      land(blobDf(4000L until 4030L, _ => 0f), "b2")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 360)
+      val actions = spark.read.parquet(s"$idx/audit")
+        .orderBy("decided_at_ms").collect().map(_.getAs[String]("action")).toSeq
+      assert(actions == Seq("appended", "refused", "appended"), s"got $actions")
+    } finally q.stop()
+    Det.releasePins(spark)
+  }
+
   test("a reader bound to the prior version survives an append commit (no torn batch)") {
     val base = writeBlobs(0L until 300L, _ => 0f)
     val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_d").toString

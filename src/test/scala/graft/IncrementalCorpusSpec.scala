@@ -131,7 +131,7 @@ class IncrementalCorpusSpec extends SparkSpec {
     // Simulate the crash window: stage the whole next version (all four
     // tables linked + appended) but die before promote.
     val batch = mkDocs(Seq(70L -> freshText("i")))
-    val staged = IncrementalCorpus.prepareAppend(spark, stateDir, Map(
+    val (staged, _) = IncrementalCorpus.prepareAppend(spark, stateDir, Map(
       "docs" -> batch,
       "hashes" -> batch.select(col("doc_id"), md5(col("text")).as("content_hash")),
       "shingles" -> batch.select(col("doc_id"),

@@ -210,7 +210,8 @@ class PostingsIndexSpec extends SparkSpec {
     val add = Seq((20L, "more words to append", "en", "s0", 20L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
-    for (t <- Seq("postings", "termstats", "gramstats")) {
+    for (t <- Seq("postings", "termstats", "gramstats",
+                  "bigramstats", "docgrams", "docids")) {
       val files = graft.ext.Compaction.dataFiles(spark, PostingsIndex.tablePath(idx, t))
       assert(files.size <= 1, s"bound-1 compaction must leave ≤1 $t file, got ${files.size}")
     }
@@ -228,6 +229,153 @@ class PostingsIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(gstats(idx) == gstats(unionIdx),
       "merge-compacted gramstats must equal a from-scratch build's frequencies")
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("two racing appendDocs interleave: the loser FAILS, the committed artifact is one winner's increment") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_race").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val docsA = docsDf(Seq(40L -> "writer a brings these words"))
+    val docsB = docsDf(Seq(50L -> "writer b brings other words"))
+    // Deterministic interleave: writer B's ENTIRE append runs inside
+    // writer A's promote (after A staged off the same parent, before A's
+    // CAS check) — the exact lost-update window the r13 VERDICT named.
+    @volatile var fired = false
+    graft.ext.Versioned.beforePromote = (dir, _) => {
+      if (!fired && dir == idx) {
+        fired = true
+        PostingsIndex.appendDocs(spark, idx, docsB)
+      }
+    }
+    try {
+      intercept[graft.ext.Versioned.ConcurrentCommitException] {
+        PostingsIndex.appendDocs(spark, idx, docsA)
+      }
+    } finally graft.ext.Versioned.beforePromote = (_, _) => ()
+    val ids = PostingsIndex.docids(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == baseRows.map(_._1).toSet + 50L,
+      s"the committed artifact must be EXACTLY the winner's increment, got $ids")
+    assert(!ids.contains(40L), "the loser's increment must not be published")
+    // The loser's orphaned staging is collected by the next clean commit.
+    PostingsIndex.appendDocs(spark, idx, docsDf(Seq(60L -> "a clean later append")))
+    assert(PostingsIndex.docids(spark, idx).count() == baseRows.size + 2)
+  }
+
+  test("a replayed increment is REFUSED (disjointness gate) and recorded in the audit log") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_gate").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val inc = docsDf(Seq(10L -> "vector words here", 11L -> "more new words"))
+    PostingsIndex.appendDocs(spark, idx, inc)
+    val vAfter = graft.ext.Versioned.currentVersion(idx)
+    val statsBefore = PostingsIndex.termstats(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // The at-least-once failure mode: the same drop file delivered twice.
+    intercept[graft.ext.Gate.OverlappingAppendException] {
+      PostingsIndex.appendDocs(spark, idx, inc)
+    }
+    assert(graft.ext.Versioned.currentVersion(idx) == vAfter,
+      "a refused append must not commit")
+    assert(PostingsIndex.termstats(spark, idx)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq == statsBefore,
+      "a refused append must not touch the statistics")
+    val audit = spark.read.parquet(s"$idx/audit")
+      .collect().map(_.getAs[String]("action"))
+    assert(audit.contains("refused"), s"the refusal must be audited: ${audit.toSeq}")
+    // An internally-duplicated increment is refused up front too.
+    intercept[graft.ext.Gate.OverlappingAppendException] {
+      PostingsIndex.appendDocs(spark, idx,
+        docsDf(Seq(70L -> "dup", 70L -> "dup again")))
+    }
+    // A non-monotone but DISJOINT increment still appends — the exact
+    // anti-join path (min id 6 ≤ committed max 11, no overlap).
+    PostingsIndex.appendDocs(spark, idx, docsDf(Seq(6L -> "older id fresh doc")))
+    assert(PostingsIndex.docids(spark, idx).count() == baseRows.size + 3)
+  }
+
+  test("a replayed stream drop file surfaces as an audited refusal; the stream keeps going") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_sgate").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val flat = java.nio.file.Files.createTempDirectory("postings_sgate_src").toString
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("postings_sgate_tmp").toString
+      docsDf(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$flat/$name.parquet"))
+    }
+    val q = PostingsIndex.postingsStream(spark, flat, idx, maxFilesPerTrigger = Some(1))
+    try {
+      land(Seq(80L -> "streamed fresh words"), "d0")
+      q.processAllAvailable()
+      val statsAfterFirst = PostingsIndex.termstats(spark, idx)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      land(Seq(80L -> "streamed fresh words"), "d1") // the replay
+      q.processAllAvailable()
+      assert(PostingsIndex.termstats(spark, idx)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq == statsAfterFirst,
+        "a replayed drop file must not double-count tf/df")
+      land(Seq(81L -> "the stream moves on"), "d2")
+      q.processAllAvailable()
+      assert(PostingsIndex.docids(spark, idx)
+        .collect().map(_.getLong(0)).toSet == baseRows.map(_._1).toSet ++ Set(80L, 81L),
+        "the stream must survive the refusal and admit later disjoint batches")
+      val actions = spark.read.parquet(s"$idx/audit")
+        .orderBy("decided_at_ms").collect().map(_.getAs[String]("action")).toSeq
+      assert(actions == Seq("appended", "refused", "appended"), s"got $actions")
+    } finally q.stop()
+  }
+
+  test("served LM score equals the in-session chain; appends keep the equality; warm plan trains nothing") {
+    val corpus = mkCorpus(bm25Rows)
+    val inSession = TextOps.lmScoreInSession(spark, corpus).collect().map(_.toSeq)
+    assert(inSession.nonEmpty)
+    val served = TextOps.queries("q_lm_score")(spark, corpus)
+    assert(served.collect().map(_.toSeq).toSeq == inSession.toSeq,
+      "artifact-served LM score must equal the in-session derivation")
+    // Warm plan: artifact scans only — no corpus read, no bigram explode.
+    val fresh = spark.newSession()
+    val qe = TextOps.queries("q_lm_score")(fresh, corpus).queryExecution
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("documents.parquet"),
+      "warm LM serve must not read the corpus")
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("explode"),
+      "warm LM serve must not re-derive bigrams")
+    graft.queries.Det.releasePins(fresh)
+    // Appended artifact ≡ in-session over the union (the partials sum).
+    val newRows = Seq(90L -> "vector hash vector hash merge",
+                      91L -> "novel bigram text entirely")
+    val idx = PostingsIndex.defaultDir(corpus)
+    PostingsIndex.appendDocs(spark, idx, docsDf(newRows))
+    val union = mkCorpus(bm25Rows ++ newRows)
+    assert(TextOps.lmScoreOver(
+        PostingsIndex.docgrams(spark, idx), PostingsIndex.bigramLm(spark, idx))
+      .collect().map(_.toSeq).toSeq ==
+      TextOps.lmScoreInSession(spark, union).collect().map(_.toSeq).toSeq,
+      "summed bigram partials must reproduce the from-scratch LM over the union")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("merged gramstats are memoized per committed version (second serve re-aggregates nothing)") {
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_memo").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val g1 = PostingsIndex.gramstats(spark, idx)
+    val g2 = PostingsIndex.gramstats(spark, idx)
+    assert(g1 eq g2,
+      "the second serve of one committed version must reuse the pinned merge")
+    // A version bump (append) self-invalidates through the path key.
+    PostingsIndex.appendDocs(spark, idx, docsDf(Seq(95L -> "new gramstats segment here")))
+    val g3 = PostingsIndex.gramstats(spark, idx)
+    assert(!(g3 eq g1), "a new committed version must re-merge its segments")
+    graft.queries.Det.releasePins(spark)
   }
 
   test("a commit killed at ANY step leaves a servable index; the next commit sweeps it") {

@@ -74,7 +74,7 @@ class PublishSpec extends SparkSpec {
 
     // The kill window: stage the next snapshot completely, die before
     // the flip (stageServing is exactly the pre-promote half of run).
-    val v2 = Publish.stageServing(spark, out, embeddings = None)
+    val (v2, _) = Publish.stageServing(spark, out, embeddings = None)
     assert(v2 > v1)
     assert(graft.ext.Versioned.currentVersion(servingDir) == v1,
       "an unpromoted stage must be invisible")
@@ -132,6 +132,48 @@ class PublishSpec extends SparkSpec {
       s"keep=2 publish must retain only the new snapshot and its predecessor: $vs2")
     assert(!new java.io.File(Publish.servingVersionDir(out, vs.head)).exists(),
       "the oldest snapshot must be swept once retention passes it")
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("time-travel queries serve from the RETAINED index versions — zero builds, zero currency jobs") {
+    def dump(dir: java.nio.file.Path, ids: Seq[Long], tag: String): String = {
+      val p = dir.resolve(s"dump_$tag.jsonl")
+      java.nio.file.Files.write(p,
+        ids.map(i => jline(i, freshText(s"$tag$i"))).mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val src = java.nio.file.Files.createTempDirectory("publish_src_pin")
+    val out = java.nio.file.Files.createTempDirectory("publish_out_pin").toString
+    Publish.run(spark, dump(src, 400L until 406L, "pa"), out, keepVersions = 3)
+    val vA = Publish.servingVersions(out).last
+    Publish.run(spark, dump(src, 410L until 418L, "pb"), out, keepVersions = 3)
+    val snapA = Publish.servingVersionDir(out, vA)
+    // The manifest pairs snapshot A with the index versions built FOR it.
+    assert(Publish.pinnedIndexDir(snapA, "postings").nonEmpty,
+      "the retained snapshot must resolve its paired postings version")
+    val postDir = PostingsIndex.defaultDir(s"$out/serving")
+    val vPost = graft.ext.Versioned.currentVersion(postDir)
+    // Query dump A AFTER dump B committed: the r13 VERDICT #3 "done"
+    // criterion — ZERO index builds (artifact version unmoved) and zero
+    // currency jobs (the CurrencySpec computeRuns-counter trick).
+    val runsBefore = graft.ext.Currency.computeRuns.get()
+    val phrase = graft.queries.TextOps.queries("q_phrase_search")(spark, snapA)
+      .collect()
+    val lm = graft.queries.TextOps.queries("q_lm_score")(spark, snapA)
+      .collect()
+    assert(graft.ext.Currency.computeRuns.get() == runsBefore,
+      "a time-travel serve must run zero currency jobs")
+    assert(graft.ext.Versioned.currentVersion(postDir) == vPost,
+      "a time-travel serve must not build any index version")
+    assert(!new java.io.File(PostingsIndex.defaultDir(snapA), "CURRENT").exists(),
+      "no artifact may be keyed off the snapshot path (the pre-r14 full-rebuild trap)")
+    // And the pinned serve answers from YESTERDAY's corpus exactly.
+    assert(lm.map(_.getAs[Long]("doc_id")).toSet.subsetOf((400L until 406L).toSet),
+      "the pinned LM must score dump A's documents")
+    assert(lm.map(_.toSeq).toSeq ==
+      graft.queries.TextOps.lmScoreInSession(spark, snapA).collect().map(_.toSeq).toSeq,
+      "pinned-artifact results must equal the in-session chain over the snapshot")
+    assert(phrase != null)
     graft.queries.Det.releasePins(spark)
   }
 

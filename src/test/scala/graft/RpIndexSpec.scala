@@ -109,4 +109,29 @@ class RpIndexSpec extends SparkSpec {
       "mergeable fingerprint must equal the union corpus's fingerprint")
     graft.queries.Det.releasePins(spark)
   }
+
+  test("a replayed increment is REFUSED (disjointness gate) — append ≡ rebuild stays protected") {
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dirA = java.nio.file.Files.createTempDirectory("rpidx_gate_a").toString
+    all.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("rpidx_gate").toString
+    RpIndex.build(spark, dirA, idx)
+    val odds = all.filter(col("vec_id") % 2 === 1)
+    RpIndex.appendVecs(spark, idx, odds)
+    val v2 = graft.ext.Versioned.currentVersion(idx)
+    // The at-least-once failure: the same increment delivered again.
+    intercept[graft.ext.Gate.OverlappingAppendException] {
+      RpIndex.appendVecs(spark, idx, odds)
+    }
+    assert(graft.ext.Versioned.currentVersion(idx) == v2,
+      "a refused append must not commit")
+    assert(RpIndex.proj(spark, idx).count() == all.count(),
+      "a refused append must not double-project any vector")
+    // An internally-duplicated increment is refused too.
+    intercept[graft.ext.Gate.OverlappingAppendException] {
+      RpIndex.appendVecs(spark, idx, odds.limit(1).union(odds.limit(1)))
+    }
+    graft.queries.Det.releasePins(spark)
+  }
 }
