@@ -287,6 +287,20 @@ object PostingsIndex {
     }
   }
 
+  /** Corpus bigram statistics, merged across whatever segments the
+    * version holds: (gram, w1, c12, gdf) — both counts SUM exactly
+    * across disjoint appended batches (see bigramStats). Memoized per
+    * version path like gramstats.
+    */
+  def bigramStatsMerged(spark: SparkSession, idxDir: String): DataFrame = {
+    val path = tablePath(idxDir, "bigramstats")
+    graft.queries.Det.memo(spark, s"postings.bigramstats:$path") {
+      spark.read.parquet(path)
+        .groupBy(col("gram"), col("w1"))
+        .agg(sum(col("c12")).as("c12"), sum(col("gdf")).as("gdf"))
+    }
+  }
+
   /** Corpus bigram LM, merged across segments and joined to its derived
     * context totals: (gram, p = c12/c1, gdf). Memoized per version path
     * like gramstats — the LM is the trained model; a warm q_lm_score
@@ -295,9 +309,7 @@ object PostingsIndex {
   def bigramLm(spark: SparkSession, idxDir: String): DataFrame = {
     val path = tablePath(idxDir, "bigramstats")
     graft.queries.Det.memo(spark, s"postings.bigramlm:$path") {
-      val merged = spark.read.parquet(path)
-        .groupBy(col("gram"), col("w1"))
-        .agg(sum(col("c12")).as("c12"), sum(col("gdf")).as("gdf"))
+      val merged = bigramStatsMerged(spark, idxDir)
       val ctx = merged.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       merged.join(ctx, "w1")
         .select(col("gram"),

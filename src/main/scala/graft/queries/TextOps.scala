@@ -2222,8 +2222,66 @@ object TextOps {
       |FROM ranked r, totals t
       |ORDER BY r.rank""".stripMargin
 
+  /** Bigram-LM artifact health report (r14), SERVED from the postings
+    * artifact's v5 tables: the top-20 bigrams by occurrence count with
+    * their document frequencies, plus the model-wide totals every row
+    * carries (distinct grams, total occurrences, and the context total
+    * of the top gram's w1 — the c1 the LM divides by). The oracle
+    * recomputes the same report from RAW TEXT, so the compare
+    * cross-checks the merged `bigramstats` partials against an
+    * independent derivation: a segment that dropped, duplicated or
+    * double-counted a single (gram, doc) pair hash-mismatches here —
+    * the artifact-integrity check the disjoint-append gate protects.
+    *
+    * Scale shape: one aggregation over the merged artifact (no text
+    * read); the top-k is a bounded TakeOrdered over |bigram vocab| rows.
+    */
+  val bigramStatsReport: Q = (spark, dir) => {
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    val merged = graft.ext.PostingsIndex.bigramStatsMerged(spark, idx)
+    val totals = merged.agg(
+      count(lit(1)).as("n_grams"),
+      coalesce(sum(col("c12")), lit(0L)).as("total_occ"))
+    val top = merged
+      .orderBy(col("c12").desc, col("gram")).limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c12").desc, col("gram"))).cast("long"))
+    top.crossJoin(broadcast(totals))
+      .select(col("rank"), col("gram"), col("w1"), col("c12"), col("gdf"),
+        col("n_grams"), col("total_occ"))
+      .orderBy(col("rank"))
+  }
+
+  val bigramStatsReportSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, u.w1, u.gram FROM (
+      |    SELECT doc_id, unnest([{'w1': toks[i], 'gram': array_to_string(toks[i : i + 1], ' ')}
+      |                           for i in generate_series(1, len(toks) - 1)]) AS u
+      |    FROM t WHERE len(toks) >= 2) s),
+      |stats AS (
+      |  SELECT gram, w1, CAST(count(*) AS BIGINT) AS c12,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS gdf
+      |  FROM bg GROUP BY gram, w1),
+      |totals AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(coalesce(sum(c12), 0) AS BIGINT) AS total_occ
+      |  FROM stats),
+      |top AS (
+      |  SELECT gram, w1, c12, gdf FROM stats
+      |  ORDER BY c12 DESC, gram LIMIT 20),
+      |ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY c12 DESC, gram) AS BIGINT) AS rank,
+      |    gram, w1, c12, gdf
+      |  FROM top)
+      |SELECT r.rank, r.gram, r.w1, r.c12, r.gdf, t.n_grams, t.total_occ
+      |FROM ranked r, totals t
+      |ORDER BY r.rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_postings_stats" -> postingsStats,
+    "q_bigram_stats" -> bigramStatsReport,
     "q_phrase_search" -> phraseSearch,
     "q_bm25_search" -> bm25Search,
     "q_url_canon" -> urlCanon,
@@ -2259,6 +2317,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_postings_stats" -> postingsStatsSql,
+    "q_bigram_stats" -> bigramStatsReportSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_url_canon" -> urlCanonSql,
