@@ -118,7 +118,8 @@ object AnnIndex {
     * in-session queries, so a sweep never trains twice), stage ALL
     * artifacts as the next version, and commit by flipping CURRENT.
     */
-  def save(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
+  def save(spark: SparkSession, corpusDir: String, idxDir: String,
+           keep: Int = 2): Unit = {
     // O_EXCL claim + CAS promote: a racing maintainer fails loudly at
     // the flip instead of silently orphaning this commit (r13 VERDICT #1).
     val (v, parent) = Versioned.claimVersion(idxDir)
@@ -159,7 +160,7 @@ object AnnIndex {
       .repartitionByRange(col("cluster"), col("vec_id"), col("sub"))
       .write.mode("overwrite").parquet(s"$vd/res_codes")
     writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
-    Versioned.promote(idxDir, v, 2, parent)
+    Versioned.promote(idxDir, v, keep, parent)
   }
 
   private def writeMeta(spark: SparkSession, versionDir: String,
@@ -186,11 +187,15 @@ object AnnIndex {
     }
 
   /** Build-if-absent. Returns true iff this call TRAINED (the spec's
-    * observable for "a fresh session answers from disk").
+    * observable for "a fresh session answers from disk"). `keep` widens
+    * the retained-version window to match a Publish time-travel window
+    * (r14): a retained snapshot's PAIRED index version must outlive
+    * retention, or its pinned serve falls back to a rebuild.
     */
-  def ensure(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
+  def ensure(spark: SparkSession, corpusDir: String, idxDir: String,
+             keep: Int = 2): Boolean =
     if (isCurrent(spark, corpusDir, idxDir)) false
-    else { save(spark, corpusDir, idxDir); true }
+    else { save(spark, corpusDir, idxDir, keep); true }
 
   /** Merge shard indexes into one serving index — the distributed build
     * path: the coarse/PQ model is trained ONCE (on a sample or a seed
@@ -314,7 +319,8 @@ object AnnIndex {
     * `maintainStream` below does both per micro-batch.
     */
   def rebuildIfDrifted(spark: SparkSession, corpusDir: String, idxDir: String,
-                       bound: Double = 2.0, minNewPerCluster: Long = 3L): DriftReport = {
+                       bound: Double = 2.0, minNewPerCluster: Long = 3L,
+                       keep: Int = 2): DriftReport = {
     require(isBuilt(idxDir), s"no index at $idxDir — build one before maintaining it")
     // Pin the parent version ONCE: every artifact this pass reads (the
     // drift decision's membership/stats, the frozen model it encodes
@@ -359,7 +365,7 @@ object AnnIndex {
       if (nNew == 0 && nRemoved == 0)
         DriftReport("noop", 0L, 0L, maxRatio)
       else if (nRemoved > 0 || maxRatio > bound) {
-        save(spark, corpusDir, idxDir)
+        save(spark, corpusDir, idxDir, keep)
         DriftReport("rebuilt", nNew, nRemoved, maxRatio)
       } else {
         Similarity.pqEncodeFrozen(nv, ptable("pq_codebook"))
@@ -391,7 +397,7 @@ object AnnIndex {
           laidOut.write.mode("append").parquet(s"$nvd/$t")
         }
         writeMeta(spark, nvd, Currency.vecsFp(spark, corpusDir), corpusDir)
-        Versioned.promote(idxDir, newV, 2, parentV)
+        Versioned.promote(idxDir, newV, keep, parentV)
         DriftReport("appended", nNew, 0L, maxRatio)
       }
     } finally Versioned.deleteRecursively(new java.io.File(stage))
@@ -419,7 +425,8 @@ object AnnIndex {
   def maintainStream(spark: SparkSession, sourceDir: String, corpusDir: String,
                      idxDir: String, bound: Double = 2.0,
                      minNewPerCluster: Long = 3L,
-                     maxFilesPerTrigger: Option[Int] = None)
+                     maxFilesPerTrigger: Option[Int] = None,
+                     keep: Int = 2)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
@@ -465,7 +472,7 @@ object AnnIndex {
             // PRE-batch corpus to a drift-triggered retrain — release
             // exactly this dir's memos (other families' pins survive).
             graft.queries.Det.releaseForDir(spark, corpusDir)
-            rebuildIfDrifted(spark, corpusDir, idxDir, bound, minNewPerCluster)
+            rebuildIfDrifted(spark, corpusDir, idxDir, bound, minNewPerCluster, keep)
             ()
           }
         }

@@ -80,7 +80,8 @@ object BpeArtifact {
     * twice), stage them as the NEXT version, and commit by flipping
     * CURRENT — readers keep the pinned version until the swap.
     */
-  def save(spark: SparkSession, corpusDir: String, artDir: String): Unit = {
+  def save(spark: SparkSession, corpusDir: String, artDir: String,
+           keep: Int = 2): Unit = {
     // O_EXCL claim + CAS promote: a racing retrainer fails loudly at the
     // flip instead of silently orphaning this commit (r13 VERDICT #1).
     val (v, parent) = Versioned.claimVersion(artDir)
@@ -96,13 +97,17 @@ object BpeArtifact {
     spark.createDataFrame(Seq((fp.n, corpusDir, fp.repr)))
       .toDF("n_docs", "corpus_dir", "fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(s"$vd/meta")
-    Versioned.promote(artDir, v, 2, parent)
+    Versioned.promote(artDir, v, keep, parent)
   }
 
-  /** Build-if-absent. Returns true iff this call TRAINED. */
-  def ensure(spark: SparkSession, corpusDir: String, artDir: String): Boolean =
+  /** Build-if-absent. Returns true iff this call TRAINED. `keep` widens
+    * the retained-version window to match a Publish time-travel window
+    * (r14).
+    */
+  def ensure(spark: SparkSession, corpusDir: String, artDir: String,
+             keep: Int = 2): Boolean =
     if (isCurrent(spark, corpusDir, artDir)) false
-    else { save(spark, corpusDir, artDir); true }
+    else { save(spark, corpusDir, artDir, keep); true }
 
   /** Vocab-drift-triggered retrain (mirrors AnnIndex.rebuildIfDrifted
     * for the text model): derive what the LIVE corpus's top-16 bigram
@@ -117,7 +122,7 @@ object BpeArtifact {
   final case class BpeDrift(action: String, overlap: Double, version: Long)
 
   def retrainIfDrifted(spark: SparkSession, corpusDir: String, artDir: String,
-                       minOverlap: Double = 0.75): BpeDrift = {
+                       minOverlap: Double = 0.75, keep: Int = 2): BpeDrift = {
     require(isBuilt(artDir), s"no BPE artifact at $artDir — build before maintaining")
     val pinned = rules1(spark, artDir)
       .collect().map(_.getAs[String]("pat")).toSet
@@ -128,7 +133,7 @@ object BpeArtifact {
       else pinned.intersect(live).size.toDouble / pinned.size.toDouble
     val report =
       if (overlap < minOverlap) {
-        save(spark, corpusDir, artDir)
+        save(spark, corpusDir, artDir, keep)
         BpeDrift("retrained", overlap, currentVersion(artDir))
       } else BpeDrift("noop", overlap, currentVersion(artDir))
     import spark.implicits._

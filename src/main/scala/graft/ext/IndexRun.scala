@@ -37,35 +37,41 @@ object IndexRun {
 
   /** `withVectors = false` skips the embedding-backed artifacts (ANN +
     * RP) for a text-only corpus — the publish path for dumps that carry
-    * no embeddings yet; postings + BPE still maintain.
+    * no embeddings yet; postings + BPE still maintain. `keep` widens
+    * every artifact's retained-version window to match the publish's
+    * serving retention (r14): a time-travel snapshot's PAIRED index
+    * versions then outlive exactly as many later publishes as the
+    * snapshot itself.
     */
   def run(spark: SparkSession, corpusDir: String,
           annBound: Double = 2.0, bpeMinOverlap: Double = 0.75,
-          withVectors: Boolean = true): IndexReport = {
+          withVectors: Boolean = true, keep: Int = 2): IndexReport = {
     val (annBuilt, drift) =
       if (!withVectors)
         (false, AnnIndex.DriftReport("skipped", 0L, 0L, 0.0))
       else {
         val annDir = AnnIndex.defaultIndexDir(corpusDir)
-        val built = AnnIndex.ensure(spark, corpusDir, annDir)
+        val built = AnnIndex.ensure(spark, corpusDir, annDir, keep)
         // ensure() already retrained if the corpus moved under the same
         // path; the drift pass then provably no-ops on a fresh build — it
         // exists for the standing-index case where corpusDir GREW (new
         // vec_ids) rather than being re-keyed.
-        (built, AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound))
+        (built, AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound,
+          keep = keep))
       }
 
     val postDir = PostingsIndex.defaultDir(corpusDir)
-    val postingsBuilt = PostingsIndex.ensure(spark, corpusDir, postDir)
+    val postingsBuilt = PostingsIndex.ensure(spark, corpusDir, postDir, keep)
 
     // Projected store: per-document like postings — count+path currency,
     // no drift concept (the md5 matrix is fixed; append ≡ rebuild).
     val rpBuilt = withVectors &&
-      RpIndex.ensure(spark, corpusDir, RpIndex.defaultDir(corpusDir))
+      RpIndex.ensure(spark, corpusDir, RpIndex.defaultDir(corpusDir), keep)
 
     val bpeDir = BpeArtifact.defaultDir(corpusDir)
-    val bpeTrained = BpeArtifact.ensure(spark, corpusDir, bpeDir)
-    val bpe = BpeArtifact.retrainIfDrifted(spark, corpusDir, bpeDir, bpeMinOverlap)
+    val bpeTrained = BpeArtifact.ensure(spark, corpusDir, bpeDir, keep)
+    val bpe = BpeArtifact.retrainIfDrifted(spark, corpusDir, bpeDir,
+      bpeMinOverlap, keep)
 
     IndexReport(annBuilt, drift.action, drift.nNew, drift.maxRatio,
       postingsBuilt, rpBuilt, bpeTrained, bpe.action, bpe.overlap)

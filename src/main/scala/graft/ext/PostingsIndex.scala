@@ -199,7 +199,8 @@ object PostingsIndex {
   def docGrams(docs: DataFrame): DataFrame =
     bigramsOf(docs).groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
 
-  def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
+  def build(spark: SparkSession, corpusDir: String, idxDir: String,
+            keep: Int = 2): Unit = {
     val docs = graft.Tables.documents(spark, corpusDir)
     val (v, parent) = Versioned.claimVersion(idxDir)
     val vd = Versioned.versionDir(idxDir, v)
@@ -223,7 +224,7 @@ object PostingsIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/docids")
     writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir,
       sumDl(spark, s"$vd/termstats"))
-    Versioned.promote(idxDir, v, 2, parent)
+    Versioned.promote(idxDir, v, keep, parent)
   }
 
   /** Total corpus token count (Σ dl), read off the staged termstats so
@@ -257,10 +258,16 @@ object PostingsIndex {
       }
     }
 
-  /** Build-if-absent. Returns true iff this call BUILT. */
-  def ensure(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
+  /** Build-if-absent. Returns true iff this call BUILT. `keep` widens
+    * the artifact's retained-version window to match a Publish
+    * time-travel window (r14): a retained serving snapshot's PAIRED
+    * index version must outlive retention, or its pinned serve falls
+    * back to a rebuild.
+    */
+  def ensure(spark: SparkSession, corpusDir: String, idxDir: String,
+             keep: Int = 2): Boolean =
     if (isCurrent(spark, corpusDir, idxDir)) false
-    else { build(spark, corpusDir, idxDir); true }
+    else { build(spark, corpusDir, idxDir, keep); true }
 
   def postings(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "postings"))
@@ -362,14 +369,15 @@ object PostingsIndex {
     */
   def postingsStream(spark: SparkSession, sourceDir: String, idxDir: String,
                      compactFileBound: Int = 64,
-                     maxFilesPerTrigger: Option[Int] = None)
+                     maxFilesPerTrigger: Option[Int] = None,
+                     keep: Int = 2)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val reader = spark.readStream.schema(graft.streaming.EventStream.docSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          try appendDocs(spark, idxDir, batch, compactFileBound)
+          try appendDocs(spark, idxDir, batch, compactFileBound, keep)
           catch { case _: Gate.OverlappingAppendException => () } // audited by appendDocs
         }
       }
@@ -389,7 +397,7 @@ object PostingsIndex {
     * promote instead of publishing an interleaved version.
     */
   def appendDocs(spark: SparkSession, idxDir: String, newDocs: DataFrame,
-                 compactFileBound: Int = 64): Unit = {
+                 compactFileBound: Int = 64, keep: Int = 2): Unit = {
     require(isBuilt(idxDir), s"no postings index at $idxDir — build before appending")
     // The parent this append stages off — promote CAS-checks against it.
     val parentV = Versioned.currentVersion(idxDir)
@@ -455,7 +463,7 @@ object PostingsIndex {
         lit(0L))).head().getLong(0)
       writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"),
         meta.getAs[Long]("sum_dl") + addDl)
-      Versioned.promote(idxDir, newV, 2, parentV)
+      Versioned.promote(idxDir, newV, keep, parentV)
       audit(spark, idxDir, "appended", addFp.n, s"v$parentV -> v$newV")
     } finally docs.unpersist()
   }

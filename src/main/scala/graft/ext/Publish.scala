@@ -70,7 +70,10 @@ object Publish {
       if (embeddings.isEmpty) 0L
       else graft.Tables.embeddings(spark, servingDir).count()
 
-    val index = IndexRun.run(spark, servingDir, withVectors = embeddings.nonEmpty)
+    // Index retention matches serving retention: every retained
+    // snapshot's paired artifact versions survive as long as it does.
+    val index = IndexRun.run(spark, servingDir,
+      withVectors = embeddings.nonEmpty, keep = keepVersions)
     // Pair the committed snapshot with the index versions just built for
     // it (r13 VERDICT #3): a time-travel read of this snapshot then
     // serves from the RETAINED artifact versions — zero index builds.

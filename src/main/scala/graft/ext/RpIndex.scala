@@ -66,13 +66,14 @@ object RpIndex {
       idx
     }
 
-  def build(spark: SparkSession, corpusDir: String, idxDir: String): Unit = {
+  def build(spark: SparkSession, corpusDir: String, idxDir: String,
+            keep: Int = 2): Unit = {
     val (v, parent) = Versioned.claimVersion(idxDir)
     val vd = Versioned.versionDir(idxDir, v)
     graft.queries.Similarity.rpProjectInSession(spark, corpusDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/proj")
     writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
-    Versioned.promote(idxDir, v, 2, parent)
+    Versioned.promote(idxDir, v, keep, parent)
   }
 
   private def writeMeta(spark: SparkSession, versionDir: String,
@@ -92,10 +93,14 @@ object RpIndex {
       }
     }
 
-  /** Build-if-absent. Returns true iff this call DERIVED. */
-  def ensure(spark: SparkSession, corpusDir: String, idxDir: String): Boolean =
+  /** Build-if-absent. Returns true iff this call DERIVED. `keep` widens
+    * the retained-version window to match a Publish time-travel window
+    * (r14) so a pinned snapshot serve outlives later publishes.
+    */
+  def ensure(spark: SparkSession, corpusDir: String, idxDir: String,
+             keep: Int = 2): Boolean =
     if (isCurrent(spark, corpusDir, idxDir)) false
-    else { build(spark, corpusDir, idxDir); true }
+    else { build(spark, corpusDir, idxDir, keep); true }
 
   def proj(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "proj"))
@@ -110,7 +115,7 @@ object RpIndex {
     * old meta + one scan of the increment — old vectors are never read.
     */
   def appendVecs(spark: SparkSession, idxDir: String, newVecs: DataFrame,
-                 compactFileBound: Int = 64): Unit = {
+                 compactFileBound: Int = 64, keep: Int = 2): Unit = {
     require(isBuilt(idxDir), s"no RP artifact at $idxDir — build before appending")
     // The parent this append stages off — promote CAS-checks against it
     // (r13 VERDICT #1: a racing maintainer fails loudly at the flip).
@@ -143,6 +148,6 @@ object RpIndex {
     val fp = Currency.Fp(oldFp.n + addFp.n,
       math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
     writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"))
-    Versioned.promote(idxDir, newV, 2, parentV)
+    Versioned.promote(idxDir, newV, keep, parentV)
   }
 }

@@ -174,6 +174,23 @@ class PublishSpec extends SparkSpec {
       graft.queries.TextOps.lmScoreInSession(spark, snapA).collect().map(_.toSeq).toSeq,
       "pinned-artifact results must equal the in-session chain over the snapshot")
     assert(phrase != null)
+    // Index retention follows serving retention (r14): after a THIRD
+    // publish under keep=3, the oldest retained snapshot's paired
+    // artifact version is still on disk and still serves with zero
+    // builds — the window no longer trims back to the artifact's
+    // default keep=2.
+    Publish.run(spark, dump(src, 420L until 425L, "pc"), out, keepVersions = 3)
+    assert(Publish.servingVersions(out).size == 3)
+    assert(Publish.pinnedIndexDir(snapA, "postings").nonEmpty,
+      "the oldest snapshot's paired postings version must survive two later publishes")
+    val vPost2 = graft.ext.Versioned.currentVersion(postDir)
+    val runs2 = graft.ext.Currency.computeRuns.get()
+    val lm2 = graft.queries.TextOps.queries("q_lm_score")(spark, snapA).collect()
+    assert(graft.ext.Currency.computeRuns.get() == runs2 &&
+      graft.ext.Versioned.currentVersion(postDir) == vPost2,
+      "the oldest snapshot must still serve pinned — zero builds, zero currency jobs")
+    assert(lm2.map(_.toSeq).toSeq == lm.map(_.toSeq).toSeq,
+      "the pinned serve must be version-stable across later publishes")
     graft.queries.Det.releasePins(spark)
   }
 
