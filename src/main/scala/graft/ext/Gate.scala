@@ -20,16 +20,28 @@ object Gate {
     extends IllegalArgumentException(msg)
 
   /** Refuse an increment that is internally duplicated on `idCol` or
-    * overlaps the committed id set. Cost: one aggregate over the
-    * increment; the committed side is touched ONLY when the cheap
-    * monotone-feed check fails (min(new id) ≤ committed max id, from the
-    * stored fingerprint — no committed read at all for an id-ascending
-    * feed), in which case one semi-join against `committedIds` decides
-    * exactly. At 100 TB that join is O(increment + committed-id scan) —
-    * the honest price of admitting a non-monotone feed.
+    * overlaps the committed id set. Cost ladder (cheapest proof wins):
+    *
+    *   1. one aggregate over the increment (dup check + min id); a
+    *      monotone feed (min(new id) > committed max id, from the stored
+    *      fingerprint) is proven disjoint with NO committed read;
+    *   2. `blooms` (the artifact's per-segment id blooms — no false
+    *      negatives): if no bloom might-contain any increment id, the
+    *      increment is proven disjoint by an O(increment) distributed
+    *      probe — the committed side is still never read;
+    *   3. otherwise one semi-join against `committedIds` decides exactly
+    *      (bloom false positives land here, as does a bloom-less
+    *      artifact). At 100 TB this is O(increment + committed-id scan)
+    *      — the honest price of an id-reusing feed, paid only when the
+    *      cheaper proofs fail.
+    *
+    * `committedIds` is by-name: rungs 1 and 2 never evaluate it (the
+    * GateSpec pin).
     */
   def requireDisjoint(increment: DataFrame, idCol: String, committedMaxId: Long,
-                      committedIds: => DataFrame, what: String): Unit = {
+                      committedIds: => DataFrame, what: String,
+                      blooms: Seq[org.apache.spark.util.sketch.BloomFilter] =
+                        Seq.empty): Unit = {
     val agg = increment.agg(
       count(lit(1)).as("n"),
       countDistinct(col(idCol)).as("nd"),
@@ -42,13 +54,27 @@ object Gate {
           "an append must deliver each id at most once")
     val mn = Option(agg.get(2)).map(_.toString.toLong).getOrElse(Long.MaxValue)
     if (n > 0 && mn <= committedMaxId) {
-      val overlap = increment.select(col(idCol))
-        .join(committedIds.select(col(idCol)), Seq(idCol), "left_semi").count()
-      if (overlap > 0)
-        throw new OverlappingAppendException(
-          s"$what increment re-delivers $overlap already-committed $idCol(s) " +
-            "(e.g. a replayed drop file) — appending would double-count; " +
-            "dedup the feed or rebuild")
+      val candidates =
+        if (blooms.isEmpty) increment.select(col(idCol))
+        else {
+          // Broadcast the segment blooms and keep only ids SOME bloom
+          // might contain — no false negatives, so an empty survivor set
+          // proves disjointness without touching the committed table. A
+          // UDF (not a built-in) because the probe has no SQL surface;
+          // it runs over the INCREMENT only, never corpus-sized data.
+          val bc = increment.sparkSession.sparkContext.broadcast(blooms)
+          val might = udf((id: Long) => bc.value.exists(_.mightContainLong(id)))
+          increment.select(col(idCol)).filter(might(col(idCol)))
+        }
+      if (blooms.isEmpty || !candidates.isEmpty) {
+        val overlap = candidates
+          .join(committedIds.select(col(idCol)), Seq(idCol), "left_semi").count()
+        if (overlap > 0)
+          throw new OverlappingAppendException(
+            s"$what increment re-delivers $overlap already-committed $idCol(s) " +
+              "(e.g. a replayed drop file) — appending would double-count; " +
+              "dedup the feed or rebuild")
+      }
     }
   }
 }

@@ -199,6 +199,59 @@ object PostingsIndex {
   def docGrams(docs: DataFrame): DataFrame =
     bigramsOf(docs).groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
 
+  // ---- per-segment id blooms (r14): the O(increment) rung of the
+  // disjointness gate. Each build/append lands a bloom over ITS ids
+  // (LSM-style — like gramstats segments); the gate ORs the segments
+  // (no false negatives → "no bloom might contain any increment id"
+  // proves disjointness with the committed table never read). When
+  // segments exceed the compaction bound, one bloom is rebuilt over the
+  // staged docids — the same amortization as table compaction. The
+  // COMPLETENESS invariant (every committed id in some bloom) holds
+  // inductively from build; an older bloom-less artifact is upgraded by
+  // the first append that touches it (full rebuild over docids), and a
+  // bloom-less committed version simply falls back to the exact
+  // semi-join rung.
+  private val BloomFpp = 0.01
+
+  private def writeBloom(df: DataFrame, idCol: String, dir: String,
+                         expectedN: Long): Unit = {
+    val bf = df.stat.bloomFilter(idCol, math.max(expectedN, 1000L), BloomFpp)
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(dir,
+      s"b${java.util.UUID.randomUUID().toString.take(13)}.bloom")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def bloomFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".bloom")).toSeq.sortBy(_.getName)
+
+  private def bloomsAt(dir: String): Seq[org.apache.spark.util.sketch.BloomFilter] =
+    bloomFiles(dir).map { f =>
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    }
+
+  /** The committed (or pinned) version's segment blooms — spec hook. */
+  private[graft] def blooms(spark: SparkSession,
+                            idxDir: String): Seq[org.apache.spark.util.sketch.BloomFilter] =
+    bloomsAt(tablePath(idxDir, "blooms"))
+
+  private def linkBlooms(srcDir: String, dstDir: String): Unit = {
+    val files = bloomFiles(srcDir)
+    if (files.nonEmpty) {
+      new java.io.File(dstDir).mkdirs()
+      for (f <- files) {
+        val link = new java.io.File(dstDir, f.getName).toPath
+        try java.nio.file.Files.createLink(link, f.toPath)
+        catch { case _: UnsupportedOperationException =>
+          java.nio.file.Files.copy(f.toPath, link) }
+      }
+    }
+  }
+
   def build(spark: SparkSession, corpusDir: String, idxDir: String,
             keep: Int = 2): Unit = {
     val docs = graft.Tables.documents(spark, corpusDir)
@@ -222,8 +275,9 @@ object PostingsIndex {
     docs.select(col("doc_id"))
       .repartitionByRange(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/docids")
-    writeMeta(spark, vd, Currency.docsFp(spark, corpusDir), corpusDir,
-      sumDl(spark, s"$vd/termstats"))
+    val fp = Currency.docsFp(spark, corpusDir)
+    writeBloom(docs, "doc_id", s"$vd/blooms", fp.n)
+    writeMeta(spark, vd, fp, corpusDir, sumDl(spark, s"$vd/termstats"))
     Versioned.promote(idxDir, v, keep, parent)
   }
 
@@ -413,7 +467,7 @@ object PostingsIndex {
       val oldFp = Currency.parse(
         scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
       try Gate.requireDisjoint(docs, "doc_id", oldFp.maxId,
-        spark.read.parquet(s"$cvd/docids"), "postings")
+        spark.read.parquet(s"$cvd/docids"), "postings", bloomsAt(s"$cvd/blooms"))
       catch { case e: Gate.OverlappingAppendException =>
         audit(spark, idxDir, "refused", docs.count(), e.getMessage); throw e
       }
@@ -453,6 +507,24 @@ object PostingsIndex {
       val addFp = Currency.fp(docs, "doc_id", substring(col("text"), 1, 64))
       val fp = Currency.Fp(oldFp.n + addFp.n,
         math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
+      // Segment blooms: carry the parent's forward + land the increment's
+      // own. A parent WITHOUT blooms (pre-bloom artifact) is upgraded by
+      // one full rebuild over the staged docids — the completeness
+      // invariant (every committed id in some bloom) must hold or the
+      // gate could prove a false disjointness. Past the bound, segments
+      // collapse to one bloom over docids (the compaction amortization).
+      if (bloomFiles(s"$cvd/blooms").isEmpty)
+        writeBloom(spark.read.parquet(s"$nvd/docids"), "doc_id",
+          s"$nvd/blooms", fp.n)
+      else {
+        linkBlooms(s"$cvd/blooms", s"$nvd/blooms")
+        writeBloom(docs, "doc_id", s"$nvd/blooms", addFp.n)
+        if (bloomFiles(s"$nvd/blooms").size > compactFileBound) {
+          bloomFiles(s"$nvd/blooms").foreach(_.delete())
+          writeBloom(spark.read.parquet(s"$nvd/docids"), "doc_id",
+            s"$nvd/blooms", fp.n)
+        }
+      }
       // Null-text docs count dl = 0, matching build(): sumDl derives from
       // termstats, where a null text contributes no rows at all — a bare
       // size(split(NULL)) would instead add -1 per null doc under Spark's

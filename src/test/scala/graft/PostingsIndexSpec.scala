@@ -363,6 +363,45 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("segment blooms prove disjointness WITHOUT reading committed ids; coverage survives appends") {
+    val corpus = mkCorpus(baseRows) // ids 1..4
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_bloom").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val bl = PostingsIndex.blooms(spark, idx)
+    assert(bl.nonEmpty, "a build must land a bloom over its ids")
+    // Non-monotone but DISJOINT increment (id 0 ≤ committed max): the
+    // bloom rung must prove it without evaluating the committed table —
+    // the by-name committedIds THROWS if touched.
+    graft.ext.Gate.requireDisjoint(docsDf(Seq(0L -> "entirely new low id")),
+      "doc_id", 4L,
+      { fail("the committed id table must not be read when blooms prove disjointness") },
+      "postings", bl)
+    // A replayed id IS a bloom candidate → the exact semi-join rung runs
+    // and refuses (bloom false positives can only ADD work, never admit).
+    intercept[graft.ext.Gate.OverlappingAppendException] {
+      graft.ext.Gate.requireDisjoint(docsDf(Seq(1L -> "replayed")),
+        "doc_id", 4L, PostingsIndex.docids(spark, idx), "postings", bl)
+    }
+    // Appends maintain the COMPLETENESS invariant: parent bloom linked
+    // forward + the increment's own segment; every committed id covered.
+    PostingsIndex.appendDocs(spark, idx,
+      docsDf(Seq(10L -> "ten new words", 11L -> "eleven other words")))
+    val bl2 = PostingsIndex.blooms(spark, idx)
+    assert(bl2.size == 2, s"parent segment + increment segment, got ${bl2.size}")
+    for (id <- Seq(1L, 2L, 3L, 4L, 10L, 11L))
+      assert(bl2.exists(_.mightContainLong(id)),
+        s"committed id $id must be covered by some segment bloom")
+    // Past the bound, segments collapse to ONE bloom over docids — the
+    // compaction amortization — and coverage still holds.
+    PostingsIndex.appendDocs(spark, idx,
+      docsDf(Seq(12L -> "twelve arrives later")), compactFileBound = 1)
+    val bl3 = PostingsIndex.blooms(spark, idx)
+    assert(bl3.size == 1, s"bound-1 append must collapse the bloom segments, got ${bl3.size}")
+    for (id <- Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L))
+      assert(bl3.exists(_.mightContainLong(id)),
+        s"rebuilt bloom must cover every committed id incl. $id")
+  }
+
   test("merged gramstats are memoized per committed version (second serve re-aggregates nothing)") {
     val corpus = mkCorpus(baseRows)
     val idx = java.nio.file.Files.createTempDirectory("postings_idx_memo").toString
