@@ -62,13 +62,8 @@ object AnnIndex {
     * is env-overridable (SPARK_GRAFT_INDEX_ROOT) and defaults to the JVM
     * tmpdir — the only writable location the harness guarantees.
     */
-  def defaultIndexDir(corpusDir: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      sys.props("java.io.tmpdir") + "/graft_ann_index")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/$h"
-  }
+  def defaultIndexDir(corpusDir: String): String =
+    ArtifactRoots.dirFor("", corpusDir)
 
   /** Bumped whenever the artifact set changes (v2 added the residual
     * codebook/codes; v3 added the assignment distance to membership; v4
@@ -98,7 +93,16 @@ object AnnIndex {
     */
   def tablePath(idxDir: String, name: String): String = {
     val v = Versioned.currentVersion(idxDir)
-    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name" else s"$idxDir/$name"
+    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name"
+    else {
+      // Only a v<N>-shaped dir (what Publish.pinnedIndexDir hands out) is
+      // a pinned version root; anything else without CURRENT is an
+      // unbuilt artifact or a dead staged dir from a killed commit —
+      // fail explicitly rather than read uncommitted data.
+      require(new java.io.File(idxDir).getName.matches("v\\d+"),
+        s"no committed version under $idxDir")
+      s"$idxDir/$name"
+    }
   }
 
   /** The artifact dir to SERVE `corpusDir` from. A Publish time-travel
@@ -409,6 +413,13 @@ object AnnIndex {
     report
   }
 
+  /** Number of corpus-wide admission-seed scans maintainStream has run.
+    * Test hook: AnnIndexSpec pins "the admission path of a monotone
+    * stream batch runs ZERO corpus-wide aggregates" by delta — only the
+    * stream's FIRST batch may advance this (r14 VERDICT #3).
+    */
+  private[graft] val corpusSeedScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Streaming maintenance — the stream face of `rebuildIfDrifted`
     * (ivfDriftTriggerStream EMITS the decision; this CONSUMES it): new
     * embedding batches land as parquet files under `sourceDir`, each
@@ -421,6 +432,27 @@ object AnnIndex {
     * PostingsIndex.postingsStream. The corpus dir is mutated in place
     * (the plain-dir case), so the session currency memo is invalidated
     * per batch — the REFRESH TABLE analogue ext.Currency documents.
+    *
+    * CORPUS ADMISSION runs the gate ladder WITHOUT a per-batch corpus
+    * scan (r14 VERDICT #3): the stream seeds driver-side admission state
+    * ONCE — the corpus max id and one bloom over the committed ids, one
+    * aggregate at stream start — and each admitted batch advances the
+    * watermark and merges its own increment-sized bloom segment. A
+    * monotone batch then admits on the watermark alone; a non-monotone-
+    * but-disjoint batch on the bloom OR-probe; only bloom candidates pay
+    * the exact corpus semi-join. The seed must come from the CORPUS, not
+    * the index meta fingerprint alone: in the crash window where a batch
+    * reached the corpus but its index commit died, the meta lags the
+    * corpus and would re-admit that batch's replay — the one
+    * double-delivery the gate exists to refuse. A restart re-seeds, so
+    * the state is sound across crashes by construction.
+    *
+    * THE INDEX COMMIT RETRIES a lost CAS race (r14 VERDICT #1): a
+    * micro-batch racing a scheduled IndexRun commit re-runs the whole
+    * maintenance pass off the new committed version; a final loss
+    * (bounded attempts) is audited like a gate refusal and the stream
+    * moves on — the corpus append stands, and the next pass (or batch)
+    * indexes the vectors via the corpus-minus-membership diff.
     */
   def maintainStream(spark: SparkSession, sourceDir: String, corpusDir: String,
                      idxDir: String, bound: Double = 2.0,
@@ -436,45 +468,83 @@ object AnnIndex {
           org.apache.spark.sql.types.FloatType)),
       org.apache.spark.sql.types.StructField("label",
         org.apache.spark.sql.types.IntegerType)))
+    val corpusPath = s"$corpusDir/embeddings.parquet"
+    // Driver-side admission state (one stream = one writer; sequential
+    // micro-batches). Segment blooms are created with IDENTICAL size
+    // parameters so they merge into one bounded accumulator — a long
+    // stream holds the seed bloom + one merged segment bloom, never an
+    // unbounded list. An oversized batch only degrades the merged
+    // bloom's fpp, which can only ADD semi-join work, never admit wrong.
+    var seeded = false
+    var watermark = Long.MinValue
+    var seedBloom: org.apache.spark.util.sketch.BloomFilter = null
+    var segBloom: org.apache.spark.util.sketch.BloomFilter = null
+    val segExpected = 100000L
+    def auditRow(action: String, n: Long, msg: String): Unit = {
+      import spark.implicits._
+      Seq((action, n, 0L, 0.0, bound, System.currentTimeMillis()))
+        .toDF("action", "n_new", "n_removed", "max_ratio", "bound",
+          "decided_at_ms")
+        .coalesce(1).write.mode("append").parquet(s"$idxDir/audit")
+      System.err.println(s"[AnnIndex.maintainStream] $action: $msg")
+    }
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // Disjointness gate BEFORE the corpus mutates (r13 VERDICT #2):
-          // a REPLAYED drop file (ids already in the corpus) would
-          // double-deliver vectors — the batch is refused, the refusal
-          // recorded in the audit log (the stream's decision table), and
-          // the corpus and index stay exactly as committed.
-          val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
-          val corpusMax = Option(corpus.agg(max(col("vec_id"))).head().get(0))
-            .map(_.toString.toLong).getOrElse(Long.MinValue)
-          val admitted =
-            try { Gate.requireDisjoint(batch, "vec_id", corpusMax, corpus,
-              "ann-corpus"); true }
-            catch {
-              case e: Gate.OverlappingAppendException =>
-                import spark.implicits._
-                Seq(("refused", batch.count(), 0L, 0.0, bound,
-                    System.currentTimeMillis()))
-                  .toDF("action", "n_new", "n_removed", "max_ratio", "bound",
-                    "decided_at_ms")
-                  .coalesce(1).write.mode("append").parquet(s"$idxDir/audit")
-                System.err.println(
-                  s"[AnnIndex.maintainStream] batch refused: ${e.getMessage}")
-                false
-            }
-          if (admitted) {
-            batch.write.mode("append").parquet(s"$corpusDir/embeddings.parquet")
-            Currency.invalidate(corpusDir)
-            // The corpus just mutated in place: session memos keyed by
-            // this dir (the sim.* training chains) would serve the
-            // PRE-batch corpus to a drift-triggered retrain — release
-            // exactly this dir's memos (other families' pins survive).
-            graft.queries.Det.releaseForDir(spark, corpusDir)
-            rebuildIfDrifted(spark, corpusDir, idxDir, bound, minNewPerCluster, keep)
-            ()
+          if (!seeded) {
+            corpusSeedScans.incrementAndGet()
+            val corpus = spark.read.parquet(corpusPath)
+            val r = corpus.agg(count(lit(1)), max(col("vec_id"))).head()
+            val n = r.getLong(0)
+            watermark = Option(r.get(1)).map(_.toString.toLong)
+              .getOrElse(Long.MinValue)
+            seedBloom =
+              if (n == 0) null
+              else corpus.stat.bloomFilter("vec_id", math.max(n, 1000L),
+                SegmentBlooms.Fpp)
+            seeded = true
           }
+          // Pin the batch: the gate, the watermark advance, the segment
+          // bloom, and the corpus append all read it once-deserialized.
+          val pinned = batch.persist()
+          try {
+            val admitted =
+              try { Gate.requireDisjoint(pinned, "vec_id", watermark,
+                spark.read.parquet(corpusPath), "ann-corpus",
+                Seq(Option(seedBloom), Option(segBloom)).flatten); true }
+              catch {
+                case e: Gate.OverlappingAppendException =>
+                  auditRow("refused", pinned.count(), e.getMessage); false
+              }
+            if (admitted) {
+              val agg = pinned.agg(count(lit(1)), max(col("vec_id"))).head()
+              pinned.write.mode("append").parquet(corpusPath)
+              Currency.invalidate(corpusDir)
+              // The corpus just mutated in place: session memos keyed by
+              // this dir (the sim.* training chains) would serve the
+              // PRE-batch corpus to a drift-triggered retrain — release
+              // exactly this dir's memos (other families' pins survive).
+              graft.queries.Det.releaseForDir(spark, corpusDir)
+              // Admission state advances once the corpus holds the batch —
+              // even if the index commit below loses its race, a replay of
+              // these ids must be refused.
+              watermark = math.max(watermark,
+                Option(agg.get(1)).map(_.toString.toLong).getOrElse(Long.MinValue))
+              val b = pinned.stat.bloomFilter("vec_id", segExpected,
+                SegmentBlooms.Fpp)
+              if (segBloom == null) segBloom = b else segBloom.mergeInPlace(b)
+              try Versioned.retryingCommit("ann-stream-maintain") {
+                rebuildIfDrifted(spark, corpusDir, idxDir, bound,
+                  minNewPerCluster, keep)
+              } catch {
+                case e: Versioned.ConcurrentCommitException =>
+                  auditRow("lost-race", agg.getLong(0), e.getMessage)
+              }
+              ()
+            }
+          } finally pinned.unpersist()
         }
       }
       .start()

@@ -39,13 +39,8 @@ object BpeArtifact {
   /** Default per-corpus artifact location: md5(corpusDir) under an
     * env-overridable root (same convention as AnnIndex.defaultIndexDir).
     */
-  def defaultDir(corpusDir: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      sys.props("java.io.tmpdir") + "/graft_ann_index")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/$h/bpe"
-  }
+  def defaultDir(corpusDir: String): String =
+    ArtifactRoots.dirFor("", corpusDir) + "/bpe"
 
   /** The committed version (0 = none) — the shared snapshot discipline
     * (ext/Versioned, extracted from here at r13). Versions are staged

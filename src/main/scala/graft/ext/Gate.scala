@@ -54,27 +54,48 @@ object Gate {
           "an append must deliver each id at most once")
     val mn = Option(agg.get(2)).map(_.toString.toLong).getOrElse(Long.MaxValue)
     if (n > 0 && mn <= committedMaxId) {
-      val candidates =
-        if (blooms.isEmpty) increment.select(col(idCol))
-        else {
-          // Broadcast the segment blooms and keep only ids SOME bloom
-          // might contain — no false negatives, so an empty survivor set
-          // proves disjointness without touching the committed table. A
-          // UDF (not a built-in) because the probe has no SQL surface;
-          // it runs over the INCREMENT only, never corpus-sized data.
-          val bc = increment.sparkSession.sparkContext.broadcast(blooms)
-          val might = udf((id: Long) => bc.value.exists(_.mightContainLong(id)))
-          increment.select(col(idCol)).filter(might(col(idCol)))
+      val bc =
+        if (blooms.isEmpty) None
+        else Some(increment.sparkSession.sparkContext.broadcast(blooms))
+      try {
+        val candidates = bc match {
+          case None => increment.select(col(idCol))
+          case Some(b) =>
+            // Broadcast the segment blooms and keep only ids SOME bloom
+            // might contain — no false negatives, so an empty survivor set
+            // proves disjointness without touching the committed table. A
+            // UDF (not a built-in) because the probe has no SQL surface;
+            // it runs over the INCREMENT only, never corpus-sized data.
+            val might = udf((id: Long) => b.value.exists(_.mightContainLong(id)))
+            // Pinned so the emptiness probe and the semi-join that follows
+            // a non-empty survivor set share ONE evaluation of the probe.
+            increment.select(col(idCol)).filter(might(col(idCol))).persist()
         }
-      if (blooms.isEmpty || !candidates.isEmpty) {
-        val overlap = candidates
-          .join(committedIds.select(col(idCol)), Seq(idCol), "left_semi").count()
-        if (overlap > 0)
-          throw new OverlappingAppendException(
-            s"$what increment re-delivers $overlap already-committed $idCol(s) " +
-              "(e.g. a replayed drop file) — appending would double-count; " +
-              "dedup the feed or rebuild")
-      }
+        try {
+          if (bc.isEmpty || !candidates.isEmpty) {
+            exactRungRuns.incrementAndGet()
+            val overlap = candidates
+              .join(committedIds.select(col(idCol)), Seq(idCol), "left_semi").count()
+            if (overlap > 0)
+              throw new OverlappingAppendException(
+                s"$what increment re-delivers $overlap already-committed $idCol(s) " +
+                  "(e.g. a replayed drop file) — appending would double-count; " +
+                  "dedup the feed or rebuild")
+          }
+        } finally bc.foreach(_ => candidates.unpersist())
+      } finally
+        // The probe broadcast is per-admission scrap: without an explicit
+        // destroy, every gated append in a long-running streaming
+        // maintainer would leak one broadcast of all segment blooms on
+        // the driver and executors.
+        bc.foreach(_.destroy())
     }
   }
+
+  /** How many times the EXACT rung (the committed-id semi-join) has run —
+    * the by-name `committedIds` is evaluated iff this advances. Test
+    * hook: specs pin "blooms/watermark proved disjointness without
+    * reading the committed table" by DELTA.
+    */
+  private[graft] val exactRungRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 }

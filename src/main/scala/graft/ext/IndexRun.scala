@@ -46,32 +46,48 @@ object IndexRun {
   def run(spark: SparkSession, corpusDir: String,
           annBound: Double = 2.0, bpeMinOverlap: Double = 0.75,
           withVectors: Boolean = true, keep: Int = 2): IndexReport = {
+    // Every maintenance pass below re-reads the committed version at
+    // entry and CAS-promotes at exit, so retryingCommit (r14 VERDICT #1)
+    // makes a scheduled run that loses a race against a streaming
+    // maintainer re-stage off the stream's commit instead of dying.
+    import Versioned.retryingCommit
     val (annBuilt, drift) =
       if (!withVectors)
         (false, AnnIndex.DriftReport("skipped", 0L, 0L, 0.0))
       else {
         val annDir = AnnIndex.defaultIndexDir(corpusDir)
-        val built = AnnIndex.ensure(spark, corpusDir, annDir, keep)
+        val built = retryingCommit("index-run-ann-ensure") {
+          AnnIndex.ensure(spark, corpusDir, annDir, keep)
+        }
         // ensure() already retrained if the corpus moved under the same
         // path; the drift pass then provably no-ops on a fresh build — it
         // exists for the standing-index case where corpusDir GREW (new
         // vec_ids) rather than being re-keyed.
-        (built, AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound,
-          keep = keep))
+        (built, retryingCommit("index-run-ann-drift") {
+          AnnIndex.rebuildIfDrifted(spark, corpusDir, annDir, annBound,
+            keep = keep)
+        })
       }
 
     val postDir = PostingsIndex.defaultDir(corpusDir)
-    val postingsBuilt = PostingsIndex.ensure(spark, corpusDir, postDir, keep)
+    val postingsBuilt = retryingCommit("index-run-postings") {
+      PostingsIndex.ensure(spark, corpusDir, postDir, keep)
+    }
 
     // Projected store: per-document like postings — count+path currency,
     // no drift concept (the md5 matrix is fixed; append ≡ rebuild).
-    val rpBuilt = withVectors &&
+    val rpBuilt = withVectors && retryingCommit("index-run-rp") {
       RpIndex.ensure(spark, corpusDir, RpIndex.defaultDir(corpusDir), keep)
+    }
 
     val bpeDir = BpeArtifact.defaultDir(corpusDir)
-    val bpeTrained = BpeArtifact.ensure(spark, corpusDir, bpeDir, keep)
-    val bpe = BpeArtifact.retrainIfDrifted(spark, corpusDir, bpeDir,
-      bpeMinOverlap, keep)
+    val bpeTrained = retryingCommit("index-run-bpe-ensure") {
+      BpeArtifact.ensure(spark, corpusDir, bpeDir, keep)
+    }
+    val bpe = retryingCommit("index-run-bpe-drift") {
+      BpeArtifact.retrainIfDrifted(spark, corpusDir, bpeDir,
+        bpeMinOverlap, keep)
+    }
 
     IndexReport(annBuilt, drift.action, drift.nNew, drift.maxRatio,
       postingsBuilt, rpBuilt, bpeTrained, bpe.action, bpe.overlap)

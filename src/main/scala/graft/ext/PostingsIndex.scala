@@ -98,13 +98,8 @@ object PostingsIndex {
     */
   private val SchemaVersion = 5L
 
-  def defaultDir(corpusDir: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      sys.props("java.io.tmpdir") + "/graft_ann_index")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/postings_$h"
-  }
+  def defaultDir(corpusDir: String): String =
+    ArtifactRoots.dirFor("postings_", corpusDir)
 
   def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
@@ -115,7 +110,16 @@ object PostingsIndex {
     */
   private[graft] def tablePath(idxDir: String, name: String): String = {
     val v = Versioned.currentVersion(idxDir)
-    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name" else s"$idxDir/$name"
+    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name"
+    else {
+      // Only a v<N>-shaped dir (what Publish.pinnedIndexDir hands out) is
+      // a pinned version root; anything else without CURRENT is an
+      // unbuilt artifact or a dead staged dir — fail explicitly rather
+      // than read uncommitted data.
+      require(new java.io.File(idxDir).getName.matches("v\\d+"),
+        s"no committed version under $idxDir")
+      s"$idxDir/$name"
+    }
   }
 
   /** The artifact dir to SERVE `corpusDir` from. A Publish time-travel
@@ -199,58 +203,14 @@ object PostingsIndex {
   def docGrams(docs: DataFrame): DataFrame =
     bigramsOf(docs).groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
 
-  // ---- per-segment id blooms (r14): the O(increment) rung of the
-  // disjointness gate. Each build/append lands a bloom over ITS ids
-  // (LSM-style — like gramstats segments); the gate ORs the segments
-  // (no false negatives → "no bloom might contain any increment id"
-  // proves disjointness with the committed table never read). When
-  // segments exceed the compaction bound, one bloom is rebuilt over the
-  // staged docids — the same amortization as table compaction. The
-  // COMPLETENESS invariant (every committed id in some bloom) holds
-  // inductively from build; an older bloom-less artifact is upgraded by
-  // the first append that touches it (full rebuild over docids), and a
-  // bloom-less committed version simply falls back to the exact
-  // semi-join rung.
-  private val BloomFpp = 0.01
-
-  private def writeBloom(df: DataFrame, idCol: String, dir: String,
-                         expectedN: Long): Unit = {
-    val bf = df.stat.bloomFilter(idCol, math.max(expectedN, 1000L), BloomFpp)
-    new java.io.File(dir).mkdirs()
-    val f = new java.io.File(dir,
-      s"b${java.util.UUID.randomUUID().toString.take(13)}.bloom")
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
-    try bf.writeTo(out) finally out.close()
-  }
-
-  private def bloomFiles(dir: String): Seq[java.io.File] =
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".bloom")).toSeq.sortBy(_.getName)
-
-  private def bloomsAt(dir: String): Seq[org.apache.spark.util.sketch.BloomFilter] =
-    bloomFiles(dir).map { f =>
-      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
-      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
-    }
+  // Per-segment id blooms (r14): the O(increment) rung of the
+  // disjointness gate — machinery shared with the RP projection since
+  // r15 (ext.SegmentBlooms carries the layout + completeness invariant).
 
   /** The committed (or pinned) version's segment blooms — spec hook. */
   private[graft] def blooms(spark: SparkSession,
                             idxDir: String): Seq[org.apache.spark.util.sketch.BloomFilter] =
-    bloomsAt(tablePath(idxDir, "blooms"))
-
-  private def linkBlooms(srcDir: String, dstDir: String): Unit = {
-    val files = bloomFiles(srcDir)
-    if (files.nonEmpty) {
-      new java.io.File(dstDir).mkdirs()
-      for (f <- files) {
-        val link = new java.io.File(dstDir, f.getName).toPath
-        try java.nio.file.Files.createLink(link, f.toPath)
-        catch { case _: UnsupportedOperationException =>
-          java.nio.file.Files.copy(f.toPath, link) }
-      }
-    }
-  }
+    SegmentBlooms.bloomsAt(tablePath(idxDir, "blooms"))
 
   def build(spark: SparkSession, corpusDir: String, idxDir: String,
             keep: Int = 2): Unit = {
@@ -276,7 +236,7 @@ object PostingsIndex {
       .repartitionByRange(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/docids")
     val fp = Currency.docsFp(spark, corpusDir)
-    writeBloom(docs, "doc_id", s"$vd/blooms", fp.n)
+    SegmentBlooms.writeBloom(docs, "doc_id", s"$vd/blooms", fp.n)
     writeMeta(spark, vd, fp, corpusDir, sumDl(spark, s"$vd/termstats"))
     Versioned.promote(idxDir, v, keep, parent)
   }
@@ -431,8 +391,19 @@ object PostingsIndex {
     reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          try appendDocs(spark, idxDir, batch, compactFileBound, keep)
-          catch { case _: Gate.OverlappingAppendException => () } // audited by appendDocs
+          // A micro-batch racing a scheduled maintainer (a cron IndexRun
+          // commit) loses the CAS loudly; the retry re-runs the WHOLE
+          // append pass, which re-reads the new committed version and
+          // re-stages this batch off it — the batch lands, the stream
+          // lives. A final loss (bounded attempts) is audited like a gate
+          // refusal: foreachBatch replay-on-restart re-delivers the batch.
+          try Versioned.retryingCommit("postings-stream-append") {
+            appendDocs(spark, idxDir, batch, compactFileBound, keep)
+          } catch {
+            case _: Gate.OverlappingAppendException => () // audited by appendDocs
+            case e: Versioned.ConcurrentCommitException =>
+              audit(spark, idxDir, "lost-race", batch.count(), e.getMessage)
+          }
         }
       }
       .start()
@@ -467,7 +438,8 @@ object PostingsIndex {
       val oldFp = Currency.parse(
         scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
       try Gate.requireDisjoint(docs, "doc_id", oldFp.maxId,
-        spark.read.parquet(s"$cvd/docids"), "postings", bloomsAt(s"$cvd/blooms"))
+        spark.read.parquet(s"$cvd/docids"), "postings",
+        SegmentBlooms.bloomsAt(s"$cvd/blooms"))
       catch { case e: Gate.OverlappingAppendException =>
         audit(spark, idxDir, "refused", docs.count(), e.getMessage); throw e
       }
@@ -507,24 +479,9 @@ object PostingsIndex {
       val addFp = Currency.fp(docs, "doc_id", substring(col("text"), 1, 64))
       val fp = Currency.Fp(oldFp.n + addFp.n,
         math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
-      // Segment blooms: carry the parent's forward + land the increment's
-      // own. A parent WITHOUT blooms (pre-bloom artifact) is upgraded by
-      // one full rebuild over the staged docids — the completeness
-      // invariant (every committed id in some bloom) must hold or the
-      // gate could prove a false disjointness. Past the bound, segments
-      // collapse to one bloom over docids (the compaction amortization).
-      if (bloomFiles(s"$cvd/blooms").isEmpty)
-        writeBloom(spark.read.parquet(s"$nvd/docids"), "doc_id",
-          s"$nvd/blooms", fp.n)
-      else {
-        linkBlooms(s"$cvd/blooms", s"$nvd/blooms")
-        writeBloom(docs, "doc_id", s"$nvd/blooms", addFp.n)
-        if (bloomFiles(s"$nvd/blooms").size > compactFileBound) {
-          bloomFiles(s"$nvd/blooms").foreach(_.delete())
-          writeBloom(spark.read.parquet(s"$nvd/docids"), "doc_id",
-            s"$nvd/blooms", fp.n)
-        }
-      }
+      SegmentBlooms.carryAndAppend(s"$cvd/blooms", s"$nvd/blooms",
+        docs, "doc_id", addFp.n,
+        spark.read.parquet(s"$nvd/docids"), fp.n, compactFileBound)
       // Null-text docs count dl = 0, matching build(): sumDl derives from
       // termstats, where a null text contributes no rows at all — a bare
       // size(split(NULL)) would instead add -1 per null doc under Spark's

@@ -61,8 +61,13 @@ object Publish {
       containmentThreshold = containmentThreshold)
 
     val servingDir = s"$outDir/serving"
-    val (v, parent) = stageServing(spark, outDir, embeddings)
-    Versioned.promote(servingDir, v, keepVersions, parent)
+    // A publish racing another publish of the same outDir re-stages off
+    // the winner's snapshot instead of dying (r14 VERDICT #1).
+    val v = Versioned.retryingCommit("publish-serving") {
+      val (v, parent) = stageServing(spark, outDir, embeddings)
+      Versioned.promote(servingDir, v, keepVersions, parent)
+      v
+    }
 
     // Counts read THROUGH the pointer — what a serving consumer sees.
     val servingDocs = graft.Tables.documents(spark, servingDir).count()
@@ -136,6 +141,13 @@ object Publish {
     * ensure, no currency job, no rebuild. Any other corpus path (or a
     * swept artifact version) returns None and the caller ensures the
     * live artifact as before.
+    *
+    * The manifest records the artifact dir ABSOLUTE as it was at publish
+    * time; if the index root has since been relocated (a different
+    * SPARK_GRAFT_INDEX_ROOT at read time), the recorded path is
+    * RE-RESOLVED under the current root via the kind's own default-dir
+    * convention — the artifact version travels with the root instead of
+    * silently degrading every time-travel serve to a rebuild.
     */
   def pinnedIndexDir(corpusDir: String, kind: String): Option[String] = {
     val f = new java.io.File(corpusDir)
@@ -150,10 +162,26 @@ object Publish {
           case Array(k, spec) if k == kind && spec.contains('|') =>
             val d = spec.substring(0, spec.lastIndexOf('|'))
             val ver = spec.substring(spec.lastIndexOf('|') + 1).toLong
-            Versioned.versionDir(d, ver)
-        }
-        .filter(vd => new java.io.File(vd).isDirectory)
+            val recorded = Versioned.versionDir(d, ver)
+            if (new java.io.File(recorded).isDirectory) Some(recorded)
+            else {
+              // Root relocated since publish: the serving pointer is this
+              // snapshot's parent dir — re-derive the artifact dir the
+              // same way writeIndexManifest did, under the CURRENT root.
+              val pointer = f.getParentFile.getPath
+              val relocated = Versioned.versionDir(defaultDirFor(kind, pointer), ver)
+              Some(relocated).filter(vd => new java.io.File(vd).isDirectory)
+            }
+        }.flatten
     }
+  }
+
+  private def defaultDirFor(kind: String, corpusDir: String): String = kind match {
+    case "ann" => AnnIndex.defaultIndexDir(corpusDir)
+    case "postings" => PostingsIndex.defaultDir(corpusDir)
+    case "rp" => RpIndex.defaultDir(corpusDir)
+    case "bpe" => BpeArtifact.defaultDir(corpusDir)
+    case other => throw new IllegalArgumentException(s"unknown artifact kind $other")
   }
 
   /** What the last publish actually did: the snapshot-diff kernel

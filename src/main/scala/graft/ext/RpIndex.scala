@@ -34,13 +34,8 @@ object RpIndex {
     */
   private val SchemaVersion = 2L
 
-  def defaultDir(corpusDir: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      sys.props("java.io.tmpdir") + "/graft_ann_index")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/rp_$h"
-  }
+  def defaultDir(corpusDir: String): String =
+    ArtifactRoots.dirFor("rp_", corpusDir)
 
   def isBuilt(idxDir: String): Boolean = Versioned.currentVersion(idxDir) > 0
 
@@ -51,7 +46,14 @@ object RpIndex {
     */
   private def tablePath(idxDir: String, name: String): String = {
     val v = Versioned.currentVersion(idxDir)
-    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name" else s"$idxDir/$name"
+    if (v > 0) s"${Versioned.versionDir(idxDir, v)}/$name"
+    else {
+      // Only a v<N>-shaped dir (a Publish pinned version root) may skip
+      // CURRENT; see PostingsIndex.tablePath.
+      require(new java.io.File(idxDir).getName.matches("v\\d+"),
+        s"no committed version under $idxDir")
+      s"$idxDir/$name"
+    }
   }
 
   /** The artifact dir to SERVE `corpusDir` from: a Publish time-travel
@@ -72,9 +74,20 @@ object RpIndex {
     val vd = Versioned.versionDir(idxDir, v)
     graft.queries.Similarity.rpProjectInSession(spark, corpusDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/proj")
-    writeMeta(spark, vd, Currency.vecsFp(spark, corpusDir), corpusDir)
+    val fp = Currency.vecsFp(spark, corpusDir)
+    // Segment bloom over the indexed vec_ids (ext.SegmentBlooms): the
+    // O(increment) rung of appendVecs' disjointness gate — a
+    // non-monotone-but-disjoint feed is admitted without ever reading
+    // the committed proj table.
+    SegmentBlooms.writeBloom(spark.read.parquet(s"$vd/proj"), "vec_id",
+      s"$vd/blooms", fp.n)
+    writeMeta(spark, vd, fp, corpusDir)
     Versioned.promote(idxDir, v, keep, parent)
   }
+
+  /** The committed (or pinned) version's segment blooms — spec hook. */
+  private[graft] def blooms(idxDir: String): Seq[org.apache.spark.util.sketch.BloomFilter] =
+    SegmentBlooms.bloomsAt(tablePath(idxDir, "blooms"))
 
   private def writeMeta(spark: SparkSession, versionDir: String,
                         fp: Currency.Fp, corpusDir: String): Unit =
@@ -126,10 +139,14 @@ object RpIndex {
       scala.util.Try(meta.getAs[String]("fingerprint")).getOrElse("0|0|0"))
     // append ≡ rebuild holds only for a DISJOINT increment (r13 VERDICT
     // #2): a replayed batch would double-project vec_ids and corrupt the
-    // incremental fingerprint. The committed proj table holds every
-    // indexed vec_id, so it is the exact membership side of the check.
+    // incremental fingerprint. Gate ladder: monotone max-id (no committed
+    // read) → segment-bloom OR-probe (O(increment) — r14 VERDICT #2,
+    // extending the postings rung here) → exact semi-join against the
+    // committed proj table (every indexed vec_id) only for bloom
+    // candidates or a bloom-less pre-r15 artifact.
     Gate.requireDisjoint(newVecs, "vec_id", oldFp.maxId,
-      spark.read.parquet(s"$cvd/proj"), "rp-projection")
+      spark.read.parquet(s"$cvd/proj"), "rp-projection",
+      SegmentBlooms.bloomsAt(s"$cvd/blooms"))
     val vd = newVecs.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb_d"))
     val (newV, _) = Versioned.claimVersion(idxDir)
@@ -147,6 +164,9 @@ object RpIndex {
     val addFp = Currency.fp(newVecs, "vec_id", element_at(col("embedding"), 1))
     val fp = Currency.Fp(oldFp.n + addFp.n,
       math.max(oldFp.maxId, addFp.maxId), oldFp.sampleHash + addFp.sampleHash)
+    SegmentBlooms.carryAndAppend(s"$cvd/blooms", s"$nvd/blooms",
+      newVecs, "vec_id", addFp.n,
+      spark.read.parquet(s"$nvd/proj"), fp.n, compactFileBound)
     writeMeta(spark, nvd, fp, meta.getAs[String]("corpus_dir"))
     Versioned.promote(idxDir, newV, keep, parentV)
   }

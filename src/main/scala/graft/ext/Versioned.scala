@@ -141,12 +141,49 @@ object Versioned {
   def promote(artDir: String, v: Long, keep: Int, expectedParent: Long): Unit = {
     require(keep >= 1, s"keep must retain at least the committed version, got $keep")
     beforePromote(artDir, v)
-    val cur = currentVersion(artDir)
-    if (expectedParent >= 0L && cur != expectedParent)
-      throw new ConcurrentCommitException(
-        s"commit of v$v under $artDir staged off v$expectedParent, but v$cur is " +
-          s"now committed — a concurrent maintainer won; re-stage off v$cur")
+    // The compare and the flip must be MUTUALLY EXCLUSIVE or the CAS is
+    // only advisory: two promotes truly concurrent on separate threads
+    // could both read cur == expectedParent before either renames CURRENT,
+    // and both would commit — the exact lost update the CAS exists to
+    // refuse. An O_EXCL lock file serializes the critical section (a file
+    // read + two renames — milliseconds); a lock orphaned by a process
+    // killed inside it is stolen once it ages past LockStaleMs.
+    withCommitLock(artDir) {
+      val cur = currentVersion(artDir)
+      if (expectedParent >= 0L && cur != expectedParent)
+        throw new ConcurrentCommitException(
+          s"commit of v$v under $artDir staged off v$expectedParent, but v$cur is " +
+            s"now committed — a concurrent maintainer won; re-stage off v$cur")
+      promoteLocked(artDir, v, keep, cur)
+    }
+  }
+
+  /** How long an orphaned commit lock survives before a waiter steals it.
+    * The locked section is driver-side file metadata work only, so any
+    * lock older than this belongs to a process that died holding it.
+    */
+  private val LockStaleMs = 10000L
+
+  private def withCommitLock[T](artDir: String)(body: => T): T = {
     val root = new java.io.File(artDir); root.mkdirs()
+    val lock = new java.io.File(root, ".commit.lock").toPath
+    var held = false
+    while (!held) {
+      try { java.nio.file.Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = System.currentTimeMillis() -
+            (try java.nio.file.Files.getLastModifiedTime(lock).toMillis
+             catch { case _: java.io.IOException => System.currentTimeMillis() })
+          if (age > LockStaleMs) java.nio.file.Files.deleteIfExists(lock)
+          else Thread.sleep(20L)
+      }
+    }
+    try body finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  private def promoteLocked(artDir: String, v: Long, keep: Int, cur: Long): Unit = {
+    val root = new java.io.File(artDir)
     // A dir below the new v is not necessarily a committed predecessor —
     // a commit that died mid-stage leaves its dir behind, and once a
     // LATER commit succeeds the dead dir sits below v. Only versions
@@ -171,6 +208,47 @@ object Versioned {
            if d.getName.drop(1).toLong <= v // above v: possibly live concurrent staging
            if !retained.contains(d.getName.drop(1).toLong))
       deleteRecursively(d)
+  }
+
+  /** The CAS made writer races LOUD (a stale promote throws); this is the
+    * retry discipline that makes them SURVIVABLE (r14 VERDICT #1): run a
+    * whole maintenance pass — which reads the committed version at entry,
+    * claims a fresh staging dir, stages, and CAS-promotes — and, when a
+    * concurrent maintainer wins the flip first, run the pass AGAIN so it
+    * re-reads the NEW committed version and re-stages its increment off
+    * it. Bounded attempts: a maintainer that keeps losing (a pathological
+    * commit storm) surfaces the last ConcurrentCommitException rather
+    * than spinning forever. The loser's orphaned staging dirs are swept
+    * by later promotes as usual.
+    *
+    * Every scheduled/streaming maintainer routes its pass through here
+    * (IndexRun, postingsStream, maintainStream, Publish) — a cron rebuild
+    * racing a stream append now costs the loser one wasted staging, not
+    * its life.
+    */
+  def retryingCommit[T](what: String, maxAttempts: Int = 3)(pass: => T): T =
+    retryingCommitCounted(what, maxAttempts)(pass)._1
+
+  /** As [[retryingCommit]], also returning how many RETRIES (lost races)
+    * the pass paid — the observable BENCH_MAINT's contended scenario and
+    * the interleave specs report.
+    */
+  def retryingCommitCounted[T](what: String, maxAttempts: Int = 3)
+                              (pass: => T): (T, Int) = {
+    require(maxAttempts >= 1, s"need at least one attempt, got $maxAttempts")
+    var retries = 0
+    while (true) {
+      try return (pass, retries)
+      catch {
+        case e: ConcurrentCommitException =>
+          retries += 1
+          if (retries >= maxAttempts)
+            throw new ConcurrentCommitException(
+              s"$what lost $retries consecutive commit races (maxAttempts=" +
+                s"$maxAttempts) — last: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def history(root: java.io.File): Seq[Long] = {

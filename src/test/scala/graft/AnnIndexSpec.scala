@@ -429,6 +429,61 @@ class AnnIndexSpec extends SparkSpec {
     Det.releasePins(spark)
   }
 
+  test("stream admission pays ONE corpus seed scan; monotone batches run zero corpus-wide aggregates") {
+    // r14 VERDICT #3: the gate's monotone fast path used to re-aggregate
+    // the committed corpus for max(vec_id) on EVERY micro-batch — O(corpus)
+    // per batch. Now the stream seeds driver-side admission state once
+    // (watermark + committed-id bloom) and monotone batches admit on the
+    // in-memory watermark alone.
+    val corpus = writeBlobs(0L until 300L, _ => 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_idx_ws").toString
+    AnnIndex.ensure(spark, corpus, idx)
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src_ws").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp_ws").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val seedsBefore = AnnIndex.corpusSeedScans.get()
+    val exactBefore = graft.ext.Gate.exactRungRuns.get()
+    val q = AnnIndex.maintainStream(spark, src, corpus, idx,
+      maxFilesPerTrigger = Some(1))
+    try {
+      land(blobDf(1000L until 1030L, _ => 0f), "b0")
+      q.processAllAvailable()
+      assert(AnnIndex.corpusSeedScans.get() == seedsBefore + 1,
+        "the FIRST batch must seed the admission state (one corpus scan)")
+      land(blobDf(2000L until 2030L, _ => 0f), "b1")
+      land(blobDf(3000L until 3030L, _ => 0f), "b2")
+      q.processAllAvailable()
+      assert(AnnIndex.corpusSeedScans.get() == seedsBefore + 1,
+        "monotone batches must admit on the watermark — zero further seed scans")
+      assert(graft.ext.Gate.exactRungRuns.get() == exactBefore,
+        "monotone batches must never run the exact corpus semi-join")
+      assert(AnnIndex.membership(spark, idx).count() == 390)
+      // A NON-MONOTONE but disjoint batch (id below the watermark):
+      // admitted by the bloom rung — the corpus is still not re-read.
+      land(blobDf(500L until 530L, _ => 0f), "b3")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 420,
+        "a non-monotone disjoint batch must be admitted")
+      assert(AnnIndex.corpusSeedScans.get() == seedsBefore + 1)
+      assert(graft.ext.Gate.exactRungRuns.get() == exactBefore,
+        "a bloom-proven disjoint batch must not run the exact corpus semi-join")
+      // A REPLAY is a bloom candidate → exact rung decides → refused.
+      land(blobDf(500L until 530L, _ => 0f), "b4")
+      q.processAllAvailable()
+      assert(AnnIndex.membership(spark, idx).count() == 420,
+        "a replayed batch must be refused")
+      assert(graft.ext.Gate.exactRungRuns.get() == exactBefore + 1,
+        "the replay must be decided by the exact semi-join rung")
+    } finally q.stop()
+    Det.releasePins(spark)
+  }
+
   override def afterAll(): Unit = {
     Det.releasePins(spark)
     super.afterAll()

@@ -134,4 +134,40 @@ class RpIndexSpec extends SparkSpec {
     }
     graft.queries.Det.releasePins(spark)
   }
+
+  test("segment blooms prove a non-monotone disjoint append WITHOUT reading the committed table") {
+    // r14 VERDICT #2: the postings gate's bloom rung, extended here — an
+    // id-reusing-but-disjoint feed admits in O(increment); the committed
+    // proj table is read only for bloom candidates (exact-rung counter).
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dirA = java.nio.file.Files.createTempDirectory("rpidx_bloom_a").toString
+    all.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("rpidx_bloom").toString
+    RpIndex.build(spark, dirA, idx)
+    assert(RpIndex.blooms(idx).nonEmpty, "a build must land a bloom over its vec_ids")
+    // Direct thunk-throws pin on the gate with THIS artifact's blooms:
+    // odd ids are below the committed max (non-monotone) yet disjoint.
+    val evensMax = all.filter(col("vec_id") % 2 === 0)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    graft.ext.Gate.requireDisjoint(
+      all.filter(col("vec_id") % 2 === 1).select("vec_id"), "vec_id", evensMax,
+      { fail("the committed proj table must not be read when blooms prove disjointness") },
+      "rp-projection", RpIndex.blooms(idx))
+    // The real append takes the same rung: exact-rung counter unchanged.
+    val before = graft.ext.Gate.exactRungRuns.get()
+    RpIndex.appendVecs(spark, idx, all.filter(col("vec_id") % 2 === 1))
+    assert(graft.ext.Gate.exactRungRuns.get() == before,
+      "a bloom-proven disjoint append must never run the exact semi-join rung")
+    // Replay lands in the blooms → exact rung runs → refused.
+    intercept[graft.ext.Gate.OverlappingAppendException] {
+      RpIndex.appendVecs(spark, idx, all.filter(col("vec_id") % 2 === 1))
+    }
+    assert(graft.ext.Gate.exactRungRuns.get() == before + 1,
+      "a replayed increment is a bloom candidate — the exact rung must decide it")
+    // Coverage survives the append: parent segment carried + increment's own.
+    assert(RpIndex.blooms(idx).size == 2,
+      "append must carry the parent bloom forward and land its own segment")
+    graft.queries.Det.releasePins(spark)
+  }
 }

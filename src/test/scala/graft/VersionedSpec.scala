@@ -81,4 +81,102 @@ class VersionedSpec extends SparkSpec {
     Versioned.promote(art, v0) // legacy two-arg form
     assert(Versioned.currentVersion(art) == v0)
   }
+
+  test("TRULY concurrent promotes off the same parent: exactly one wins (lock makes the CAS atomic)") {
+    // r14 ADVICE #1: without mutual exclusion around the compare+flip,
+    // two promotes on separate threads could both read cur == parent
+    // before either renames CURRENT — both would commit, silently losing
+    // the first writer's increment. Run the race many times; every round
+    // must produce exactly one winner and one ConcurrentCommitException.
+    for (round <- 1 to 20) {
+      val art = mkArt()
+      val (v0, p0) = Versioned.claimVersion(art)
+      commitTrivial(art, v0)
+      Versioned.promote(art, v0, 2, p0)
+      val (va, pa) = Versioned.claimVersion(art)
+      val (vb, pb) = Versioned.claimVersion(art)
+      commitTrivial(art, va); commitTrivial(art, vb)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def racer(v: Long, p: Long) = new Thread(() => {
+        gate.await()
+        try { Versioned.promote(art, v, 2, p); outcomes.add(s"won:$v") }
+        catch { case _: Versioned.ConcurrentCommitException => outcomes.add(s"lost:$v") }
+      })
+      val ta = racer(va, pa); val tb = racer(vb, pb)
+      ta.start(); tb.start(); gate.countDown(); ta.join(); tb.join()
+      val (wins, losses) = outcomes.toArray(Array.empty[String]).partition(_.startsWith("won"))
+      assert(wins.length == 1 && losses.length == 1,
+        s"round $round: exactly one concurrent promote must win, got $outcomes")
+      assert(Versioned.currentVersion(art) == wins.head.stripPrefix("won:").toLong,
+        s"round $round: CURRENT must name the winner")
+      assert(!new java.io.File(art, ".commit.lock").exists(),
+        "the commit lock must be released on both paths")
+    }
+  }
+
+  test("retryingCommit: the CAS loser re-runs its pass off the winner's commit; BOTH increments land") {
+    val art = mkArt()
+    val (v0, p0) = Versioned.claimVersion(art)
+    commitTrivial(art, v0)
+    Versioned.promote(art, v0, 2, p0)
+    // The pass under retry: reads the committed parent at entry, claims,
+    // stages its payload NAMING the parent it built on, CAS-promotes —
+    // the same shape every artifact maintainer has.
+    def pass(tag: String): Long = {
+      val parent = Versioned.currentVersion(art)
+      val (v, p) = Versioned.claimVersion(art)
+      assert(p == parent)
+      new java.io.File(Versioned.versionDir(art, v)).mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(Versioned.versionDir(art, v), "payload").toPath,
+        s"$tag off v$parent\n".getBytes("UTF-8"))
+      Versioned.promote(art, v, 2, p)
+      v
+    }
+    // A racer commits INSIDE the pass's first promote (after its stage,
+    // before its CAS check) — the deterministic interleave hook.
+    @volatile var fired = false
+    Versioned.beforePromote = (dir, _) => {
+      if (!fired && dir == art) { fired = true; pass("racer") }
+    }
+    val (vFinal, retries) =
+      try Versioned.retryingCommitCounted("spec-pass")(pass("retried"))
+      finally Versioned.beforePromote = (_, _) => ()
+    assert(retries == 1, s"the pass must record exactly one lost race, got $retries")
+    assert(Versioned.currentVersion(art) == vFinal)
+    // Both increments are committed versions in the retained chain: the
+    // racer's, and the retried pass's staged OFF the racer's commit.
+    val retained = Versioned.versions(art)
+    assert(retained.size == 2 && retained.last == vFinal, s"got $retained")
+    val payload = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(Versioned.versionDir(art, vFinal), "payload").toPath), "UTF-8")
+    assert(payload.startsWith(s"retried off v${retained.head}"),
+      s"the retried pass must re-stage off the RACER's commit, got: $payload")
+  }
+
+  test("retryingCommit surfaces a commit storm after bounded attempts") {
+    val art = mkArt()
+    val (v0, p0) = Versioned.claimVersion(art)
+    commitTrivial(art, v0)
+    Versioned.promote(art, v0, 2, p0)
+    def pass(): Unit = {
+      val (v, p) = Versioned.claimVersion(art)
+      commitTrivial(art, v)
+      Versioned.promote(art, v, 2, p)
+    }
+    // Pathological storm: EVERY promote of the pass under test is raced.
+    @volatile var inRacer = false
+    Versioned.beforePromote = (dir, _) => {
+      if (!inRacer && dir == art) {
+        inRacer = true
+        try pass() finally inRacer = false
+      }
+    }
+    val e = try intercept[Versioned.ConcurrentCommitException] {
+      Versioned.retryingCommit("spec-storm", maxAttempts = 3)(pass())
+    } finally Versioned.beforePromote = (_, _) => ()
+    assert(e.getMessage.contains("lost 3 consecutive commit races"),
+      s"bounded attempts must surface the storm: ${e.getMessage}")
+  }
 }
