@@ -92,6 +92,39 @@ object BenchMaint {
         bytesNew(spark, prevVd, graft.ext.Versioned.committedDir(postIdx)))
     }
 
+    // ---- contended maintenance (r14 VERDICT #6): a stream-shaped append
+    // losing the CAS race to a scheduled append, under the retry
+    // discipline. Deterministic interleave via the promote-entry hook —
+    // the racer commits after the victim staged, so the victim pays one
+    // full wasted staging and a retry. Reported: retries, the wasted
+    // staged bytes (NEW bytes in the doomed dir — hard links excluded),
+    // and the end-to-end wall for BOTH increments landing. The artifact
+    // equality (raced schedule ≡ sequential schedule) is spec-pinned
+    // (PostingsIndexSpec "STREAM batch racing a scheduled commit").
+    val incA = inc1Docs.withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val incB = inc1Docs.withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    val contRows = inc1Docs.count() * 2
+    var wastedBytes = 0L
+    var fired = false
+    graft.ext.Versioned.beforePromote = (dir, v) => {
+      if (!fired && dir == postIdx) {
+        fired = true
+        wastedBytes = bytesNew(spark, graft.ext.Versioned.committedDir(postIdx),
+          graft.ext.Versioned.versionDir(postIdx, v))
+        graft.ext.PostingsIndex.appendDocs(spark, postIdx, incB)
+      }
+    }
+    val prevContVd = graft.ext.Versioned.committedDir(postIdx)
+    val ((_, contRetries), contWall) = try timed {
+      graft.ext.Versioned.retryingCommitCounted("bench-contended") {
+        graft.ext.PostingsIndex.appendDocs(spark, postIdx, incA)
+      }
+    } finally graft.ext.Versioned.beforePromote = (_, _) => ()
+    record("postings_append_contended", contWall, contRows,
+      bytesNew(spark, prevContVd, graft.ext.Versioned.committedDir(postIdx)))
+    System.err.println(
+      s"[maint] contended: retries=$contRetries wasted_staged_bytes=$wastedBytes")
+
     // ---- ANN artifact: build vs drift-append (frozen model) ----
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val Array(v89, v90) = vecs.stat.approxQuantile("vec_id", Array(0.89, 0.90), 0.0001)
@@ -149,7 +182,7 @@ object BenchMaint {
       s""""$n":{"wall":${fmt(wall)},"rows":$rows,"bytes_written":$bytes}"""
     }.mkString(",")
     val ratioJs = ratios.map { case (n, v) => s""""$n":${fmt(v)}""" }.mkString(",")
-    val out = s"""{"metric":"maint_curve","sf_dir":"$sfDir","cpus":$cpus,"base_docs":$nBase,"base_vecs":$nVecBase,"steps":{$stepJs},"ratios":{$ratioJs}}"""
+    val out = s"""{"metric":"maint_curve","sf_dir":"$sfDir","cpus":$cpus,"base_docs":$nBase,"base_vecs":$nVecBase,"steps":{$stepJs},"ratios":{$ratioJs},"contended":{"retries":$contRetries,"wasted_staged_bytes":$wastedBytes}}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAINT", "BENCH_MAINT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(path),
       (out + "\n").getBytes("UTF-8"))

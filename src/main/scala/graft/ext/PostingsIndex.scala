@@ -94,9 +94,15 @@ object PostingsIndex {
     * trigram-df table that serves q_phrase_search's phrase ranking; v5
     * adds the bigram LM tables (`bigramstats`, `docgrams`) that serve
     * q_lm_score and the `docids` membership table behind the append
-    * disjointness gate (an older layout reads as stale → rebuilds once).
+    * disjointness gate; v6 (r14 VERDICT #4/#5) denormalizes `source`
+    * onto termstats (so the per-source term report serves from the
+    * artifact with no doc-side join), lays termstats out by (term, tf,
+    * doc_id) so high-df retrieval can skip low-impact (low-tf) files by
+    * parquet min/max, and adds the `termsummary` per-term sufficient
+    * statistics (df, min/max tf — the block-max-WAND metadata). An
+    * older layout reads as stale → rebuilds once.
     */
-  private val SchemaVersion = 5L
+  private val SchemaVersion = 6L
 
   def defaultDir(corpusDir: String): String =
     ArtifactRoots.dirFor("postings_", corpusDir)
@@ -141,67 +147,90 @@ object PostingsIndex {
   def tokenize(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
 
-  /** Per-(term, doc) frequency with the document length denormalized on
-    * (dl is a per-document constant, so carrying it keeps BM25 serving a
-    * single pruned scan with no doc-side join) — the BM25 sufficient
+  /** Per-(term, doc) frequency with the document length AND source
+    * denormalized on (both are per-document constants, so carrying them
+    * keeps BM25 serving and the per-source term report single pruned
+    * scans with no doc-side join) — the BM25 + vocabulary sufficient
     * statistics. A per-document function of the text, so append ≡ full
     * rebuild exactly, like the postings themselves.
     */
   def termStats(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("toks"))
+    toks.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .groupBy(col("term"), col("doc_id"), col("dl"), col("source"))
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Per-batch trigram document frequencies — the LSM-style partial
-    * aggregate behind phrase-frequency ranking. Each build/append batch
-    * contributes (phrase, df-within-batch) rows; because an append's
-    * documents are NEW (disjoint doc sets — now gate-enforced), the
-    * true corpus df of a phrase is the plain SUM of its partials across
-    * segments — exact under any merge order, so a reader aggregates
-    * segments and a compaction pre-merges them, both to the same
-    * numbers. Trigrams are per-document (never span documents), so
-    * append ≡ full rebuild exactly, like every other table here.
+  /** Per-batch per-term retrieval metadata — the block-max-WAND
+    * sufficient statistics (r14 VERDICT #5): document frequency plus the
+    * tf range. LSM partials like gramstats: df SUMS exactly across
+    * disjoint appended batches (a doc lives in exactly one batch),
+    * min/max tf merge as min/max — so a reader folds segments and a
+    * compaction pre-merges them to the same numbers. Vocabulary-sized,
+    * term-range-partitioned: a query-term lookup reads only its range's
+    * files, never the corpus.
+    */
+  def termSummaryOf(stats: DataFrame): DataFrame =
+    stats.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      min(col("tf")).as("min_tf"),
+      max(col("tf")).as("max_tf"))
+
+  /** The ONE n-gram explode every gram table derives from (r14 VERDICT
+    * #7: the trigram phrase tables and the bigram LM tables each carried
+    * a private copy of this machinery): gram = n space-joined adjacent
+    * whitespace tokens, w1 = the leading (context) token. n = 2 is the
+    * EXACT bigram definition of the oracle-verified in-session
+    * q_lm_score (queries/TextOps.lmScore); n = 3 the exact trigram of
+    * q_phrase_search's ranking; n = 4/5 open contamination-scale gram
+    * serving under the same layout.
+    */
+  private[graft] def nGramsOf(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"an n-gram table needs n >= 2, got $n")
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          "i -> named_struct('w1', element_at(toks, i), " +
+          s"'gram', concat_ws(' ', slice(toks, i, $n))))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.gram").as("gram"))
+  }
+
+  /** Per-batch n-gram sufficient statistics: occurrence count c and
+    * document frequency gdf per gram (w1 rides along — it is a function
+    * of the gram, so grouping by (gram, w1) equals grouping by gram).
+    * Both SUM exactly across disjoint appended batches (occurrences
+    * add; a doc lives in exactly one batch), so segments merge
+    * LSM-style under any order, a reader folds them, and a compaction
+    * pre-merges them — all to the same numbers. Grams never span
+    * documents, so append ≡ full rebuild exactly, like every other
+    * table here.
+    */
+  def nGramStats(docs: DataFrame, n: Int): DataFrame =
+    nGramsOf(docs, n).groupBy(col("gram"), col("w1"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("gdf"))
+
+  /** Per-batch trigram document frequencies — the n = 3 instance behind
+    * phrase-frequency ranking (schema (phrase, df), unchanged from v4).
     */
   def gramDfs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("phrase"))
-      .groupBy(col("phrase")).agg(countDistinct(col("doc_id")).as("df"))
+    nGramStats(docs, 3).select(col("gram").as("phrase"), col("gdf").as("df"))
 
-  /** The bigram explode every LM table derives from — the EXACT bigram
-    * definition of the oracle-verified in-session q_lm_score
-    * (queries/TextOps.lmScore): gram = two space-joined adjacent tokens,
-    * w1 = the context token.
-    */
-  private def bigramsOf(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> named_struct('w1', element_at(toks, i), " +
-          "'gram', concat_ws(' ', slice(toks, i, 2))))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.gram").as("gram"))
-
-  /** Per-batch bigram LM sufficient statistics: occurrence count c12 and
-    * document frequency gdf per gram (w1 rides along — it is a function
-    * of the gram). Both SUM exactly across disjoint appended batches
-    * (occurrences add; a doc lives in exactly one batch), so segments
-    * merge like gramstats.
+  /** Per-batch bigram LM sufficient statistics — the n = 2 instance
+    * (schema (gram, w1, c12, gdf), unchanged from v5).
     */
   def bigramStats(docs: DataFrame): DataFrame =
-    bigramsOf(docs).groupBy(col("gram"), col("w1"))
-      .agg(count(lit(1)).as("c12"), countDistinct(col("doc_id")).as("gdf"))
+    nGramStats(docs, 2).select(col("gram"), col("w1"),
+      col("c").as("c12"), col("gdf"))
 
   /** Per-document bigram occurrence counts — the doc side of the LM
     * score join. Per-document, so append ≡ rebuild exactly.
     */
   def docGrams(docs: DataFrame): DataFrame =
-    bigramsOf(docs).groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+    nGramsOf(docs, 2).groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
 
   // Per-segment id blooms (r14): the O(increment) rung of the
   // disjointness gate — machinery shared with the RP projection since
@@ -220,9 +249,16 @@ object PostingsIndex {
     tokenize(docs)
       .repartitionByRange(col("term"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/postings")
+    // (term, tf, doc_id) range layout (v6): term pruning as before, and
+    // within a high-df term's span the files/pages carry tight tf
+    // min/max — the block-max skip surface impact-ordered retrieval
+    // pushes `tf >= T` into (see TextOps.bm25Search).
     termStats(docs)
-      .repartitionByRange(col("term"), col("doc_id"))
+      .repartitionByRange(col("term"), col("tf"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/termstats")
+    termSummaryOf(spark.read.parquet(s"$vd/termstats"))
+      .repartitionByRange(col("term"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/termsummary")
     gramDfs(docs)
       .repartitionByRange(col("phrase"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/gramstats")
@@ -291,6 +327,24 @@ object PostingsIndex {
 
   def docids(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "docids"))
+
+  /** Per-term retrieval metadata, merged across whatever segments the
+    * version holds (df sums exactly across disjoint batches; the tf
+    * range folds as min/max — see termSummaryOf). Memoized per resolved
+    * version path like gramstats. A query-term lookup against this
+    * vocabulary-sized table replaces the corpus-sized df recount the
+    * BM25 serve used to pay, and its tf range bounds what any skipped
+    * low-impact posting could contribute (TextOps.bm25Search).
+    */
+  def termSummary(spark: SparkSession, idxDir: String): DataFrame = {
+    val path = tablePath(idxDir, "termsummary")
+    graft.queries.Det.memo(spark, s"postings.termsummary:$path") {
+      spark.read.parquet(path).groupBy(col("term")).agg(
+        sum(col("df")).as("df"),
+        min(col("min_tf")).as("min_tf"),
+        max(col("max_tf")).as("max_tf"))
+    }
+  }
 
   /** Corpus trigram document frequencies, merged across whatever
     * segments the version holds (see gramDfs — the sum is exact).
@@ -449,8 +503,19 @@ object PostingsIndex {
       tokenize(docs).write.mode(SaveMode.Append).parquet(s"$nvd/postings")
       compactIfNeeded(spark, s"$nvd/postings", compactFileBound)
       Versioned.linkTable(spark, s"$cvd/termstats", s"$nvd/termstats")
-      termStats(docs).write.mode(SaveMode.Append).parquet(s"$nvd/termstats")
-      compactIfNeeded(spark, s"$nvd/termstats", compactFileBound)
+      val incStats = termStats(docs).persist()
+      incStats.write.mode(SaveMode.Append).parquet(s"$nvd/termstats")
+      compactIfNeeded(spark, s"$nvd/termstats", compactFileBound,
+        sortCols = Seq(col("term"), col("tf"), col("doc_id")))
+      Versioned.linkTable(spark, s"$cvd/termsummary", s"$nvd/termsummary")
+      termSummaryOf(incStats).write.mode(SaveMode.Append).parquet(s"$nvd/termsummary")
+      incStats.unpersist()
+      compactIfNeeded(spark, s"$nvd/termsummary", compactFileBound,
+        // LSM merge: df partials sum exactly (disjoint doc sets); the
+        // tf range folds as min/max.
+        Some(df => df.groupBy(col("term")).agg(sum(col("df")).as("df"),
+          min(col("min_tf")).as("min_tf"), max(col("max_tf")).as("max_tf"))),
+        Seq(col("term")))
       Versioned.linkTable(spark, s"$cvd/gramstats", s"$nvd/gramstats")
       gramDfs(docs).write.mode(SaveMode.Append).parquet(s"$nvd/gramstats")
       compactIfNeeded(spark, s"$nvd/gramstats", compactFileBound,

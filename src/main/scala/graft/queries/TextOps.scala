@@ -256,12 +256,115 @@ object TextOps {
     */
   private val Bm25QueryTerms = Seq("vector", "hash", "merge", "window")
 
-  val bm25Search: Q = (spark, dir) => {
+  /** Impact-ordered serving (block-max-WAND lite, r14 VERDICT #5), EXACT
+    * by self-verifying bounds: phase 1 reads only the HIGH-IMPACT
+    * postings (tf >= T — the `tf` predicate pushes into the (term, tf,
+    * doc_id)-laid-out termstats, so parquet min/max skips a high-df
+    * term's low-tf files) and sums per-doc partial scores P. The score
+    * function is increasing in tf and decreasing in dl (and dl >= tf),
+    * so any SKIPPED posting contributes at most ub_t = idf_t *
+    * s(T-1, dl = T-1); with L = the 20th-largest partial:
+    *
+    *   - a doc with NO phase-1 row scores at most UB = Σ ub_t < L: it
+    *     can never crack the top-20 (else fall back to the full scan);
+    *   - a phase-1 doc's true score is within [P, P + missing-term UB]:
+    *     only docs whose upper bound reaches L are RESCORED by joining
+    *     exactly their low-tf rows back in.
+    *
+    * Every doc that can surface in the top-20 therefore carries its
+    * EXACT score and term count — same output as the full scan, same
+    * oracle, reading high files + (low files × small candidate set)
+    * instead of every posting of every query term. The fallbacks keep
+    * exactness unconditional: fewer than 20 phase-1 docs, or bounds too
+    * weak (UB >= L), or a pre-v6 artifact without the summary table →
+    * one full pruned scan, the previous behavior.
+    */
+  val bm25Search: Q = (spark, dir) =>
     // servingDir: a Publish time-travel snapshot resolves to its RECORDED
     // index version (zero builds); anything else ensures the live artifact.
-    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    bm25SearchOverIdx(spark, graft.ext.PostingsIndex.servingDir(spark, dir))
+
+  /** Which path the last bm25 serves took — spec/bench observability. */
+  private[graft] val bm25FastPathRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val bm25FallbackRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def bm25SearchOverIdx(spark: SparkSession, idx: String): DataFrame = {
     val (nDocs, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idx)
-    bm25SearchOver(graft.ext.PostingsIndex.termstats(spark, idx), nDocs, sumDl)
+    val ts = graft.ext.PostingsIndex.termstats(spark, idx)
+    def full() = { bm25FallbackRuns.incrementAndGet(); bm25SearchOver(ts, nDocs, sumDl) }
+    val hasSummary = new java.io.File(
+      graft.ext.PostingsIndex.tablePath(idx, "termsummary")).isDirectory
+    if (!hasSummary) full()
+    else {
+      // (term, df, min_tf, max_tf) for the query terms — a pruned read of
+      // the vocabulary-sized summary, collected to drive the bounds.
+      val summary = graft.ext.PostingsIndex.termSummary(spark, idx)
+        .filter(col("term").isin(Bm25QueryTerms: _*))
+        .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+          r.getAs[Long]("min_tf"), r.getAs[Long]("max_tf"))).toSeq.sortBy(_._1)
+      if (summary.isEmpty) full()
+      else {
+        val avgdl = sumDl.toDouble / nDocs.toDouble
+        def idfOf(df: Long) = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+        val T = 2L
+        // Max contribution of a posting with this tf (dl >= tf >= 1):
+        // s(tf, dl) rises in tf, falls in dl, so the sup is s(tf, tf).
+        def sUb(tf: Long) = {
+          val t = tf.toDouble; val dl = math.max(tf, 1L).toDouble
+          (t * 2.2) / (t + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }
+        val ubByTerm = summary.filter(_._3 < T)
+          .map(s => s._1 -> idfOf(s._2) * sUb(T - 1)).toMap
+        val ubAll = ubByTerm.values.sum
+        // Free precheck from the summary alone: no partial score can
+        // exceed Σ idf_t · s(max_tf_t), so if that ceiling doesn't clear
+        // the skipped-mass bound with margin, phase 1 cannot succeed —
+        // ubiquitous terms (df ≈ N) compress BM25 scores until nothing
+        // dominates the tf=1 mass. Work-avoidance only: every path is
+        // exact; this just picks the full scan without a wasted scan.
+        val potential = summary.map(s => idfOf(s._2) * sUb(s._4)).sum
+        if (ubAll * 1.5 >= potential) full()
+        else {
+          val dfc = spark.createDataFrame(summary.map(s => (s._1, s._2.toDouble)))
+            .toDF("term", "df")
+          val hi = ts.filter(col("term").isin(Bm25QueryTerms: _*) &&
+            col("tf") >= T).persist()
+          try {
+            val partial = hi.join(broadcast(dfc), "term")
+              .withColumn("score", bm25ScoreExpr(nDocs, avgdl))
+              .groupBy(col("doc_id"))
+              .agg(sum(col("score")).as("p"), collect_set(col("term")).as("terms"))
+              .persist()
+            try {
+              val top = partial.orderBy(col("p").desc, col("doc_id"))
+                .limit(20).collect()
+              if (top.length < 20) full()
+              else {
+                // Float slack keeps the bound conservative: a lower L only
+                // widens the rescore set, never drops a true top-20 doc.
+                val L = top.map(_.getAs[Double]("p")).min - 1e-6
+                if (ubAll >= L) full()
+                else {
+                  bm25FastPathRuns.incrementAndGet()
+                  val missUb = Bm25QueryTerms.filter(ubByTerm.contains).map(t =>
+                    when(array_contains(col("terms"), t), lit(0.0))
+                      .otherwise(lit(ubByTerm(t))))
+                    .reduceOption(_ + _).getOrElse(lit(0.0))
+                  val cand = partial.filter(col("p") + missUb >= lit(L))
+                    .select(col("doc_id"))
+                  val lows = ts.filter(col("term").isin(Bm25QueryTerms: _*) &&
+                      col("tf") < T)
+                    .join(cand, Seq("doc_id"), "left_semi")
+                  val cols = Seq("term", "doc_id", "dl", "tf").map(col)
+                  bm25TopOver(hi.select(cols: _*).unionByName(lows.select(cols: _*)),
+                    nDocs, sumDl, dfc)
+                }
+              }
+            } finally partial.unpersist()
+          } finally hi.unpersist()
+        }
+      }
+    }
   }
 
   /** The same algebra over in-session sufficient statistics — no
@@ -278,21 +381,33 @@ object TextOps {
     bm25SearchOver(graft.ext.PostingsIndex.termStats(docs), s.getLong(0), s.getLong(1))
   }
 
-  private def bm25SearchOver(termstats: DataFrame, nDocs: Long, sumDl: Long): DataFrame = {
+  private def bm25ScoreExpr(nDocs: Long, avgdl: Double): org.apache.spark.sql.Column =
+    ((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      ((col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+
+  /** Score → per-doc top-20: ONE algebra shared by the full scan, the
+    * impact-ordered serve and the in-session twin, so the three paths
+    * are bit-identical by construction (same score expression, same
+    * decimal sum, same rounding, same tiebreak).
+    */
+  private def bm25TopOver(rows: DataFrame, nDocs: Long, sumDl: Long,
+                          dfc: DataFrame): DataFrame = {
     val avgdl = sumDl.toDouble / nDocs.toDouble
-    val hits = termstats.filter(col("term").isin(Bm25QueryTerms: _*))
-    val dfc = hits.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-    val scored = hits.join(broadcast(dfc), "term")
-      .withColumn("score",
-        ((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl)))))
-    scored.groupBy(col("doc_id"))
+    rows.join(broadcast(dfc), "term")
+      .withColumn("score", bm25ScoreExpr(nDocs, avgdl))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), r6(dsum(col("score"))).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), col("n_terms"), col("bm25"))
+  }
+
+  private def bm25SearchOver(termstats: DataFrame, nDocs: Long, sumDl: Long): DataFrame = {
+    val hits = termstats.filter(col("term").isin(Bm25QueryTerms: _*))
+    val dfc = hits.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    bm25TopOver(hits, nDocs, sumDl, dfc)
   }
 
   val bm25SearchSql: String =
@@ -1167,20 +1282,40 @@ object TextOps {
   /** Exact per-source top-k vocabulary: the most frequent tokens of each
     * source shard — the corpus-inspection table (tokenizer audits,
     * boilerplate spotting, source drift) every curation run prints.
-    * Exact, not sketched: the two-stage shape (map-side partial count on
+    * Exact, not sketched: the two-stage shape (partial count on
     * (source, token), then a row_number window over each source's
     * VOCABULARY — orders of magnitude smaller than the corpus) is the
     * same aggregate-then-rank pattern as q_window_rank, and at 100 TB
     * the window input is |sources| × |vocab| rows, not tokens. Ties
     * break on the token itself, so ranks are engine-stable.
+    *
+    * SERVED FROM THE POSTINGS ARTIFACT (v6 — r14 VERDICT #4): termstats
+    * (term, doc_id, dl, tf, source) already holds the sufficient
+    * statistics — per-(source, token) occurrences are Σ tf — so the warm
+    * plan is one vocabulary-sized aggregate over the artifact, never a
+    * corpus re-tokenization. The last text report family that re-split
+    * the whole corpus per run now reads columnar stats instead.
     */
   val topTerms: Q = (spark, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("cnt").desc, col("token"))
-    documents(spark, dir)
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    topTermsOver(graft.ext.PostingsIndex.termstats(spark, idx)
+      .groupBy(col("source"), col("term").as("token"))
+      .agg(sum(col("tf")).as("cnt")))
+  }
+
+  /** The same report over in-session tokenization — no artifact
+    * consulted; kept so specs can pin served ≡ in-session.
+    */
+  private[graft] val topTermsInSession: Q = (spark, dir) =>
+    topTermsOver(documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  private def topTermsOver(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("token"))
+    counts
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .orderBy(col("source"), col("rank"))
@@ -1484,15 +1619,27 @@ object TextOps {
     * vocabulary-sized ever sorts globally or crosses to the driver.
     */
   val vocabCoverage: Q = (spark, dir) => {
+    // SERVED FROM THE POSTINGS ARTIFACT (v6 — r14 VERDICT #4): corpus
+    // token counts are Σ tf per term off termstats; the warm plan is one
+    // vocabulary-sized aggregate, no corpus re-tokenization.
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    vocabCoverageOver(graft.ext.PostingsIndex.termstats(spark, idx)
+      .groupBy(col("term").as("token")).agg(sum(col("tf")).as("cnt")))
+  }
+
+  /** The same report over in-session tokenization — the spec twin. */
+  private[graft] val vocabCoverageInSession: Q = (spark, dir) =>
+    vocabCoverageOver(documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+
+  private def vocabCoverageOver(counts: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
     val rows = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val counts = documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum(col("cnt")).as("total_tokens"), count(lit(1)).as("vocab_size"))
     counts.orderBy(col("cnt").desc, col("token")).limit(50)

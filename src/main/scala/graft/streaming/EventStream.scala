@@ -800,9 +800,11 @@ object EventStream {
                  terms: Seq[String],
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val (nDocs, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idxDir)
-    val dfs = graft.ext.PostingsIndex.termstats(spark, idxDir)
+    // v6: per-term df comes off the vocabulary-sized termsummary table
+    // (merged partials — exact), not a recount over the posting rows.
+    val dfs = graft.ext.PostingsIndex.termSummary(spark, idxDir)
       .filter(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .select(col("term"), col("df").cast("double"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val termDfs = terms.map(t => t -> dfs.getOrElse(t, 0.0))
     val reader = spark.readStream.schema(docSchema)

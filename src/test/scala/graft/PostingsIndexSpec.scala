@@ -173,6 +173,93 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(fresh)
   }
 
+  test("served top-terms and vocab-coverage equal in-session tokenization; warm plans never re-tokenize") {
+    // r14 VERDICT #4: the last text report families that re-split the
+    // corpus per run now aggregate the termstats artifact (v6 carries
+    // source denormalized on).
+    val corpus = mkCorpus(baseRows)
+    for ((name, inSession) <- Seq(
+        "q_top_terms" -> TextOps.topTermsInSession,
+        "q_vocab_coverage" -> TextOps.vocabCoverageInSession)) {
+      val expect = inSession(spark, corpus).collect().map(_.toSeq).toSeq
+      assert(expect.nonEmpty, s"$name spec corpus must produce rows")
+      val served = TextOps.queries(name)(spark, corpus).collect().map(_.toSeq).toSeq
+      assert(served == expect, s"$name served from termstats must equal in-session")
+      val fresh = spark.newSession()
+      val qe = TextOps.queries(name)(fresh, corpus).queryExecution
+      assert(!qe.executedPlan.toString.contains("documents.parquet"),
+        s"$name warm plan must not read the corpus")
+      assert(!qe.optimizedPlan.toString.toLowerCase.contains("explode"),
+        s"$name warm plan must not re-tokenize")
+      graft.queries.Det.releasePins(fresh)
+    }
+    graft.queries.Det.releasePins(spark)
+  }
+
+  test("impact-ordered BM25 (WAND lite): fast path is exact, and low-tf files of a high-df term are skippable") {
+    // r14 VERDICT #5: the (term, tf, doc_id) layout + termsummary bounds
+    // let top-20 retrieval read the high-impact postings and provably
+    // exclude everything below the 20th partial score.
+    // 30 "fat" docs carry all four query terms at tf=6 (the true top-20);
+    // 1000 docs carry a single tf=1 "vector" (the Zipf bulk the fast
+    // path must skip); 200 docs carry no query term (idf mass).
+    val fat = (0L until 30L).map(i =>
+      i -> Array.fill(6)("vector hash merge window").mkString(" "))
+    val thin = (100L until 1100L).map(i => i -> "vector filler")
+    val none = (2000L until 2200L).map(i => i -> "filler words only here")
+    val corpus = mkCorpus(fat ++ thin ++ none)
+    // Force a multi-file-per-term layout: build under many range
+    // partitions with AQE coalescing off, so the high-df term's tf=1 run
+    // spans whole files — the shape a 100 TB build gets naturally from
+    // 128 MB-targeted files.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_wand").toString
+    try PostingsIndex.ensure(spark, corpus, idx)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+    // Exactness: the fast path (20+ phase-1 docs, bounds hold) must
+    // reproduce the full-scan algebra bit-for-bit.
+    val inSession = TextOps.bm25SearchInSession(spark, corpus).collect().map(_.toSeq).toSeq
+    val fastBefore = TextOps.bm25FastPathRuns.get()
+    val served = TextOps.bm25SearchOverIdx(spark, idx).collect().map(_.toSeq).toSeq
+    assert(TextOps.bm25FastPathRuns.get() == fastBefore + 1,
+      "this corpus shape must take the impact-ordered fast path, not the fallback")
+    assert(served == inSession, "impact-ordered serve must equal the full-scan result")
+    assert(served.size == 20 && served.forall(r => fat.exists(_._1 == r.head)),
+      "sanity: the top-20 must be fat docs (the bound-exercising shape)")
+    // The phase-1 predicate reaches the parquet scan.
+    val probe = PostingsIndex.termstats(spark, idx)
+      .filter(col("term").isin("vector", "hash", "merge", "window") && col("tf") >= 2)
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("GreaterThanOrEqual(tf,2)") && probe.contains("In(term,"),
+      s"phase-1 filters must push to parquet:\n$probe")
+    // Footer math: among the files whose term range admits 'vector',
+    // requiring tf >= 2 must exclude a STRICT, non-trivial subset (the
+    // tf=1 run lands in files whose tf max is 1 under the v6 layout).
+    val files = graft.ext.Compaction.dataFiles(spark,
+      s"${graft.ext.Versioned.committedDir(idx)}/termstats").map(_._1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("term")), max(col("term")), min(col("tf")), max(col("tf"))).head()
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    }
+    val termFiles = ranges.filter(r => r._1 <= "vector" && "vector" <= r._2)
+    val highFiles = termFiles.filter(_._4 >= 2L)
+    assert(termFiles.size >= 4,
+      s"spec layout must spread the high-df term over several files, got ${termFiles.size}")
+    assert(highFiles.size < termFiles.size,
+      s"tf >= 2 must skip files: ${highFiles.size} of ${termFiles.size} remain")
+    assert(highFiles.size <= math.max(2, termFiles.size / 4),
+      s"the skip must be the BULK of the term's files (Zipf tf=1 mass): " +
+        s"${highFiles.size} of ${termFiles.size}")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("appended termstats equal a from-scratch build; corpus stats merge exactly") {
     val corpus = mkCorpus(bm25Rows)
     val newRows = Seq(
@@ -415,6 +502,65 @@ class PostingsIndexSpec extends SparkSpec {
     val g3 = PostingsIndex.gramstats(spark, idx)
     assert(!(g3 eq g1), "a new committed version must re-merge its segments")
     graft.queries.Det.releasePins(spark)
+  }
+
+  test("a reader pointed at an unbuilt or dead-staged dir fails explicitly (no uncommitted reads)") {
+    // r14 ADVICE #4: a dir without CURRENT is a pinned version root ONLY
+    // when it is v<N>-shaped (what Publish.pinnedIndexDir hands out);
+    // anything else — an unbuilt artifact, a dead staged dir from a
+    // killed commit — must raise "no committed version", not read
+    // uncommitted staged data or throw a confusing path error.
+    val empty = java.nio.file.Files.createTempDirectory("postings_unbuilt").toString
+    val e = intercept[IllegalArgumentException] {
+      PostingsIndex.postings(spark, empty)
+    }
+    assert(e.getMessage.contains("no committed version"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.membership(spark, empty)
+    }
+    // A dead staged dir under the artifact root is equally refused.
+    val corpus = mkCorpus(baseRows)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_guard").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    val deadRoot = java.nio.file.Files.createTempDirectory("postings_dead").toString
+    intercept[IllegalArgumentException] {
+      PostingsIndex.postings(spark, s"$deadRoot/staging")
+    }
+    // The sanctioned pinned shape still reads: the committed version dir
+    // itself is a valid root (what a time-travel manifest resolves to).
+    val pinned = graft.ext.Versioned.committedDir(idx)
+    assert(PostingsIndex.postings(spark, pinned).count() > 0)
+  }
+
+  test("nGramStats generalizes the gram layout: n=2/3 reproduce the LM/phrase tables; n=4 partials sum exactly") {
+    // r14 VERDICT #7: one n-parameterized machinery behind gramstats
+    // (n=3) and bigramstats (n=2) — and 4/5-gram contamination serving
+    // opens under the same LSM partial-sum law.
+    val docs = docsDf(baseRows)
+    // Hand-computed n=4 golden on doc 1 ("the quick brown fox jumps over
+    // the lazy dog" → six 4-grams, all distinct).
+    val d1 = PostingsIndex.nGramStats(docsDf(baseRows.take(1)), 4).collect()
+    assert(d1.length == 6 && d1.forall(r =>
+      r.getAs[Long]("c") == 1L && r.getAs[Long]("gdf") == 1L), s"got ${d1.toSeq}")
+    assert(d1.exists(_.getAs[String]("gram") == "the quick brown fox"))
+    // The partial-sum law per n: stats over disjoint halves, summed,
+    // equal stats over the union — the exact merge the LSM segments and
+    // compaction both rely on.
+    for (n <- Seq(2, 3, 4, 5)) {
+      val whole = PostingsIndex.nGramStats(docs, n)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val summed = PostingsIndex.nGramStats(docsDf(baseRows.take(2)), n)
+        .unionByName(PostingsIndex.nGramStats(docsDf(baseRows.drop(2)), n))
+        .groupBy(col("gram"), col("w1"))
+        .agg(sum(col("c")).as("c"), sum(col("gdf")).as("gdf"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(summed == whole, s"n=$n partials must sum to the union stats")
+    }
+    // The specialized tables are the n=2/3 instances, schemas unchanged.
+    assert(PostingsIndex.gramDfs(docs).columns.toSeq == Seq("phrase", "df"))
+    assert(PostingsIndex.bigramStats(docs).columns.toSeq == Seq("gram", "w1", "c12", "gdf"))
   }
 
   test("a commit killed at ANY step leaves a servable index; the next commit sweeps it") {

@@ -194,6 +194,53 @@ class PublishSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("a pinned time-travel serve survives an index-root relocation (manifest re-resolution)") {
+    // r14 ADVICE #5: the manifest records absolute artifact dirs as of
+    // publish time; after the index root moves (a different
+    // SPARK_GRAFT_INDEX_ROOT at read time), pinnedIndexDir must
+    // re-resolve under the current root instead of silently degrading
+    // every time-travel serve to a rebuild.
+    def dump(dir: java.nio.file.Path, ids: Seq[Long], tag: String): String = {
+      val p = dir.resolve(s"dump_$tag.jsonl")
+      java.nio.file.Files.write(p,
+        ids.map(i => jline(i, freshText(s"$tag$i"))).mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val rootA = java.nio.file.Files.createTempDirectory("idx_root_a").toString
+    val rootB = rootA + "_relocated"
+    sys.props("graft.index.root") = rootA
+    try {
+      val src = java.nio.file.Files.createTempDirectory("publish_src_reloc")
+      val out = java.nio.file.Files.createTempDirectory("publish_out_reloc").toString
+      Publish.run(spark, dump(src, 600L until 606L, "ra"), out, keepVersions = 3)
+      val vA = Publish.servingVersions(out).last
+      Publish.run(spark, dump(src, 610L until 618L, "rb"), out, keepVersions = 3)
+      val snapA = Publish.servingVersionDir(out, vA)
+      val before = graft.queries.TextOps.queries("q_lm_score")(spark, snapA)
+        .collect().map(_.toSeq).toSeq
+      assert(Publish.pinnedIndexDir(snapA, "postings")
+        .exists(_.startsWith(rootA)), "sanity: pinned under root A before the move")
+      // Relocate the ENTIRE artifact tree and point the root at it.
+      java.nio.file.Files.move(java.nio.file.Paths.get(rootA),
+        java.nio.file.Paths.get(rootB))
+      sys.props("graft.index.root") = rootB
+      graft.queries.Det.releasePins(spark) // path-keyed memos name root A
+      val pinned = Publish.pinnedIndexDir(snapA, "postings")
+      assert(pinned.exists(_.startsWith(rootB)),
+        s"the pinned version must re-resolve under the relocated root, got $pinned")
+      val runsBefore = graft.ext.Currency.computeRuns.get()
+      val after = graft.queries.TextOps.queries("q_lm_score")(spark, snapA)
+        .collect().map(_.toSeq).toSeq
+      assert(graft.ext.Currency.computeRuns.get() == runsBefore,
+        "the relocated pinned serve must still run zero currency jobs (no rebuild)")
+      assert(after == before,
+        "the relocated pinned serve must answer exactly as before the move")
+    } finally {
+      sys.props -= "graft.index.root"
+      graft.queries.Det.releasePins(spark)
+    }
+  }
+
   test("a text-only publish skips the vector artifacts and still serves postings/BPE") {
     val lines = (0L until 6L).map(i => jline(100 + i, freshText(s"t$i")))
     val src = java.nio.file.Files.createTempDirectory("publish_src2")
