@@ -394,6 +394,95 @@ object Dedup {
        |FROM v WHERE inter / (na + nb - inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The production variant of the containment detector (r15): the r14
+    * sf10 sweep measured the UNCAPPED containment self-join at 47 s /
+    * 67× on 100× data — the quadratic d² term of high-df shingles
+    * emerging exactly as the capped-Jaccard scaladoc predicted. Same
+    * discipline as dedupNgramCapped: shingles with df > cap leave the
+    * inverted index BEFORE the self-join; candidates need ≥1 shared
+    * RARE shingle; the upper bound inter ≤ shared_r + min(hd_a, hd_b)
+    * prunes pairs whose best-case containment misses 0.9 (containment
+    * = inter / min(na, nb) is increasing in inter); exact full-set
+    * verification then computes the true containment for survivors.
+    * The cap is in the oracle too — pruned semantics, not a promise.
+    */
+  val dedupContainmentCapped: Q = (spark, dir) => {
+    val cap = 20
+    val post = sharedPostings(spark, dir)
+    val capped = post.filter(col("df") <= cap)
+    val hdTab = Det.memo(spark, s"dedup.hdtabc:$dir", Some("q_dedup_containment_capped")) {
+      post.filter(col("df") > cap)
+        .groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("hd"))
+    }
+    val hdA = hdTab.select(col("doc_id").as("da"), col("hd").as("hd_a"))
+    val hdB = hdTab.select(col("doc_id").as("db"), col("hd").as("hd_b"))
+    val survivors = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).cast("double").as("shared_r"))
+      .join(broadcast(hdA), Seq("da"), "left_outer")
+      .join(broadcast(hdB), Seq("db"), "left_outer")
+      .withColumn("ub_i", col("shared_r") +
+        least(coalesce(col("hd_a"), lit(0.0)), coalesce(col("hd_b"), lit(0.0))))
+      .filter(col("ub_i") / least(col("na"), col("nb")).cast("double") >= 0.9)
+    // Same measured-cardinality broadcast gate as the capped Jaccard:
+    // sparse survivors broadcast past the shingle cache; a dense corpus
+    // falls back to a shuffled join instead of an OOM.
+    val survivorsMemo = Det.memo(spark, s"dedup.csurvivors:$dir",
+      Some("q_dedup_containment_capped"))(survivors)
+    val maxBcastRows = spark.conf
+      .getOption("spark.graft.dedup.survivorsBroadcastMaxRows")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1000000L)
+    val survHinted =
+      if (survivorsMemo.count() <= maxBcastRows) broadcast(survivorsMemo)
+      else survivorsMemo
+    survHinted
+      .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
+      .join(sharedShingles(spark, dir).select(col("doc_id").as("db"), col("shingles").as("sh_b")), "db")
+      .withColumn("inter", expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+      .withColumn("cont_raw", col("inter") / least(col("na"), col("nb")).cast("double"))
+      .withColumn("jac_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("cont_raw") >= 0.9)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("contained_doc"),
+        col("inter").cast("long").as("shared_shingles"),
+        r6(col("cont_raw")).as("containment"),
+        r6(col("jac_raw")).as("jaccard"),
+        (col("jac_raw") < 0.8).as("jaccard_missed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupContainmentCappedSql: String =
+    s"""WITH sh AS ($duckShingles),
+       |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 20),
+       |capped AS (SELECT e.* FROM ex e JOIN rare r USING (shingle)),
+       |docrare AS (
+       |  SELECT doc_id, max(n_sh) - count(*) AS hd FROM capped GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, b.n_sh AS nb,
+       |    CAST(count(*) AS DOUBLE) AS shared_r
+       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pre AS (
+       |  SELECT p.*, p.shared_r + CAST(least(x.hd, y.hd) AS DOUBLE) AS ub_i
+       |  FROM p JOIN docrare x ON p.da = x.doc_id JOIN docrare y ON p.db = y.doc_id),
+       |v AS (
+       |  SELECT da, db, na, nb,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter
+       |  FROM pre JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+       |  WHERE ub_i / CAST(least(na, nb) AS DOUBLE) >= 0.9)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CASE WHEN na <= nb THEN da ELSE db END AS contained_doc,
+       |  CAST(inter AS BIGINT) AS shared_shingles,
+       |  ${sqlR6("inter / CAST(least(na, nb) AS DOUBLE)")} AS containment,
+       |  ${sqlR6("inter / (na + nb - inter)")} AS jaccard,
+       |  inter / (na + nb - inter) < 0.8 AS jaccard_missed
+       |FROM v WHERE inter / CAST(least(na, nb) AS DOUBLE) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash near-dup: 32-bit bit-majority fingerprint over 3-token
     * SHINGLE md5s (tokens alone don't discriminate — every doc shares most
     * of the small vocabulary, shingle sets are ~5% Jaccard for random
@@ -1346,6 +1435,7 @@ object Dedup {
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_ngram_capped" -> dedupNgramCapped,
     "q_dedup_containment" -> dedupContainment,
+    "q_dedup_containment_capped" -> dedupContainmentCapped,
     "q_dedup_simhash" -> dedupSimHash,
     "q_dedup_groups" -> dedupGroups,
     "q_dedup_keep" -> dedupKeep,
@@ -1365,6 +1455,7 @@ object Dedup {
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_ngram_capped" -> dedupNgramCappedSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_dedup_containment_capped" -> dedupContainmentCappedSql,
     "q_dedup_simhash" -> dedupSimHashSql,
     "q_dedup_groups" -> dedupGroupsSql,
     "q_dedup_keep" -> dedupKeepSql,

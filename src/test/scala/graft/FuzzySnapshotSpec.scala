@@ -34,6 +34,27 @@ class FuzzySnapshotSpec extends SparkSpec {
     assert(r.getAs[Double]("sim") > 0.9)
   }
 
+  test("capped containment finds the planted quote; equals the exact detector when no shingle is hot") {
+    // A short doc wholly embedded in a long one: containment ≈ 1 while
+    // Jaccard sits far below 0.8 (the jaccard_missed class). With every
+    // shingle's df under the cap, the capped variant's candidate set is
+    // complete and its output must equal the exact detector's.
+    val quote = "the five boxing wizards jump quickly over rivers"
+    val dir = stage(Seq(
+      (1L, s"long article opening words here $quote closing remarks trail on and on", "s0"),
+      (2L, quote, "s0"),
+      (3L, "entirely unrelated text about something else altogether now", "s0")))
+    val exact = queries.Dedup.dedupContainment(spark, dir).collect().map(_.toSeq).toSeq
+    val capped = queries.Dedup.dedupContainmentCapped(spark, dir).collect().map(_.toSeq).toSeq
+    assert(capped == exact,
+      "with no shingle over the cap, capped containment must equal the exact detector")
+    assert(capped.size == 1 && capped.head(2) == 2L,
+      s"the quote doc must be reported as the contained side, got $capped")
+    assert(capped.head(6) == true,
+      "the planted pair must carry jaccard_missed = true (the class Jaccard-only pipelines ship)")
+    queries.Det.releasePins(spark)
+  }
+
   test("edit distance counts substitutions exactly (levenshtein parity fixture)") {
     val dir = stage(Seq(
       (1L, "aaaaaaaaaaaaXXXX", "s0"),
