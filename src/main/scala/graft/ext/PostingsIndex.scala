@@ -99,10 +99,18 @@ object PostingsIndex {
     * artifact with no doc-side join), lays termstats out by (term, tf,
     * doc_id) so high-df retrieval can skip low-impact (low-tf) files by
     * parquet min/max, and adds the `termsummary` per-term sufficient
-    * statistics (df, min/max tf — the block-max-WAND metadata). An
+    * statistics (df, min/max tf — the block-max-WAND metadata); v7 adds
+    * the decontamination tables `contamgrams` (doc_id, ghash — the
+    * xxhash64 of each distinct 8-gram) and `contamdocs` (doc_id,
+    * n_grams — the EXACT distinct-gram count, computed from strings at
+    * build so hash collisions can never skew totals): the benchmark-
+    * contamination check's corpus side becomes a hash-column scan of
+    * the artifact instead of a per-run corpus re-tokenization, with
+    * candidate docs string-verified against the raw text (hashes have
+    * no false negatives, so zero-candidate docs are exactly clean). An
     * older layout reads as stale → rebuilds once.
     */
-  private val SchemaVersion = 6L
+  private val SchemaVersion = 7L
 
   def defaultDir(corpusDir: String): String =
     ArtifactRoots.dirFor("postings_", corpusDir)
@@ -213,6 +221,35 @@ object PostingsIndex {
     nGramsOf(docs, n).groupBy(col("gram"), col("w1"))
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("gdf"))
 
+  /** Per-document distinct 8-gram hashes — the decontamination check's
+    * corpus-side sufficient statistics (v7). The gram definition is the
+    * EXACT one of the oracle-verified q_text_contamination
+    * (TextOps.contamGrams: array_distinct over 8-token windows); only
+    * the xxhash64 persists — strings would store ~8× the corpus text,
+    * and hashes have no false negatives, so a doc with no hash
+    * candidate is provably clean and only candidates pay a raw-text
+    * re-verify. Per-document, so append ≡ rebuild exactly.
+    */
+  def contamGramHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 7),
+          |                         i -> concat_ws(' ', slice(toks, i, 8))))""".stripMargin)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("ghash"))
+
+  /** Per-document EXACT distinct-8-gram totals, computed from the gram
+    * STRINGS at build time — the report's denominator can never drift
+    * by a (cosmically unlikely) within-doc hash collision.
+    */
+  def contamDocTotals(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), expr(
+        """CAST(size(array_distinct(transform(sequence(1, size(toks) - 7),
+          |     i -> concat_ws(' ', slice(toks, i, 8))))) AS BIGINT)""".stripMargin)
+        .as("n_grams"))
+
   /** Per-batch trigram document frequencies — the n = 3 instance behind
     * phrase-frequency ranking (schema (phrase, df), unchanged from v4).
     */
@@ -268,6 +305,12 @@ object PostingsIndex {
     docGrams(docs)
       .repartitionByRange(col("gram"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/docgrams")
+    contamGramHashes(docs)
+      .repartitionByRange(col("doc_id"), col("ghash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/contamgrams")
+    contamDocTotals(docs)
+      .repartitionByRange(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/contamdocs")
     docs.select(col("doc_id"))
       .repartitionByRange(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/docids")
@@ -395,6 +438,12 @@ object PostingsIndex {
 
   def docgrams(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "docgrams"))
+
+  def contamgrams(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "contamgrams"))
+
+  def contamdocs(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "contamdocs"))
 
   /** Committed corpus-level BM25 constants: (n_docs, Σ dl). Immutable
     * per version, so memoized per resolved version path — a warm
@@ -533,6 +582,14 @@ object PostingsIndex {
       docGrams(docs).write.mode(SaveMode.Append).parquet(s"$nvd/docgrams")
       compactIfNeeded(spark, s"$nvd/docgrams", compactFileBound,
         sortCols = Seq(col("gram"), col("doc_id")))
+      Versioned.linkTable(spark, s"$cvd/contamgrams", s"$nvd/contamgrams")
+      contamGramHashes(docs).write.mode(SaveMode.Append).parquet(s"$nvd/contamgrams")
+      compactIfNeeded(spark, s"$nvd/contamgrams", compactFileBound,
+        sortCols = Seq(col("doc_id"), col("ghash")))
+      Versioned.linkTable(spark, s"$cvd/contamdocs", s"$nvd/contamdocs")
+      contamDocTotals(docs).write.mode(SaveMode.Append).parquet(s"$nvd/contamdocs")
+      compactIfNeeded(spark, s"$nvd/contamdocs", compactFileBound,
+        sortCols = Seq(col("doc_id")))
       Versioned.linkTable(spark, s"$cvd/docids", s"$nvd/docids")
       docs.select(col("doc_id")).write.mode(SaveMode.Append).parquet(s"$nvd/docids")
       compactIfNeeded(spark, s"$nvd/docids", compactFileBound,

@@ -976,15 +976,21 @@ object TextOps {
     * 8-gram, and the per-doc report tail over (train grams, hit counts).
     */
   private def contamGrams(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    contamGramsOf(documents(spark, dir))
+
+  private def contamGramsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(toks) - 7),
           |                         i -> concat_ws(' ', slice(toks, i, 8))))""".stripMargin)).as("gram"))
 
-  private def contamReport(train: DataFrame, hits: DataFrame): DataFrame = {
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+  private def contamReport(train: DataFrame, hits: DataFrame): DataFrame =
+    contamReportOver(
+      train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")), hits)
+
+  private def contamReportOver(totals: DataFrame, hits: DataFrame): DataFrame = {
     totals.join(hits, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"), col("n_grams"),
@@ -1036,6 +1042,49 @@ object TextOps {
     val hits = pre.join(broadcast(bench), Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     contamReport(train, hits)
+  }
+
+  /** The contamination check SERVED from the postings artifact (v7 —
+    * the per-run corpus-gram explode was the last recurring corpus
+    * derivation in the text family): the corpus side scans `contamgrams`
+    * (doc_id, xxhash64(gram)) — a two-column columnar read, no split /
+    * transform / array_distinct CPU — and only HASH-candidate documents
+    * are re-tokenized for the exact string verify (hashes have no false
+    * negatives, so a doc with no candidate is provably clean; the
+    * string join removes hash false positives, so the output is
+    * identical to the in-session check and shares its oracle). The
+    * denominator comes from `contamdocs` (exact distinct-gram totals,
+    * computed from strings at build). The benchmark side still derives
+    * from raw text — it is 20 documents behind a pushed doc_id filter.
+    */
+  val textContaminationServed: Q = (spark, dir) => {
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    // A PINNED pre-v7 artifact (a time-travel snapshot published before
+    // the contamination tables existed) lacks them — fall back to the
+    // in-session check rather than fail the snapshot read; a live
+    // artifact always has them (the schema bump rebuilds).
+    if (!new java.io.File(
+        graft.ext.PostingsIndex.tablePath(idx, "contamgrams")).isDirectory)
+      textContamination(spark, dir)
+    else textContaminationServedOverIdx(spark, dir, idx)
+  }
+
+  private def textContaminationServedOverIdx(spark: SparkSession, dir: String,
+                                             idx: String): DataFrame = {
+    val totals = graft.ext.PostingsIndex.contamdocs(spark, idx)
+      .filter(col("doc_id") >= 20)
+    val bench = contamGrams(spark, dir).filter(col("doc_id") < 20)
+      .select(col("gram")).distinct()
+    val benchHash = bench.select(xxhash64(col("gram")).as("ghash")).distinct()
+    val candDocs = graft.ext.PostingsIndex.contamgrams(spark, idx)
+      .filter(col("doc_id") >= 20)
+      .join(broadcast(benchHash), Seq("ghash"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val candGrams = contamGramsOf(
+      documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
+    val hits = candGrams.join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    contamReportOver(totals, hits)
   }
 
   val textContaminationSql: String =
@@ -2454,6 +2503,7 @@ object TextOps {
     "q_pack_bpe2" -> packBpe2,
     "q_text_contamination" -> textContamination,
     "q_text_contamination_bloom" -> textContaminationBloom,
+    "q_text_contamination_served" -> textContaminationServed,
     "q_text_chunk_dedup" -> textChunkDedup,
     "q_text_boilerplate" -> textBoilerplate,
     "q_top_terms" -> topTerms,
@@ -2492,6 +2542,7 @@ object TextOps {
     // The bloom variant is output-identical by construction; its oracle
     // is the SAME SQL — DuckDB checks the exact semantics either way.
     "q_text_contamination_bloom" -> textContaminationSql,
+    "q_text_contamination_served" -> textContaminationSql,
     "q_text_chunk_dedup" -> textChunkDedupSql,
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_top_terms" -> topTermsSql,

@@ -504,6 +504,54 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("served contamination equals the in-session check; appends keep it; corpus side reads hashes") {
+    // v7: the decontamination corpus side scans (doc_id, ghash) off the
+    // artifact; only hash-candidate docs are re-tokenized for the exact
+    // string verify, so hash false positives can never surface and
+    // zero-candidate docs are provably clean (no false negatives).
+    val rows = (0L until 20L).map(i => i -> s"bench doc number $i with shared marker phrase alpha beta gamma delta epsilon zeta") ++
+      Seq(
+        30L -> "train doc clean of any benchmark span entirely original text here today",
+        31L -> "leading words then shared marker phrase alpha beta gamma delta epsilon zeta and a tail",
+        32L -> "short doc under eight")
+    val corpus = mkCorpus(rows)
+    val expect = TextOps.queries("q_text_contamination")(spark, corpus)
+      .collect().map(_.toSeq).toSeq
+    val served = TextOps.queries("q_text_contamination_served")(spark, corpus)
+      .collect().map(_.toSeq).toSeq
+    assert(served == expect, "artifact-served contamination must equal the in-session check")
+    assert(served.exists(r => r(0) == 31L && r(4) == true),
+      "sanity: the planted contaminated doc must be flagged")
+    // The corpus side of the warm plan reads the hashed gram table; the
+    // bench side's doc_id < 20 reaches the documents scan.
+    val fresh = spark.newSession()
+    val phys = TextOps.queries("q_text_contamination_served")(fresh, corpus)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("struct<doc_id:bigint,ghash:bigint>"),
+      "warm corpus side must scan the contamgrams artifact")
+    assert(phys.contains("LessThan(doc_id,20)"),
+      s"the bench filter must push to the documents scan:\n$phys")
+    graft.queries.Det.releasePins(fresh)
+    // Appends maintain both v7 tables exactly (per-document functions):
+    // appended artifact ≡ from-scratch build over the union.
+    val add = Seq(40L ->
+      "appended doc also carrying shared marker phrase alpha beta gamma delta epsilon zeta inside")
+    val union = mkCorpus(rows ++ add)
+    val idxApp = java.nio.file.Files.createTempDirectory("postings_idx_contam_a").toString
+    PostingsIndex.ensure(spark, corpus, idxApp)
+    PostingsIndex.appendDocs(spark, idxApp, docsDf(add))
+    val idxU = java.nio.file.Files.createTempDirectory("postings_idx_contam_u").toString
+    PostingsIndex.ensure(spark, union, idxU)
+    for (t <- Seq("contamgrams", "contamdocs")) {
+      def tab(d: String) = spark.read
+        .parquet(s"${graft.ext.Versioned.committedDir(d)}/$t")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(tab(idxApp) == tab(idxU),
+        s"appended $t must equal a from-scratch build over the union")
+    }
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("a reader pointed at an unbuilt or dead-staged dir fails explicitly (no uncommitted reads)") {
     // r14 ADVICE #4: a dir without CURRENT is a pinned version root ONLY
     // when it is v<N>-shaped (what Publish.pinnedIndexDir hands out);
