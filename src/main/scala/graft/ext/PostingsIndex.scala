@@ -280,7 +280,17 @@ object PostingsIndex {
 
   def build(spark: SparkSession, corpusDir: String, idxDir: String,
             keep: Int = 2): Unit = {
-    val docs = graft.Tables.documents(spark, corpusDir)
+    // Nine derivations (postings, termstats+summary, tri/bi-gram stats,
+    // docgrams, docids, contamination tables, fingerprint/bloom) read
+    // the corpus; pin it so the text deserializes once, not per table —
+    // the same discipline appendDocs applies to its increment.
+    val docs = graft.Tables.documents(spark, corpusDir).persist()
+    try buildFrom(spark, docs, corpusDir, idxDir, keep)
+    finally docs.unpersist()
+  }
+
+  private def buildFrom(spark: SparkSession, docs: DataFrame,
+                        corpusDir: String, idxDir: String, keep: Int): Unit = {
     val (v, parent) = Versioned.claimVersion(idxDir)
     val vd = Versioned.versionDir(idxDir, v)
     tokenize(docs)
