@@ -145,10 +145,14 @@ object Versioned {
     // only advisory: two promotes truly concurrent on separate threads
     // could both read cur == expectedParent before either renames CURRENT,
     // and both would commit — the exact lost update the CAS exists to
-    // refuse. An O_EXCL lock file serializes the critical section (a file
-    // read + two renames — milliseconds); a lock orphaned by a process
-    // killed inside it is stolen once it ages past LockStaleMs.
-    withCommitLock(artDir) {
+    // refuse. An O_EXCL lock file serializes the critical section; a lock
+    // orphaned by a process killed inside it is stolen once it ages past
+    // LockStaleMs. ONLY the compare + flip + history write sit inside the
+    // lock (a file read + two renames — milliseconds, far under the steal
+    // threshold); the version-dir sweep runs after release, where a
+    // concurrent sweep is harmless (deletes of superseded dirs are
+    // idempotent and the retained set is already durably recorded).
+    val retained = withCommitLock(artDir) {
       val cur = currentVersion(artDir)
       if (expectedParent >= 0L && cur != expectedParent)
         throw new ConcurrentCommitException(
@@ -156,6 +160,7 @@ object Versioned {
             s"now committed — a concurrent maintainer won; re-stage off v$cur")
       promoteLocked(artDir, v, keep, cur)
     }
+    sweep(artDir, v, retained)
   }
 
   /** How long an orphaned commit lock survives before a waiter steals it.
@@ -182,7 +187,7 @@ object Versioned {
     try body finally java.nio.file.Files.deleteIfExists(lock)
   }
 
-  private def promoteLocked(artDir: String, v: Long, keep: Int, cur: Long): Unit = {
+  private def promoteLocked(artDir: String, v: Long, keep: Int, cur: Long): Set[Long] = {
     val root = new java.io.File(artDir)
     // A dir below the new v is not necessarily a committed predecessor —
     // a commit that died mid-stage leaves its dir behind, and once a
@@ -203,6 +208,11 @@ object Versioned {
       retained.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     java.nio.file.Files.move(htmp.toPath, new java.io.File(root, "HISTORY").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    retained
+  }
+
+  private def sweep(artDir: String, v: Long, retained: Set[Long]): Unit = {
+    val root = new java.io.File(artDir)
     for (d <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
            if d.isDirectory && d.getName.matches("v\\d+")
            if d.getName.drop(1).toLong <= v // above v: possibly live concurrent staging
