@@ -282,7 +282,12 @@ object IncrementalCorpus {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val out = s"$outRoot/batch_$batchId"
-          val c = runIncremental(spark, batch, stateDir, out)
+          // A micro-batch losing the CAS to a concurrent maintainer
+          // re-runs the whole pass off the winner's committed state
+          // (the same retry discipline as postingsStream — r14 #1).
+          val c = Versioned.retryingCommit("incremental-corpus-stream") {
+            runIncremental(spark, batch, stateDir, out)
+          }
           import spark.implicits._
           Seq((batchId, c.newInput, c.afterQuality, c.afterExact,
             c.afterNear, c.standingAfter))
