@@ -43,6 +43,10 @@ object BenchScale {
     "q_dedup_minhash", "q_dedup_groups", "q_dedup_fuzzy",
     "q_dedup_containment_capped", "q_knn_brute", "q_knn_served_pq",
     "q_phrase_search", "q_bm25_search", "q_lm_score", "q_knn_rp_rerank",
+    // The artifact-served contamination check: its corpus side is a
+    // contamgrams scan (gram-count-scale — the largest serving table),
+    // exactly what a 100× corpus stresses.
+    "q_text_contamination_served",
     "q_pack_sequences")
 
   private val SuperlinearSlack = 1.5

@@ -107,10 +107,16 @@ object PostingsIndex {
     * contamination check's corpus side becomes a hash-column scan of
     * the artifact instead of a per-run corpus re-tokenization, with
     * candidate docs string-verified against the raw text (hashes have
-    * no false negatives, so zero-candidate docs are exactly clean). An
-    * older layout reads as stale → rebuilds once.
+    * no false negatives, so zero-candidate docs are exactly clean); v8
+    * adds the `tfdl` per-(term, tf) table (cnt, min_dl) — the dl-aware
+    * block-max metadata: the BM25 score falls in dl, so the sup of a
+    * skipped tf-level's contribution is s(tf, min_dl) instead of the
+    * dl-free s(tf, tf), tight enough for impact-ordered retrieval to
+    * engage on score-compressed corpora (df ≈ N) where the tf-only
+    * bound had to fall back to the full scan. An older layout reads as
+    * stale → rebuilds once.
     */
-  private val SchemaVersion = 7L
+  private val SchemaVersion = 8L
 
   def defaultDir(corpusDir: String): String =
     ArtifactRoots.dirFor("postings_", corpusDir)
@@ -186,6 +192,22 @@ object PostingsIndex {
       count(lit(1)).as("df"),
       min(col("tf")).as("min_tf"),
       max(col("tf")).as("max_tf"))
+
+  /** Per-batch per-(term, tf) retrieval metadata (v8): how many postings
+    * carry this exact tf, and the SHORTEST document among them. LSM
+    * partials like termsummary — cnt sums exactly across disjoint
+    * batches, min_dl folds as min — and the size is Σ_term |distinct tf
+    * values|, a small multiple of the vocabulary (tf levels per term are
+    * few under Zipf), never corpus-sized. The serving payoff
+    * (TextOps.bm25Search): BM25 falls in dl, so the sup of what a
+    * skipped (term, tf)-level posting can contribute is s(tf, min_dl) —
+    * on a corpus of long documents that is far below the dl-free
+    * s(tf, tf) the tf-only termsummary bound must assume.
+    */
+  def tfDlOf(stats: DataFrame): DataFrame =
+    stats.groupBy(col("term"), col("tf")).agg(
+      count(lit(1)).as("cnt"),
+      min(col("dl")).as("min_dl"))
 
   /** The ONE n-gram explode every gram table derives from (r14 VERDICT
     * #7: the trigram phrase tables and the bigram LM tables each carried
@@ -306,6 +328,9 @@ object PostingsIndex {
     termSummaryOf(spark.read.parquet(s"$vd/termstats"))
       .repartitionByRange(col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/termsummary")
+    tfDlOf(spark.read.parquet(s"$vd/termstats"))
+      .repartitionByRange(col("term"), col("tf"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/tfdl")
     gramDfs(docs)
       .repartitionByRange(col("phrase"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/gramstats")
@@ -396,6 +421,22 @@ object PostingsIndex {
         sum(col("df")).as("df"),
         min(col("min_tf")).as("min_tf"),
         max(col("max_tf")).as("max_tf"))
+    }
+  }
+
+  /** Per-(term, tf) retrieval metadata, merged across whatever segments
+    * the version holds (cnt sums exactly across disjoint batches; the
+    * shortest-doc bound folds as min — see tfDlOf). Memoized per
+    * resolved version path like termSummary. Feeds the dl-aware WAND
+    * bounds in TextOps.bm25Search; a (term, tf) lookup reads only that
+    * range's files of this vocabulary-scale table.
+    */
+  def tfDl(spark: SparkSession, idxDir: String): DataFrame = {
+    val path = tablePath(idxDir, "tfdl")
+    graft.queries.Det.memo(spark, s"postings.tfdl:$path") {
+      spark.read.parquet(path).groupBy(col("term"), col("tf")).agg(
+        sum(col("cnt")).as("cnt"),
+        min(col("min_dl")).as("min_dl"))
     }
   }
 
@@ -568,13 +609,21 @@ object PostingsIndex {
         sortCols = Seq(col("term"), col("tf"), col("doc_id")))
       Versioned.linkTable(spark, s"$cvd/termsummary", s"$nvd/termsummary")
       termSummaryOf(incStats).write.mode(SaveMode.Append).parquet(s"$nvd/termsummary")
-      incStats.unpersist()
       compactIfNeeded(spark, s"$nvd/termsummary", compactFileBound,
         // LSM merge: df partials sum exactly (disjoint doc sets); the
         // tf range folds as min/max.
         Some(df => df.groupBy(col("term")).agg(sum(col("df")).as("df"),
           min(col("min_tf")).as("min_tf"), max(col("max_tf")).as("max_tf"))),
         Seq(col("term")))
+      Versioned.linkTable(spark, s"$cvd/tfdl", s"$nvd/tfdl")
+      tfDlOf(incStats).write.mode(SaveMode.Append).parquet(s"$nvd/tfdl")
+      incStats.unpersist()
+      compactIfNeeded(spark, s"$nvd/tfdl", compactFileBound,
+        // LSM merge: cnt partials sum exactly; the shortest-doc bound
+        // folds as min.
+        Some(df => df.groupBy(col("term"), col("tf")).agg(
+          sum(col("cnt")).as("cnt"), min(col("min_dl")).as("min_dl"))),
+        Seq(col("term"), col("tf")))
       Versioned.linkTable(spark, s"$cvd/gramstats", s"$nvd/gramstats")
       gramDfs(docs).write.mode(SaveMode.Append).parquet(s"$nvd/gramstats")
       compactIfNeeded(spark, s"$nvd/gramstats", compactFileBound,

@@ -180,9 +180,47 @@ object TextOps {
     * comparator).
     */
   val textBm25: Q = (spark, dir) => {
+    // SERVED FROM THE POSTINGS ARTIFACT (r15): termstats holds the exact
+    // sufficient statistics ((term, doc_id, dl, tf); df from the merged
+    // termsummary; n_docs from meta), so the warm plan reads the
+    // artifact columns — no text deserialization, no split/explode, no
+    // per-run tf shuffle over the corpus. avgdl is recomputed with the
+    // SAME decimal mean over the same per-doc dl values (null-text docs
+    // have no termstats rows, exactly like the in-session docLen rows
+    // davg ignores; n_docs counts them via meta, like count(lit(1))
+    // over docLen did), so the scores are bit-identical by construction.
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    val ts = graft.ext.PostingsIndex.termstats(spark, idx)
+    val docLen = ts.groupBy(col("doc_id"))
+      .agg(max(col("dl")).cast("double").as("dl"))
+    val dfreq = graft.ext.PostingsIndex.termSummary(spark, idx)
+      .select(col("term"), col("df").cast("double").as("df"))
+    val (nDocs, _) = graft.ext.PostingsIndex.corpusStats(spark, idx)
+    val stats = docLen.agg(
+      lit(nDocs).cast("double").as("n_docs"),
+      davg(col("dl")).as("avgdl"))
+    textBm25Score(
+      ts.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"),
+          col("dl").cast("double").as("dl"))
+        .join(dfreq, "term"),
+      stats)
+  }
+
+  /** The same algebra over in-session tokenization — no artifact
+    * consulted; kept so specs can pin served ≡ in-session.
+    */
+  private[graft] val textBm25InSession: Q = (spark, dir) => {
     val docs = documents(spark, dir)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val docLen = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    // A null-text doc counts in n_docs but NOT in avgdl — the oracle's
+    // semantics (DuckDB len(NULL) is NULL: count(*) keeps the row, the
+    // avg skips it). A bare size() would instead contribute legacy −1
+    // per null doc and skew avgdl against both the oracle and the
+    // artifact-served path (termstats has no rows for null docs).
+    val docLen = toks.select(col("doc_id"),
+      when(col("toks").isNull, lit(null).cast("double"))
+        .otherwise(size(col("toks")).cast("double")).as("dl"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -190,9 +228,17 @@ object TextOps {
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n_docs"),
       davg(col("dl")).as("avgdl"))
-    val scored = tf.filter(col("doc_id") < 50)
-      .join(dfreq, "term")
-      .join(docLen, "doc_id")
+    textBm25Score(
+      tf.filter(col("doc_id") < 50).join(dfreq, "term").join(docLen, "doc_id"),
+      stats)
+  }
+
+  /** Score + bounded top-3 shared by the served and in-session paths —
+    * one algebra, so the two are bit-identical by construction. Input
+    * rows: (doc_id, term, tf, df, dl), all double.
+    */
+  private def textBm25Score(rows: DataFrame, stats: DataFrame): DataFrame = {
+    val scored = rows
       .crossJoin(broadcast(stats))
       .withColumn("score",
         ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -284,9 +330,13 @@ object TextOps {
     // index version (zero builds); anything else ensures the live artifact.
     bm25SearchOverIdx(spark, graft.ext.PostingsIndex.servingDir(spark, dir))
 
-  /** Which path the last bm25 serves took — spec/bench observability. */
+  /** Which path the last bm25 serves took — spec/bench observability.
+    * dlBound counts fast-path engagements whose bounds came from the v8
+    * per-(term, tf) min_dl table rather than the dl-free termsummary sup.
+    */
   private[graft] val bm25FastPathRuns = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] val bm25FallbackRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val bm25DlBoundRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[graft] def bm25SearchOverIdx(spark: SparkSession, idx: String): DataFrame = {
     val (nDocs, sumDl) = graft.ext.PostingsIndex.corpusStats(spark, idx)
@@ -307,22 +357,51 @@ object TextOps {
         val avgdl = sumDl.toDouble / nDocs.toDouble
         def idfOf(df: Long) = (nDocs.toDouble - df + 0.5) / (df + 0.5)
         val T = 2L
-        // Max contribution of a posting with this tf (dl >= tf >= 1):
-        // s(tf, dl) rises in tf, falls in dl, so the sup is s(tf, tf).
-        def sUb(tf: Long) = {
-          val t = tf.toDouble; val dl = math.max(tf, 1L).toDouble
-          (t * 2.2) / (t + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        // Max contribution of a posting with tf at this level and dl >=
+        // dlLow: s(tf, dl) rises in tf, falls in dl, so the sup over the
+        // level is s(tf, dlLow) (dl >= tf always, so dlLow >= tf).
+        def sAt(tf: Long, dlLow: Long) = {
+          val t = tf.toDouble
+          val d = math.max(dlLow, math.max(tf, 1L)).toDouble
+          (t * 2.2) / (t + 1.2 * (0.25 + 0.75 * d / avgdl))
         }
+        // dl-aware tf levels from the v8 tfdl table (term -> (tf, the
+        // SHORTEST doc among that level's postings)) — a pruned read of a
+        // vocabulary-scale table. A pre-v8 artifact has no tfdl: bounds
+        // fall back to the dl-free sup s(tf, tf), the v6/v7 behavior.
+        val levels: Map[String, Seq[(Long, Long)]] =
+          if (!new java.io.File(
+              graft.ext.PostingsIndex.tablePath(idx, "tfdl")).isDirectory) Map.empty
+          else graft.ext.PostingsIndex.tfDl(spark, idx)
+            .filter(col("term").isin(Bm25QueryTerms: _*))
+            .collect()
+            .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+              r.getAs[Long]("min_dl")))
+            .groupBy(_._1).view
+            .mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+        // Sup of one term posting's score over the given tf range: exact
+        // per-level max when the levels are known, dl-free sup otherwise.
+        def rangeUb(term: String, lo: Long, hi: Long): Double =
+          levels.get(term) match {
+            case Some(ls) =>
+              val in = ls.filter(l => l._1 >= lo && l._1 <= hi)
+              if (in.isEmpty) 0.0 else in.map(l => sAt(l._1, l._2)).max
+            case None => sAt(hi, hi)
+          }
         val ubByTerm = summary.filter(_._3 < T)
-          .map(s => s._1 -> idfOf(s._2) * sUb(T - 1)).toMap
+          .map(s => s._1 -> idfOf(s._2) * rangeUb(s._1, 1L, T - 1)).toMap
         val ubAll = ubByTerm.values.sum
-        // Free precheck from the summary alone: no partial score can
-        // exceed Σ idf_t · s(max_tf_t), so if that ceiling doesn't clear
-        // the skipped-mass bound with margin, phase 1 cannot succeed —
-        // ubiquitous terms (df ≈ N) compress BM25 scores until nothing
-        // dominates the tf=1 mass. Work-avoidance only: every path is
-        // exact; this just picks the full scan without a wasted scan.
-        val potential = summary.map(s => idfOf(s._2) * sUb(s._4)).sum
+        // Free precheck from the summaries alone: no partial score can
+        // exceed Σ_t idf_t · sup s(tf >= T postings of t), so if that
+        // ceiling doesn't clear the skipped-mass bound with margin,
+        // phase 1 cannot succeed — ubiquitous terms (df ≈ N) compress
+        // BM25 scores until nothing dominates the tf=1 mass. The
+        // dl-aware sup keeps the ceiling AND the skipped mass honest on
+        // long-document corpora, where the dl-free bound overstates the
+        // tf=1 mass enough to refuse corpora the fast path wins on.
+        // Work-avoidance only: every path is exact; this just picks the
+        // full scan without a wasted scan.
+        val potential = summary.map(s => idfOf(s._2) * rangeUb(s._1, T, s._4)).sum
         if (ubAll * 1.5 >= potential) full()
         else {
           val dfc = spark.createDataFrame(summary.map(s => (s._1, s._2.toDouble)))
@@ -346,6 +425,7 @@ object TextOps {
                 if (ubAll >= L) full()
                 else {
                   bm25FastPathRuns.incrementAndGet()
+                  if (levels.nonEmpty) bm25DlBoundRuns.incrementAndGet()
                   val missUb = Bm25QueryTerms.filter(ubByTerm.contains).map(t =>
                     when(array_contains(col("terms"), t), lit(0.0))
                       .otherwise(lit(ubByTerm(t))))
@@ -2475,9 +2555,36 @@ object TextOps {
       |FROM ranked r, totals t
       |ORDER BY r.rank""".stripMargin
 
+  /** Integrity report over the v8 per-(term, tf) retrieval metadata —
+    * the dl-aware WAND bound's inputs for the standing query-term set,
+    * served from the artifact and oracle-recomputed from the raw text
+    * (the q_bigram_stats pattern: the check the disjoint-append gate's
+    * fold law protects). Serving shape: a pruned lookup of 4 terms'
+    * ranges in a vocabulary-scale table — no corpus read.
+    */
+  val tfdlStatsReport: Q = (spark, dir) => {
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    graft.ext.PostingsIndex.tfDl(spark, idx)
+      .filter(col("term").isin(Bm25QueryTerms: _*))
+      .select(col("term"), col("tf"), col("cnt"), col("min_dl"))
+      .orderBy(col("term"), col("tf"))
+  }
+
+  val tfdlStatsReportSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM t),
+      |stats AS (
+      |  SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE term IN ('vector', 'hash', 'merge', 'window')
+      |  GROUP BY term, doc_id, dl)
+      |SELECT term, tf, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(min(dl) AS BIGINT) AS min_dl
+      |FROM stats GROUP BY term, tf ORDER BY term, tf""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_postings_stats" -> postingsStats,
     "q_bigram_stats" -> bigramStatsReport,
+    "q_tfdl_stats" -> tfdlStatsReport,
     "q_phrase_search" -> phraseSearch,
     "q_bm25_search" -> bm25Search,
     "q_url_canon" -> urlCanon,
@@ -2515,6 +2622,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_postings_stats" -> postingsStatsSql,
     "q_bigram_stats" -> bigramStatsReportSql,
+    "q_tfdl_stats" -> tfdlStatsReportSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_url_canon" -> urlCanonSql,

@@ -196,6 +196,36 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("served per-doc BM25 keyword extraction equals in-session tokenization; warm plan never re-tokenizes") {
+    // r15: q_text_bm25 (the keyword-extraction report) serves from
+    // termstats. The corpus includes a NULL-text doc to pin the two
+    // statistics that differ subtly between the paths: n_docs counts it
+    // (meta n vs count over docLen rows) while avgdl ignores it (no
+    // termstats rows vs a NULL dl davg skips).
+    val dir = java.nio.file.Files.createTempDirectory("postings_tb25").toString
+    Seq((1L, "vector hash merge window vector", "en", "s0", 30L),
+        (2L, "hash table scan with a hash and another hash inside", "en", "s0", 50L),
+        (3L, null.asInstanceOf[String], "en", "s0", 0L),
+        (4L, "window functions over a window frame", "en", "s1", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expect = TextOps.textBm25InSession(spark, dir).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "spec corpus must extract keywords")
+    val served = TextOps.queries("q_text_bm25")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(served == expect,
+      "artifact-served keyword extraction must equal the in-session tokenization")
+    val fresh = spark.newSession()
+    val qe = TextOps.queries("q_text_bm25")(fresh, dir).queryExecution
+    assert(!qe.executedPlan.toString.contains("documents.parquet"),
+      "warm plan must not read the corpus")
+    // posexplode of the bounded top-3 array is fine; re-tokenization
+    // (split over text) is what serving removed.
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("split("),
+      "warm plan must not re-tokenize")
+    graft.queries.Det.releasePins(fresh)
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("impact-ordered BM25 (WAND lite): fast path is exact, and low-tf files of a high-df term are skippable") {
     // r14 VERDICT #5: the (term, tf, doc_id) layout + termsummary bounds
     // let top-20 retrieval read the high-impact postings and provably
@@ -260,6 +290,61 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("dl-aware WAND bounds engage on a score-compressed long-document corpus the dl-free bounds must refuse") {
+    // r15 (NOTES round-16 candidate): every query term appears in every
+    // doc (df = N → idf tiny, scores compressed) and every doc is
+    // exactly 64 tokens. The dl-free sup s(tf, dl=tf) then overstates
+    // the skipped tf=1 mass so much that potential/ub < 1.5 and the
+    // precheck MUST route to the full scan; the v8 per-(term, tf)
+    // min_dl = 64 tightens both sides (s(1,64) = 1.0 vs s(1,1) ≈ 1.67
+    // at avgdl 64) and the fast path engages — exactly, same oracle.
+    val terms = Seq("vector", "hash", "merge", "window")
+    def fill(id: Long, n: Int) = (0 until n).map(i => s"f${id}x$i")
+    val fat = (0L until 40L).map { i =>
+      i -> (terms.flatMap(t => Seq(t, t, t, t)) ++ fill(i, 48)).mkString(" ")
+    }
+    val thin = (100L until 1300L).map { i =>
+      i -> (terms ++ fill(i, 60)).mkString(" ")
+    }
+    val corpus = mkCorpus(fat ++ thin)
+    val idx = java.nio.file.Files.createTempDirectory("postings_idx_dlw").toString
+    PostingsIndex.ensure(spark, corpus, idx)
+    // Pin the corpus shape the argument rests on: avgdl = 64 and, per
+    // query term, df = N with tf levels {1, 4}.
+    val (n, sumDl) = PostingsIndex.corpusStats(spark, idx)
+    assert(n == 1240L && sumDl == 1240L * 64, s"corpus shape drifted: n=$n sumDl=$sumDl")
+    // The dl-FREE precheck refuses this corpus: recompute its exact
+    // bound algebra from the artifact's termsummary and assert the
+    // refusal condition (ubAll * 1.5 >= potential) — so a fast-path
+    // engagement below is attributable to the dl-aware rung alone.
+    val avgdl = sumDl.toDouble / n
+    def sOld(tf: Long) = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * tf / avgdl))
+    val summ = PostingsIndex.termSummary(spark, idx)
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => (r.getAs[Long]("df"), r.getAs[Long]("min_tf"),
+        r.getAs[Long]("max_tf")))
+    assert(summ.length == 4 && summ.forall(s => s._1 == 1240L && s._2 == 1L && s._3 == 4L),
+      s"term stats drifted: ${summ.toSeq}")
+    def idf(df: Long) = (n - df + 0.5) / (df + 0.5)
+    val ubOld = summ.filter(_._2 < 2).map(s => idf(s._1) * sOld(1L)).sum
+    val potOld = summ.map(s => idf(s._1) * sOld(s._3)).sum
+    assert(ubOld * 1.5 >= potOld,
+      s"spec premise: the dl-free precheck must refuse ($ubOld vs $potOld)")
+    // The serve itself: dl-aware bounds engage and stay exact.
+    val inSession = TextOps.bm25SearchInSession(spark, corpus).collect().map(_.toSeq).toSeq
+    val fastBefore = TextOps.bm25FastPathRuns.get()
+    val dlBefore = TextOps.bm25DlBoundRuns.get()
+    val served = TextOps.bm25SearchOverIdx(spark, idx).collect().map(_.toSeq).toSeq
+    assert(TextOps.bm25FastPathRuns.get() == fastBefore + 1,
+      "the dl-aware bounds must take the impact-ordered fast path here")
+    assert(TextOps.bm25DlBoundRuns.get() == dlBefore + 1,
+      "the engagement must be attributed to the v8 tfdl bounds")
+    assert(served == inSession, "dl-aware serve must equal the full-scan result")
+    assert(served.size == 20 && served.forall(r => r.head.asInstanceOf[Long] < 40L),
+      "sanity: the top-20 must be the tf=4 docs")
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("appended termstats equal a from-scratch build; corpus stats merge exactly") {
     val corpus = mkCorpus(bm25Rows)
     val newRows = Seq(
@@ -286,6 +371,12 @@ class PostingsIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(gstats(idx) == gstats(idxFull),
       "summed gramstats partials must equal a from-scratch build over the union")
+    // tfdl (v8): cnt partials sum and min_dl folds to the from-scratch
+    // per-(term, tf) metadata — the dl-aware WAND bound's merge law.
+    def tdl(d: String) = PostingsIndex.tfDl(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(tdl(idx) == tdl(idxFull),
+      "folded tfdl partials must equal a from-scratch build over the union")
   }
 
   test("compaction bounds the file count and preserves content") {
@@ -298,7 +389,7 @@ class PostingsIndexSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
     for (t <- Seq("postings", "termstats", "gramstats",
-                  "bigramstats", "docgrams", "docids")) {
+                  "bigramstats", "docgrams", "docids", "tfdl")) {
       val files = graft.ext.Compaction.dataFiles(spark, PostingsIndex.tablePath(idx, t))
       assert(files.size <= 1, s"bound-1 compaction must leave ≤1 $t file, got ${files.size}")
     }
