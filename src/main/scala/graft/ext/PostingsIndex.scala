@@ -114,9 +114,16 @@ object PostingsIndex {
     * dl-free s(tf, tf), tight enough for impact-ordered retrieval to
     * engage on score-compressed corpora (df ≈ N) where the tf-only
     * bound had to fall back to the full scan. An older layout reads as
-    * stale → rebuilds once.
+    * stale → rebuilds once; v9 adds `docmeta` (doc_id, lang, source,
+    * n_tokens — nullable for null-text docs): the per-DOCUMENT metadata
+    * the corpus-report family (length deciles, mixture tables,
+    * temperature resampling, the keyword extraction's avgdl) needs, so
+    * those reports aggregate n_docs rows of ~30 B metadata instead of
+    * re-tokenizing the corpus text per run. (docids stays as the gate's
+    * narrow id-only artifact; docmeta is the report surface — the
+    * overlap is one 8-byte column, deliberate.)
     */
-  private val SchemaVersion = 8L
+  private val SchemaVersion = 9L
 
   def defaultDir(corpusDir: String): String =
     ArtifactRoots.dirFor("postings_", corpusDir)
@@ -208,6 +215,18 @@ object PostingsIndex {
     stats.groupBy(col("term"), col("tf")).agg(
       count(lit(1)).as("cnt"),
       min(col("dl")).as("min_dl"))
+
+  /** Per-document metadata (v9): the corpus-report family's sufficient
+    * statistics. n_tokens is NULL for a null-text doc (the oracle's
+    * len(string_split(NULL)) semantics — readers that need the engine's
+    * legacy size() = −1 behavior reconstruct it with coalesce, so the
+    * stored value stays the clean one). Per-document, so append ≡
+    * rebuild exactly, like the postings themselves.
+    */
+  def docMetaOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      when(col("text").isNull, lit(null))
+        .otherwise(size(split(col("text"), " "))).cast("long").as("n_tokens"))
 
   /** The ONE n-gram explode every gram table derives from (r14 VERDICT
     * #7: the trigram phrase tables and the bigram LM tables each carried
@@ -349,6 +368,9 @@ object PostingsIndex {
     docs.select(col("doc_id"))
       .repartitionByRange(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$vd/docids")
+    docMetaOf(docs)
+      .repartitionByRange(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vd/docmeta")
     val fp = Currency.docsFp(spark, corpusDir)
     SegmentBlooms.writeBloom(docs, "doc_id", s"$vd/blooms", fp.n)
     writeMeta(spark, vd, fp, corpusDir, sumDl(spark, s"$vd/termstats"))
@@ -405,6 +427,9 @@ object PostingsIndex {
 
   def docids(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.parquet(tablePath(idxDir, "docids"))
+
+  def docMeta(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(tablePath(idxDir, "docmeta"))
 
   /** Per-term retrieval metadata, merged across whatever segments the
     * version holds (df sums exactly across disjoint batches; the tf
@@ -652,6 +677,10 @@ object PostingsIndex {
       Versioned.linkTable(spark, s"$cvd/docids", s"$nvd/docids")
       docs.select(col("doc_id")).write.mode(SaveMode.Append).parquet(s"$nvd/docids")
       compactIfNeeded(spark, s"$nvd/docids", compactFileBound,
+        sortCols = Seq(col("doc_id")))
+      Versioned.linkTable(spark, s"$cvd/docmeta", s"$nvd/docmeta")
+      docMetaOf(docs).write.mode(SaveMode.Append).parquet(s"$nvd/docmeta")
+      compactIfNeeded(spark, s"$nvd/docmeta", compactFileBound,
         sortCols = Seq(col("doc_id")))
       // The appended corpus is (committed fingerprint's corpus + newDocs):
       // recompute the fingerprint constituents incrementally — count adds,

@@ -107,11 +107,31 @@ object Sampling {
     */
   private val shardSalt = ":shard"
 
-  val shardShuffle: Q = (spark, dir) => {
-    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+  /** The per-doc (doc_id, n_tokens) frame both shard reports hash:
+    * SERVED from the postings artifact's docmeta (r15 — an n_docs-row
+    * metadata scan, no text read; coalesce(−1) reconstructs the
+    * engine's legacy size(NULL) so served ≡ in-session on any corpus),
+    * or derived in-session for the equality twins.
+    */
+  private def shardDocsServed(spark: SparkSession, dir: String) = {
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    graft.ext.PostingsIndex.docMeta(spark, idx)
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(-1L)).as("n_tokens"))
+  }
+
+  private def shardDocsInSession(spark: SparkSession, dir: String) =
     documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  val shardShuffle: Q = (spark, dir) => shardShuffleOver(shardDocsServed(spark, dir))
+
+  private[graft] val shardShuffleInSession: Q = (spark, dir) =>
+    shardShuffleOver(shardDocsInSession(spark, dir))
+
+  private def shardShuffleOver(perDoc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    perDoc
+      .select(col("doc_id"), col("n_tokens"),
         md5(concat(col("doc_id").cast("string"), lit(shardSalt))).as("h"))
       .withColumn("shard_id",
         expr("CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)"))
@@ -140,11 +160,15 @@ object Sampling {
     * (a hot shard starves data-parallel readers). Bounded 16-row output;
     * the token_share window is over the post-agg table.
     */
-  val shardStats: Q = (spark, dir) => {
+  val shardStats: Q = (spark, dir) => shardStatsOver(shardDocsServed(spark, dir))
+
+  private[graft] val shardStatsInSession: Q = (spark, dir) =>
+    shardStatsOver(shardDocsInSession(spark, dir))
+
+  private def shardStatsOver(perDoc: DataFrame): DataFrame = {
     val w = Window.partitionBy()
-    documents(spark, dir)
-      .select(
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+    perDoc
+      .select(col("n_tokens"),
         md5(concat(col("doc_id").cast("string"), lit(shardSalt))).as("h"))
       .withColumn("shard_id",
         expr("CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)"))

@@ -191,8 +191,10 @@ object TextOps {
     // over docLen did), so the scores are bit-identical by construction.
     val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
     val ts = graft.ext.PostingsIndex.termstats(spark, idx)
-    val docLen = ts.groupBy(col("doc_id"))
-      .agg(max(col("dl")).cast("double").as("dl"))
+    // Per-doc dl straight from docmeta (v9) — its NULL for a null-text
+    // doc is exactly the row davg skips, like the in-session docLen.
+    val docLen = graft.ext.PostingsIndex.docMeta(spark, idx)
+      .select(col("n_tokens").cast("double").as("dl"))
     val dfreq = graft.ext.PostingsIndex.termSummary(spark, idx)
       .select(col("term"), col("df").cast("double").as("df"))
     val (nDocs, _) = graft.ext.PostingsIndex.corpusStats(spark, idx)
@@ -1471,11 +1473,26 @@ object TextOps {
     * is the same shard-local sort the packer already pays.
     */
   val lenDeciles: Q = (spark, dir) => {
+    // SERVED FROM THE POSTINGS ARTIFACT (r15): per-doc (source, n_tokens)
+    // is exactly the docmeta table — an n_docs-row metadata scan instead
+    // of re-tokenizing the corpus text. coalesce(−1) reconstructs the
+    // engine's legacy size(NULL) for null-text docs, so served ≡
+    // in-session on any corpus (docmeta stores the clean NULL).
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    lenDecilesOver(graft.ext.PostingsIndex.docMeta(spark, idx)
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(-1L)).as("n_tokens")))
+  }
+
+  private[graft] val lenDecilesInSession: Q = (spark, dir) =>
+    lenDecilesOver(documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  private def lenDecilesOver(perDoc: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
-    documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    perDoc
       .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy(col("source"), col("decile"))
       .agg(
@@ -1507,9 +1524,22 @@ object TextOps {
     * post-agg table, same rationale as the daily moving averages).
     */
   val corpusMix: Q = (spark, dir) => {
+    // SERVED FROM THE POSTINGS ARTIFACT (r15): (lang, source, n_tokens)
+    // is the docmeta table (see lenDeciles for the coalesce(−1) rule).
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    corpusMixOver(graft.ext.PostingsIndex.docMeta(spark, idx)
+      .select(col("lang"), col("source"),
+        coalesce(col("n_tokens"), lit(-1L)).as("n_tokens")))
+  }
+
+  private[graft] val corpusMixInSession: Q = (spark, dir) =>
+    corpusMixOver(documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  private def corpusMixOver(perDoc: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    perDoc
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .withColumn("token_share",
@@ -1595,13 +1625,37 @@ object TextOps {
     * join against the corpus; the keep filter is a per-row map fused into
     * the scan. One final aggregation keyed on source.
     */
-  val mixResample: Q = (spark, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+  /** The per-doc (doc_id, source, n_tokens, bucket) frame both mixture
+    * samplers score: SERVED from docmeta (r15 — no text read, see
+    * lenDeciles for the coalesce(−1) rule), or derived in-session for
+    * the equality twins.
+    */
+  private def mixDocsServed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    graft.ext.PostingsIndex.docMeta(spark, idx)
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(-1L)).as("n_tokens"))
+      .withColumn("bucket", mixBucket)
+  }
+
+  private def mixDocsInSession(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", mixBucket)
+
+  private def mixBucket: org.apache.spark.sql.Column = {
     def digit(pos: Int) =
       s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
-    val docs = documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
+    expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)")
+  }
+
+  val mixResample: Q = (spark, dir) => mixResampleOver(mixDocsServed(spark, dir))
+
+  private[graft] val mixResampleInSession: Q = (spark, dir) =>
+    mixResampleOver(mixDocsInSession(spark, dir))
+
+  private def mixResampleOver(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val rates = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("source_tokens"))
       .withColumn("rate",
@@ -1668,13 +1722,14 @@ object TextOps {
     * both engines. Scale shape: |sources|-row rate table broadcast into
     * a scan-fused per-row filter, one aggregation keyed on source.
     */
-  val mixTemperature: Q = (spark, dir) => {
+  val mixTemperature: Q = (spark, dir) =>
+    mixTemperatureOver(mixDocsServed(spark, dir))
+
+  private[graft] val mixTemperatureInSession: Q = (spark, dir) =>
+    mixTemperatureOver(mixDocsInSession(spark, dir))
+
+  private def mixTemperatureOver(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    def digit(pos: Int) =
-      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), $pos, 1)) - 1)"
-    val docs = documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("bucket", expr(s"CAST(${digit(1)} * 16 + ${digit(2)} AS BIGINT)"))
     val rates = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("source_tokens"))
       .withColumn("w_raw", sqrt(col("source_tokens").cast("double")))
@@ -2013,14 +2068,27 @@ object TextOps {
   }
 
   val splitAssign: Q = (spark, dir) => {
-    documents(spark, dir)
+    // SERVED FROM THE POSTINGS ARTIFACT (r15): (doc_id, lang, n_tokens)
+    // is the docmeta table (see lenDeciles for the coalesce(−1) rule).
+    val idx = graft.ext.PostingsIndex.servingDir(spark, dir)
+    splitAssignOver(graft.ext.PostingsIndex.docMeta(spark, idx)
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(-1L)).as("n_tokens")))
+  }
+
+  private[graft] val splitAssignInSession: Q = (spark, dir) =>
+    splitAssignOver(documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  private def splitAssignOver(perDoc: DataFrame): DataFrame =
+    perDoc
       .withColumn("split", splitAssignCol)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        sum(col("n_tokens")).as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
-  }
 
   val splitAssignSql: String = {
     def digit(pos: Int) =

@@ -196,6 +196,44 @@ class PostingsIndexSpec extends SparkSpec {
     graft.queries.Det.releasePins(spark)
   }
 
+  test("corpus-report family serves from docmeta; equals in-session on a null-bearing corpus; never re-tokenizes") {
+    // r15 (v9): length deciles, the mixture report, and both mixture
+    // samplers read the per-document metadata table instead of the
+    // corpus text. The corpus includes a NULL-text doc to pin the
+    // coalesce(−1) reconstruction of the engine's legacy size(NULL)
+    // (docmeta stores the clean NULL).
+    val dir = java.nio.file.Files.createTempDirectory("postings_dmeta").toString
+    Seq((1L, "alpha beta gamma delta", "en", "s0", 22L),
+        (2L, "one two", "en", "s0", 7L),
+        (3L, null.asInstanceOf[String], "en", "s0", 0L),
+        (4L, "vector window hash merge table scan", "de", "s1", 36L),
+        (5L, "tiny", "de", "s1", 4L),
+        (6L, "a b c d e f g h i j k l", "en", "s1", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for ((name, inSession) <- Seq(
+        "q_len_deciles" -> TextOps.lenDecilesInSession,
+        "q_corpus_mix" -> TextOps.corpusMixInSession,
+        "q_mix_resample" -> TextOps.mixResampleInSession,
+        "q_mix_temperature" -> TextOps.mixTemperatureInSession,
+        "q_shard_shuffle" -> graft.queries.Sampling.shardShuffleInSession,
+        "q_shard_stats" -> graft.queries.Sampling.shardStatsInSession,
+        "q_split_assign" -> TextOps.splitAssignInSession)) {
+      val expect = inSession(spark, dir).collect().map(_.toSeq).toSeq
+      assert(expect.nonEmpty, s"$name spec corpus must produce rows")
+      val served = SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+      assert(served == expect, s"$name served from docmeta must equal in-session")
+      val fresh = spark.newSession()
+      val qe = SparkEntry.queries(name)(fresh, dir).queryExecution
+      assert(!qe.executedPlan.toString.contains("documents.parquet"),
+        s"$name warm plan must not read the corpus")
+      assert(!qe.optimizedPlan.toString.toLowerCase.contains("split("),
+        s"$name warm plan must not re-tokenize")
+      graft.queries.Det.releasePins(fresh)
+    }
+    graft.queries.Det.releasePins(spark)
+  }
+
   test("served per-doc BM25 keyword extraction equals in-session tokenization; warm plan never re-tokenizes") {
     // r15: q_text_bm25 (the keyword-extraction report) serves from
     // termstats. The corpus includes a NULL-text doc to pin the two
@@ -377,6 +415,12 @@ class PostingsIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(tdl(idx) == tdl(idxFull),
       "folded tfdl partials must equal a from-scratch build over the union")
+    // docmeta (v9): per-document, so appended rows must equal the
+    // from-scratch union build row-for-row.
+    def dmeta(d: String) = PostingsIndex.docMeta(spark, d)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(dmeta(idx) == dmeta(idxFull),
+      "appended docmeta must equal a from-scratch build over the union")
   }
 
   test("compaction bounds the file count and preserves content") {
@@ -389,7 +433,7 @@ class PostingsIndexSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     PostingsIndex.appendDocs(spark, idx, add, compactFileBound = 1)
     for (t <- Seq("postings", "termstats", "gramstats",
-                  "bigramstats", "docgrams", "docids", "tfdl")) {
+                  "bigramstats", "docgrams", "docids", "tfdl", "docmeta")) {
       val files = graft.ext.Compaction.dataFiles(spark, PostingsIndex.tablePath(idx, t))
       assert(files.size <= 1, s"bound-1 compaction must leave ≤1 $t file, got ${files.size}")
     }
