@@ -153,6 +153,14 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r15 note: AQE `coalescePartitions.parallelismFirst=false` (the
+      // tuning-guide recommendation) was measured here and REJECTED for
+      // this suite: it removed ~10 CPU-s/run of 32-task overhead on
+      // kilobyte-scale aggregates, but serialized mid-size CPU-heavy
+      // shuffles (q_join_3way 0.33→0.45 s, q_agg_time 0.84→1.15 s,
+      // q_sql_local_volume 0.75→1.04 s at ext_load≈0, both 64 MB and
+      // 4 MB advisory) — a net loss. Small cached intermediates are
+      // right-sized at their memo sites instead (see OPTIMIZATION_r15).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (uncounted): exercise scan + shuffle + broadcast-join +

@@ -600,8 +600,16 @@ object AnnIndex {
     * PQ exists for at 100 TB.
     */
   def searchPq(spark: SparkSession, corpusDir: String, idxDir: String): DataFrame =
-    Similarity.pqAdcSearch(pqCodes(spark, idxDir),
-      Similarity.pqLutFor(spark, corpusDir, pqCodebook(spark, idxDir)))
+    Similarity.pqAdcSearchW(
+      // Wide codes memoized per RESOLVED artifact version (a rebuild
+      // commits a new version dir → new key; see Similarity's wide-ADC
+      // note — the widening is one pass over the loaded code table).
+      graft.queries.Det.memo(spark,
+          s"ann.codesw:${tablePath(idxDir, "pq_codes")}",
+          Some("q_knn_served_pq")) {
+        Similarity.pqCodesWide(pqCodes(spark, idxDir))
+      },
+      Similarity.pqLutWideFor(spark, corpusDir, pqCodebook(spark, idxDir)))
 
   /** Residual IVFADC served from the loaded index (r10 VERDICT demerit
     * #1: the residual chain was the last search whose only path paid

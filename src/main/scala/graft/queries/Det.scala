@@ -116,6 +116,28 @@ object Det {
     pinRegistry.get(spark).map(_.synchronized(pinRegistry(spark).size)).getOrElse(0) +
       memoRegistry.keys.count(_._1 eq spark)
 
+  /** Driver-VALUE memo (r15): bounded query-batch artifacts collected to
+    * the driver (probe vectors, centroid/codebook arrays) so a warm
+    * search launches zero collect jobs for them. Same immutability
+    * contract as the DataFrame memos; cleared wholesale by releasePins
+    * and — conservatively, the values are cheap to re-collect — by
+    * releaseForDir, so an in-place corpus mutation can never serve stale
+    * driver state (AnnIndex.maintainStream's releaseForDir per batch
+    * covers the stream case).
+    */
+  private val valueRegistry = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Any]
+
+  def memoValue[A](spark: org.apache.spark.sql.SparkSession, key: String)
+                  (build: => A): A = {
+    valueRegistry.keys.filter(_._1.sparkContext.isStopped).foreach(valueRegistry.remove)
+    valueRegistry.getOrElseUpdate((spark, key), build).asInstanceOf[A]
+  }
+
+  /** Test hook: number of live value memos for `spark`. */
+  private[graft] def valueMemoCount(spark: org.apache.spark.sql.SparkSession): Int =
+    valueRegistry.keys.count(_._1 eq spark)
+
   def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     sweepStopped()
     val buf = pinRegistry.getOrElseUpdate(df.sparkSession,
@@ -165,6 +187,8 @@ object Det {
     memoRegistry.get((spark, key)) match {
       case Some(df) => df
       case None =>
+        if (sys.env.contains("GRAFT_MEMO_TRACE"))
+          System.err.println(s"[Det] building memo $key")
         val df = pin(build)
         memoRegistry.put((spark, key), df)
         // Strike-set born at build time; a re-build after release starts a
@@ -260,6 +284,8 @@ object Det {
     */
   def releaseForDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val suffix = s":$dir"
+    // Value memos go wholesale (cheap to re-collect; never stale).
+    valueRegistry.keys.filter(_._1 eq spark).foreach(valueRegistry.remove)
     val keys = memoRegistry.keys
       .filter { case (s, k) => (s eq spark) && k.endsWith(suffix) }.toList
     val memos = keys.flatMap(memoRegistry.remove)
@@ -284,6 +310,7 @@ object Det {
     * Everything goes at once, so no protect set applies.
     */
   def releasePins(spark: org.apache.spark.sql.SparkSession): Unit = {
+    valueRegistry.keys.filter(_._1 eq spark).foreach(valueRegistry.remove)
     val memos = memoRegistry.keys.filter(_._1 eq spark).toList
       .flatMap(memoRegistry.remove)
     lastConsumer.keys.filter(_._1 eq spark).foreach(lastConsumer.remove)

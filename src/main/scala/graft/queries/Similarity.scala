@@ -676,23 +676,73 @@ object Similarity {
     * body means the served path is bit-identical to the oracle-verified
     * one by construction.
     */
+  // ---- Driver-side query-batch math (r15 optimization) ----
+  //
+  // The probe ranking and the ADC lookup tables are PER-QUERY-BATCH
+  // artifacts over bounded inputs: ≤ 10 probe vectors × k ≤ 10 centroids
+  // × 128 codebook rows. As distributed subplans each cost a
+  // crossJoin + window (or broadcast join + HOF) — 2-4 Spark jobs of
+  // pure scheduling latency per search, repeated by every PQ/IVF query
+  // (measured ~0.5 s for the 1,280-row LUT at sf0.1, > half the warm
+  // query wall). Production ANN computes exactly these on the query
+  // node; here they move to the driver — the same bounded-driver-read
+  // class as ext.AnnIndex's probed-cluster collect — and enter the plan
+  // as local relations. Arithmetic replicates the SQL expressions
+  // IEEE-exactly (sequential left fold of (x−c)², ties to the smaller
+  // cluster/code id), so every oracle is unchanged.
+
+  /** The ≤ 10 probe vectors (bounded driver read: the fixed vec_id < 10
+    * probe set), value-memoized so a warm search launches no collect job.
+    */
+  private def probeVecsOf(spark: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    Det.memoValue(spark, s"simval.probevecs:$dir") {
+      vdF(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("emb_d")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+
+  /** Sequential-fold squared L2 — bit-identical to kmDistExpr/pqDistExpr
+    * (0.0 seed, left-to-right accumulation of (x−c)²).
+    */
+  private def sqDistSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** k ≤ 10 centroid rows, value-memoized on the frame's canonicalized
+    * plan (a re-built source — new version dir, fresh memo after
+    * releaseForDir — hashes differently or arrives after the value
+    * registry was cleared; see Det.memoValue's release discipline).
+    */
+  private def collectCentroids(spark: SparkSession, cent: DataFrame): Seq[(Long, Array[Double])] =
+    Det.memoValue(spark, s"simval.cent:${cent.queryExecution.logical.semanticHash()}") {
+      cent.select(col("cluster").cast("long"), col("cent")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    }
+
   /** The query batch's probe ranking — (query_id, probed_cluster),
     * nprobe = 3 — shared by the IVF and IVFADC search bodies and by the
     * served paths' scan-pruning prefilter (ext.AnnIndex collects the
     * ≤ 10·nprobe distinct cluster ids — a bounded driver read — and
     * pushes them into the cluster-range-partitioned artifact scans as a
     * literal IN, so parquet min/max skips every non-probed file).
+    * Computed driver-side (see the section note): nearest-3 clusters by
+    * (fold distance, cluster id) per probe — the exact order the window
+    * rank produced.
     */
   private[graft] def probedPairsFor(spark: SparkSession, dir: String,
-                                    cent: DataFrame): DataFrame =
-    vdF(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb_d"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", expr(kmDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("cluster").as("probed_cluster"))
+                                    cent: DataFrame): DataFrame = {
+    val cents = collectCentroids(spark, cent)
+    val rows = for {
+      (qid, emb) <- probeVecsOf(spark, dir)
+      (cluster, _) <- cents.map { case (c, v) => (c, sqDistSeq(emb, v)) }
+        .sortBy { case (c, d) => (d, c) }.take(3)
+    } yield (qid, cluster)
+    import spark.implicits._
+    rows.toDF("query_id", "probed_cluster")
+  }
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String,
                                cent: DataFrame, member: DataFrame): DataFrame = {
@@ -1591,23 +1641,56 @@ object Similarity {
       pqAssign(pqSubv(vdF(spark, dir)), pqCodebook(spark, dir))
     }
 
-  /** Per-query ADC lookup table: partial squared distance from each
-    * query subvector to each codebook entry — Q × 8 × 16 rows, always
-    * broadcast.
-    */
-  private def pqLut(spark: SparkSession, dir: String): DataFrame =
-    pqLutFor(spark, dir, pqCodebook(spark, dir))
+
+  /** 128 codebook rows, value-memoized like collectCentroids. */
+  private def collectCodebook(spark: SparkSession, cb: DataFrame): Seq[(Int, Long, Array[Double])] =
+    Det.memoValue(spark, s"simval.cb:${cb.queryExecution.logical.semanticHash()}") {
+      cb.select(col("sub").cast("int"), col("code").cast("long"), col("cent"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    }
 
   /** LUT against an explicit codebook — shared by the in-session path
-    * and the persisted-index serve path (ext.AnnIndex).
+    * and the persisted-index serve path (ext.AnnIndex). Computed
+    * driver-side from the collected codebook (128 rows) and the ≤ 10
+    * probe vectors (see the driver-side section note); the per-subspace
+    * distance replicates pqDistExpr's sequential fold IEEE-exactly.
     */
+  /** Long-form LUT rows (query_id, sub, code, pdist) — driver values. */
+  private def pqLutRows(spark: SparkSession, dir: String,
+                        codebook: DataFrame): Seq[(Long, Int, Long, Double)] = {
+    val cb = collectCodebook(spark, codebook)
+    for {
+      (qid, emb) <- probeVecsOf(spark, dir)
+      (sub, code, cent) <- cb
+    } yield {
+      val subv = emb.slice(sub * pqDsub, sub * pqDsub + pqDsub)
+      (qid, sub, code, sqDistSeq(subv, cent))
+    }
+  }
+
   private[graft] def pqLutFor(spark: SparkSession, dir: String,
-                              codebook: DataFrame): DataFrame =
-    pqSubv(vdF(spark, dir).filter(col("vec_id") < 10))
-      .select(col("vec_id").as("query_id"), col("sub"), col("subv"))
-      .join(broadcast(codebook), "sub")
-      .withColumn("pdist", expr(pqDistExpr))
-      .select(col("query_id"), col("sub"), col("code"), col("pdist"))
+                              codebook: DataFrame): DataFrame = {
+    import spark.implicits._
+    pqLutRows(spark, dir, codebook).toDF("query_id", "sub", "code", "pdist")
+  }
+
+  /** Wide LUT (query_id → luts[8]: code → pdist) as a local relation,
+    * assembled driver-side from the long rows.
+    */
+  private def pqLutWideLocal(spark: SparkSession, dir: String,
+                             codebook: DataFrame): DataFrame = {
+    import spark.implicits._
+    pqLutRows(spark, dir, codebook)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, rs) =>
+        val luts = (0 until pqM).map { s =>
+          rs.collect { case (_, `s`, code, pd) => (code, pd) }.toMap
+        }
+        (qid, luts)
+      }
+      .toDF("query_id", "luts")
+  }
 
   /** ANN by asymmetric distance computation over the full code table:
     * approximate distance = Σ over subspaces of the query's LUT entry
@@ -1616,23 +1699,68 @@ object Similarity {
     * broadcast: the flat-scan shape PQ exists for.
     */
   val knnPq: Q = (spark, dir) =>
-    pqAdcSearch(pqCodes(spark, dir), pqLut(spark, dir))
+    pqAdcSearchW(pqCodesWideMemo(spark, dir),
+      pqLutWideLocal(spark, dir, pqCodebook(spark, dir)))
 
-  /** The ADC scan body over an explicit (codes, LUT) pair — shared with
-    * the persisted-index serve path (ext.AnnIndex.searchPq).
+  /** Wide ADC layout (r15 optimization). The relational ADC — join every
+    * (vec, sub, code) row to the LUT and decimal-sum 8 joined rows per
+    * candidate — paid a pqM-fold row blowup through the broadcast join
+    * and a non-codegen-friendly BigDecimal hash aggregate (~5 CPU-s per
+    * search at sf0.1; guide §4 "prefer expressions over per-row joined
+    * aggregation"). Instead: widen codes to ONE row per vector
+    * (codes[8]), widen the LUT to ONE row per query (luts[8]: sub →
+    * map(code → pdist)), and compute the approximate distance as a
+    * single whole-stage-codegen expression of 8 map lookups summed in
+    * exact decimal — numerically IDENTICAL to dsum (both sum the same
+    * decimal(28,8) casts exactly; final cast to double), so every oracle
+    * is unchanged.
     */
-  private[graft] def pqAdcSearch(codes: DataFrame, lut: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+  private[graft] def pqCodesWide(codes: DataFrame): DataFrame =
     codes
-      .join(broadcast(lut), Seq("sub", "code"))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("code").cast("long").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("map_from_entries(collect_list(struct(sub, code)))").as("cm"))
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> element_at(cm, s))").as("codes"))
+
+  /** Σ over subspaces of the candidate's LUT entry, summed in exact
+    * decimal(28,8) — value-identical to r6(dsum(pdist)) over the joined
+    * 8-row form.
+    */
+  private val adcDistExpr: String = (1 to pqM)
+    .map(i => s"cast(element_at(element_at(luts, $i), element_at(codes, $i)) as decimal(28,8))")
+    .mkString("cast(", " + ", " as double)")
+
+  /** The wide codes table, session-memoized for the in-session chain
+    * (the widening is one pass over the memoized long codes; the served
+    * path memoizes per resolved artifact version in ext.AnnIndex).
+    */
+  private def pqCodesWideMemo(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"sim.pqcodew:$dir",
+        Set("q_knn_pq", "q_knn_ivfpq", "q_ann_recall_pq")) {
+      pqCodesWide(pqCodes(spark, dir))
+    }
+
+  /** The ADC scan body over a pre-widened (codesW, lutW) pair — shared
+    * with the persisted-index serve path (ext.AnnIndex.searchPq).
+    */
+  private[graft] def pqAdcSearchW(codesW: DataFrame, lutW: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    codesW
+      .crossJoin(broadcast(lutW))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(r6(dsum(col("pdist"))).as("adist"))
+      .select(col("query_id"), col("vec_id"), r6(expr(adcDistExpr)).as("adist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Wide LUT for an explicit codebook — serve-path entry (ext.AnnIndex). */
+  private[graft] def pqLutWideFor(spark: SparkSession, dir: String,
+                                  codebook: DataFrame): DataFrame =
+    pqLutWideLocal(spark, dir, codebook)
 
   /** The shared PQ CTE chain (train + encode + LUT), mirroring the
     * Spark build step for step — `sub` as a key keeps the unrolled
@@ -1720,13 +1848,17 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("cluster").as("probed_cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    pqCodes(spark, dir)
+    // Wide ADC (see pqAdcSearchW): candidates = coarse-pruned (query, vec)
+    // pairs; distance = one codegen expression over the widened code row
+    // and the query's broadcast LUT maps — no pqM-fold join fan-out, no
+    // decimal hash aggregate. Values identical to the joined dsum form.
+    pqCodesWideMemo(spark, dir)
       .join(member, "vec_id")
       .join(broadcast(probed), col("cluster") === col("probed_cluster"))
-      .join(broadcast(pqLut(spark, dir)), Seq("query_id", "sub", "code"))
+      .join(broadcast(pqLutWideLocal(spark, dir, pqCodebook(spark, dir))), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"), col("cluster"))
-      .agg(r6(dsum(col("pdist"))).as("adist"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        r6(expr(adcDistExpr)).as("adist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
@@ -1845,21 +1977,52 @@ object Similarity {
     * still trivially broadcast. This is the part plain-PQ LUTs don't
     * have and the reason IVFADC's accuracy survives the coarse prune.
     */
+  /** Long-form residual LUT rows — driver values (see pqResLut). */
+  private def pqResLutRows(spark: SparkSession, dir: String, probed: DataFrame,
+                           cent: DataFrame, rcb: DataFrame): Seq[(Long, Long, Int, Long, Double)] = {
+    // Driver-side (see the driver-side section note): Q × nprobe × 128
+    // rows from bounded collects. The query residual (q − centroid_c)
+    // is an elementwise double subtraction — identical to the zip_with.
+    val cents = collectCentroids(spark, cent).toMap
+    val cb = collectCodebook(spark, rcb)
+    val probes = probeVecsOf(spark, dir).toMap
+    val probedPairs = probed.select(col("query_id").cast("long"),
+        col("probed_cluster").cast("long")).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for {
+      (qid, cluster) <- probedPairs
+      emb = probes(qid)
+      cvec = cents(cluster)
+      res = Array.tabulate(emb.length)(i => emb(i) - cvec(i))
+      (sub, code, ccent) <- cb
+    } yield {
+      val subv = res.slice(sub * pqDsub, sub * pqDsub + pqDsub)
+      (qid, cluster, sub, code, sqDistSeq(subv, ccent))
+    }
+  }
+
   private def pqResLut(spark: SparkSession, dir: String, probed: DataFrame,
                        cent: DataFrame, rcb: DataFrame): DataFrame = {
-    val qres = vdF(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb_d"))
-      .join(probed, "query_id")
-      .join(broadcast(cent),
-        col("probed_cluster") === col("cluster"))
-      .select(col("query_id"), col("probed_cluster"),
-        expr("zip_with(emb_d, cent, (x, c) -> x - c)").as("emb_d"))
-    qres.select(col("query_id"), col("probed_cluster"), posexplode(expr(
-        s"transform(sequence(0, ${pqM - 1}), s -> slice(emb_d, s * $pqDsub + 1, $pqDsub))"))
-      .as(Seq("sub", "subv")))
-      .join(broadcast(rcb), "sub")
-      .withColumn("pdist", expr(pqDistExpr))
-      .select(col("query_id"), col("probed_cluster"), col("sub"), col("code"), col("pdist"))
+    import spark.implicits._
+    pqResLutRows(spark, dir, probed, cent, rcb)
+      .toDF("query_id", "probed_cluster", "sub", "code", "pdist")
+  }
+
+  /** Wide residual LUT ((query_id, probed_cluster) → luts[8]) as a local
+    * relation.
+    */
+  private def pqResLutWideLocal(spark: SparkSession, dir: String, probed: DataFrame,
+                                cent: DataFrame, rcb: DataFrame): DataFrame = {
+    import spark.implicits._
+    pqResLutRows(spark, dir, probed, cent, rcb)
+      .groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+      .map { case ((qid, cluster), rs) =>
+        val luts = (0 until pqM).map { s =>
+          rs.collect { case (_, _, `s`, code, pd) => (code, pd) }.toMap
+        }
+        (qid, cluster, luts)
+      }
+      .toDF("query_id", "probed_cluster", "luts")
   }
 
   /** IVFADC: coarse quantizer prunes to nprobe = 3 inverted lists,
@@ -1908,16 +2071,18 @@ object Similarity {
                                   rcb: DataFrame, rcodes: DataFrame): DataFrame = {
     val probed = probedPairsFor(spark, dir, cent)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    val lut = pqResLut(spark, dir, probed, cent, rcb)
-      .withColumnRenamed("sub", "lsub").withColumnRenamed("code", "lcode")
-    rcodes
+    // Wide ADC with per-(query, probed cluster) LUTs (see pqAdcSearchW):
+    // the candidate join key carries the cluster, so the broadcast LUT
+    // row is keyed (query_id, probed_cluster) and the distance is the
+    // same 8-lookup decimal expression. Values identical to the joined
+    // dsum form; oracle unchanged.
+    val lutW = pqResLutWideLocal(spark, dir, probed, cent, rcb)
+    pqCodesWide(rcodes)
       .join(member, "vec_id")
-      .join(broadcast(lut),
-        col("cluster") === col("probed_cluster")
-          && col("sub") === col("lsub") && col("code") === col("lcode"))
+      .join(broadcast(lutW), col("cluster") === col("probed_cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"), col("cluster"))
-      .agg(r6(dsum(col("pdist"))).as("adist"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        r6(expr(adcDistExpr)).as("adist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),

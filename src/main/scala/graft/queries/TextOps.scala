@@ -1057,8 +1057,27 @@ object TextOps {
   /** Shared by the contamination pair: (doc_id, gram) per distinct
     * 8-gram, and the per-doc report tail over (train grams, hit counts).
     */
-  private def contamGrams(spark: SparkSession, dir: String): DataFrame =
-    contamGramsOf(documents(spark, dir))
+  /** Bench-side grams (doc_id < 20): derived from the raw scan every
+    * time — 20 documents behind a doc_id filter that must PUSH into the
+    * parquet scan (spec-pinned; a memo would hide the pushdown and the
+    * side is trivial anyway).
+    */
+  private def contamBenchGrams(spark: SparkSession, dir: String): DataFrame =
+    contamGramsOf(documents(spark, dir).filter(col("doc_id") < 20))
+
+  /** Train-side grams, memoized (r15): the corpus-gram explode re-ran
+    * per run AND per consumer, serially — the single-row-group documents
+    * file gives the explode stage one task. The memo pays the explode
+    * once per family and re-spreads it by doc_id (hash, no
+    * sort-before-repartition) so every downstream stage is parallel and
+    * the per-doc hit count is co-partitioned with the cache.
+    */
+  private def contamTrainGrams(spark: SparkSession, dir: String): DataFrame =
+    Det.memoMulti(spark, s"text.contamtrain:$dir",
+        Set("q_text_contamination", "q_text_contamination_bloom")) {
+      contamGramsOf(documents(spark, dir).filter(col("doc_id") >= 20))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    }
 
   private def contamGramsOf(docs: DataFrame): DataFrame =
     docs
@@ -1085,9 +1104,8 @@ object TextOps {
   }
 
   val textContamination: Q = (spark, dir) => {
-    val grams = contamGrams(spark, dir)
-    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
-    val train = grams.filter(col("doc_id") >= 20)
+    val bench = contamBenchGrams(spark, dir).select(col("gram")).distinct()
+    val train = contamTrainGrams(spark, dir)
     val hits = train.join(broadcast(bench), Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     contamReport(train, hits)
@@ -1112,11 +1130,14 @@ object TextOps {
     * fpp·|train|) reach the hash join, instead of every train gram.
     */
   val textContaminationBloom: Q = (spark, dir) => {
-    val grams = contamGrams(spark, dir)
-    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
-    val train = grams.filter(col("doc_id") >= 20)
-    val bf = bench.agg(expr("bloom_agg(xxhash64(gram), 100000L, 800000L)").as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+    val bench = contamBenchGrams(spark, dir).select(col("gram")).distinct()
+    val train = contamTrainGrams(spark, dir)
+    // The built filter is a deterministic ~100 KB model artifact —
+    // value-memoized (r15) so warm runs skip the build job.
+    val bf = Det.memoValue(spark, s"textval.contambloom:$dir") {
+      bench.agg(expr("bloom_agg(xxhash64(gram), 100000L, 800000L)").as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+    }
     // Empty bench → null bloom → the probe is null → filter admits
     // nothing, which IS the exact semantics (no bench grams, no hits).
     val pre = train.filter(
@@ -1155,8 +1176,7 @@ object TextOps {
                                              idx: String): DataFrame = {
     val totals = graft.ext.PostingsIndex.contamdocs(spark, idx)
       .filter(col("doc_id") >= 20)
-    val bench = contamGrams(spark, dir).filter(col("doc_id") < 20)
-      .select(col("gram")).distinct()
+    val bench = contamBenchGrams(spark, dir).select(col("gram")).distinct()
     val benchHash = bench.select(xxhash64(col("gram")).as("ghash")).distinct()
     val candDocs = graft.ext.PostingsIndex.contamgrams(spark, idx)
       .filter(col("doc_id") >= 20)
