@@ -38,3 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // made a controlled A/B impossible (see NOTES.md r7 environment).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// Per-test durations in the CI log (r16): the suite's time budget is a
+// hard driver gate — with durations recorded, the next slow-creeping
+// test is identified from the log instead of by bisection.
+Test / testOptions += Tests.Argument("-oD")

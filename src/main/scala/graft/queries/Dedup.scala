@@ -197,7 +197,14 @@ object Dedup {
       // The postings table feeds both self-join sides; deriving from the
       // shared pinned shingle table means the shingle derivation (and
       // its InferFiltersFromGenerate clone) never re-runs per side.
-      val ex = sharedPostings(spark, dir)
+      // df ≥ 2 pre-filter (r16, guide §3.2): a shingle held by ONE doc
+      // cannot form a pair (a.doc_id < b.doc_id needs two distinct
+      // docs; shingle lists are distinct per doc), yet df=1 postings
+      // dominate the corpus — dropping them before the self-join cuts
+      // the sort/join input to the pair-bearing fraction with the pair
+      // set provably unchanged. The df column rides in the memo (same
+      // window pass that built it).
+      val ex = sharedPostings(spark, dir).filter(col("df") >= 2)
       ex.as("a").join(ex.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -298,7 +305,9 @@ object Dedup {
     // storage, and the cache's hash(shingle) partitioning flows through
     // the filter into the self-join below.
     val post = sharedPostings(spark, dir)
-    val capped = post.filter(col("df") <= cap)
+    // df ≥ 2: single-doc shingles cannot pair (see pairSharedCounts) —
+    // result-neutral prune of the self-join input below the cap filter.
+    val capped = post.filter(col("df") <= cap && col("df") >= 2)
     // hd = how many HIGH-df shingles each doc carries — the most its
     // true intersection with anything can exceed the rare-only shared
     // count. Built from the df > cap side of the postings cache, NOT
@@ -415,7 +424,8 @@ object Dedup {
   val dedupContainmentCapped: Q = (spark, dir) => {
     val cap = 20
     val post = sharedPostings(spark, dir)
-    val capped = post.filter(col("df") <= cap)
+    // df ≥ 2: single-doc shingles cannot pair (see pairSharedCounts).
+    val capped = post.filter(col("df") <= cap && col("df") >= 2)
     val hdTab = Det.memo(spark, s"dedup.hdtabc:$dir", Some("q_dedup_containment_capped")) {
       post.filter(col("df") > cap)
         .groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("hd"))

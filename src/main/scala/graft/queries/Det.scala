@@ -138,12 +138,23 @@ object Det {
   private[graft] def valueMemoCount(spark: org.apache.spark.sql.SparkSession): Int =
     valueRegistry.keys.count(_._1 eq spark)
 
-  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pin(df, cache = true)
+
+  /** `cache = false` registers the frame for the release lifecycle
+    * WITHOUT wrapping it in a columnar cache — for frames that are
+    * already materialized (a localCheckpoint row RDD): the
+    * InMemoryRelation scan pays a per-consumer columnar decode measured
+    * at ~10× the pruned parquet read it replaced (r16, q_sql staging),
+    * whereas the checkpoint blocks iterate as in-memory rows for free.
+    * unpersistDeep frees the wrapped LogicalRDD on release either way.
+    */
+  def pin(df: org.apache.spark.sql.DataFrame, cache: Boolean): org.apache.spark.sql.DataFrame = {
     sweepStopped()
     val buf = pinRegistry.getOrElseUpdate(df.sparkSession,
       scala.collection.mutable.ArrayBuffer.empty)
     buf.synchronized { buf += df }
-    df.cache()
+    if (cache) df.cache() else df
   }
 
   /** Memoized pin per (session, key): the first caller builds and pins,
@@ -173,6 +184,15 @@ object Det {
     */
   def memoMulti(spark: org.apache.spark.sql.SparkSession, key: String,
                 releaseAfterAllOf: Set[String])
+               (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    memoMulti(spark, key, releaseAfterAllOf, cache = true)(build)
+
+  /** `cache = false`: the built frame is registered and release-tracked
+    * but NOT wrapped in a columnar cache (see pin(df, cache)) — the
+    * build must return an already-materialized frame (localCheckpoint).
+    */
+  def memoMulti(spark: org.apache.spark.sql.SparkSession, key: String,
+                releaseAfterAllOf: Set[String], cache: Boolean)
                (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     if (releaseAfterAllOf.nonEmpty) {
       // Last-writer-wins is fine when every site agrees; two sites
@@ -189,7 +209,7 @@ object Det {
       case None =>
         if (sys.env.contains("GRAFT_MEMO_TRACE"))
           System.err.println(s"[Det] building memo $key")
-        val df = pin(build)
+        val df = pin(build, cache)
         memoRegistry.put((spark, key), df)
         // Strike-set born at build time; a re-build after release starts a
         // fresh count (the memo is a new InMemoryRelation).
@@ -295,6 +315,27 @@ object Det {
       // registry FIRST so a released memo's own checkpoint-backed
       // LogicalRDD cannot protect itself, then deep-unpersist with the
       // survivors' protect set.
+      pinRegistry.get(spark).foreach { buf =>
+        buf.synchronized { buf.filterInPlace(d => !memos.exists(_ eq d)) }
+      }
+      val protectIds = liveLogicalRddIds(spark)
+      memos.foreach(unpersistDeep(_, protectIds))
+    }
+  }
+
+  /** Release memos whose KEY starts with `keyPrefix` — the surgical drop
+    * for artifact-version-keyed memos superseded by a new commit
+    * (ext.AnnIndex.rebuildIfDrifted: the replaced version's wide-codes
+    * cache — keyed by its resolved version path, which releaseForDir's
+    * `:corpusDir` suffix filter never matches — would otherwise linger
+    * until releasePins). Same self-protect discipline as releaseAfter.
+    */
+  def releaseKeyPrefix(spark: org.apache.spark.sql.SparkSession, keyPrefix: String): Unit = {
+    val keys = memoRegistry.keys
+      .filter { case (s, k) => (s eq spark) && k.startsWith(keyPrefix) }.toList
+    val memos = keys.flatMap(memoRegistry.remove)
+    keys.foreach { k => lastConsumer.remove(k); remaining.remove(k) }
+    if (memos.nonEmpty) {
       pinRegistry.get(spark).foreach { buf =>
         buf.synchronized { buf.filterInPlace(d => !memos.exists(_ eq d)) }
       }

@@ -578,10 +578,15 @@ object Similarity {
   private[graft] def ivfAssignDist(vd: DataFrame, cent: DataFrame): DataFrame =
     vd.crossJoin(broadcast(cent))
       .withColumn("dist", expr(kmDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("dist"))
+      // argmin as min(struct(dist, cluster)) — lexicographic struct min ≡
+      // row_number over (dist ASC, cluster ASC) = 1, but with MAP-SIDE
+      // partial aggregation: the k-fold crossJoin fan-out reduces back to
+      // one row per vector before the exchange, and the window's
+      // shuffle+sort of the whole expanded table is gone (guide §2.3
+      // "aggregate before you shuffle"; r16).
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
   private[graft] def pqEncodeFrozen(vd: DataFrame, cb: DataFrame): DataFrame =
     pqAssign(pqSubv(vd), cb)
   private[graft] def residualsFrozen(vd: DataFrame, member: DataFrame,
@@ -596,10 +601,11 @@ object Similarity {
   private def kmAssign(vd: DataFrame, cent: DataFrame): DataFrame =
     vd.crossJoin(broadcast(cent))
       .withColumn("dist", expr(kmDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"))
+      // Same argmin-as-aggregation as ivfAssignDist (ties to the smaller
+      // cluster id via the struct's second field).
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
 
   /** One Lloyd's update pass: per-(cluster, dim) exact-decimal mean
     * (order-free), r6-rounded so centroid last-ulp noise cannot flip a
@@ -668,7 +674,8 @@ object Similarity {
     * ground-truth label column.
     */
   val knnIvfKmeans: Q = (spark, dir) =>
-    ivfSearch(spark, dir, kmeansCentroids(spark, dir), kmeansMembership(spark, dir))
+    ivfSearch(spark, dir, kmeansCentroids(spark, dir), kmeansMembership(spark, dir),
+      s"sim.kmcent:$dir")
 
   /** The IVF search body, parameterized over WHERE the index artifacts
     * come from: the in-session training chain (`knnIvfKmeans`) or a
@@ -711,13 +718,18 @@ object Similarity {
     acc
   }
 
-  /** k ≤ 10 centroid rows, value-memoized on the frame's canonicalized
-    * plan (a re-built source — new version dir, fresh memo after
-    * releaseForDir — hashes differently or arrives after the value
-    * registry was cleared; see Det.memoValue's release discipline).
+  /** k ≤ 10 centroid rows, value-memoized on the RESOLVED ARTIFACT
+    * IDENTITY the caller passes (in-session memo key, or the served
+    * index's versioned table path — a rebuild commits a new version dir
+    * → new key). r15 keyed this on the plan's 32-bit semanticHash; an
+    * in-session collision between two distinct centroid frames would
+    * have silently served the wrong arrays (r15 ADVICE). Staleness for
+    * an in-place mutation is covered by releaseForDir/releasePins
+    * clearing the value registry wholesale.
     */
-  private def collectCentroids(spark: SparkSession, cent: DataFrame): Seq[(Long, Array[Double])] =
-    Det.memoValue(spark, s"simval.cent:${cent.queryExecution.logical.semanticHash()}") {
+  private def collectCentroids(spark: SparkSession, cent: DataFrame,
+                               key: String): Seq[(Long, Array[Double])] =
+    Det.memoValue(spark, s"simval.cent:$key") {
       cent.select(col("cluster").cast("long"), col("cent")).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     }
@@ -733,8 +745,8 @@ object Similarity {
     * rank produced.
     */
   private[graft] def probedPairsFor(spark: SparkSession, dir: String,
-                                    cent: DataFrame): DataFrame = {
-    val cents = collectCentroids(spark, cent)
+                                    cent: DataFrame, centKey: String): DataFrame = {
+    val cents = collectCentroids(spark, cent, centKey)
     val rows = for {
       (qid, emb) <- probeVecsOf(spark, dir)
       (cluster, _) <- cents.map { case (c, v) => (c, sqDistSeq(emb, v)) }
@@ -745,9 +757,10 @@ object Similarity {
   }
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String,
-                               cent: DataFrame, member: DataFrame): DataFrame = {
+                               cent: DataFrame, member: DataFrame,
+                               centKey: String): DataFrame = {
     val v = withNorm(spark, dir)
-    val probed = probedPairsFor(spark, dir, cent)
+    val probed = probedPairsFor(spark, dir, cent, centKey)
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id"))
@@ -865,10 +878,10 @@ object Similarity {
     def assignWithDist(v: DataFrame): DataFrame =
       v.crossJoin(broadcast(cent))
         .withColumn("dist", expr(kmDistExpr))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cluster"), col("dist"))
+        // argmin-as-aggregation (see ivfAssignDist).
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
     val asg = assignWithDist(base).withColumn("is_new", lit(false))
       .unionByName(assignWithDist(fresh).withColumn("is_new", lit(true)))
     (cent, asg)
@@ -1046,10 +1059,11 @@ object Similarity {
     def encode(v: DataFrame): DataFrame =
       pqSubv(v).join(broadcast(cb), "sub")
         .withColumn("dist", expr(pqDistExpr))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("code"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+        // argmin-as-aggregation (see pqAssign), with the assign distance
+        // kept — the drift report IS that distance.
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"), col("m.dist").as("dist"))
     val enc = encode(base).withColumn("is_new", lit(false))
       .unionByName(encode(fresh).withColumn("is_new", lit(true)))
     enc.groupBy(col("sub"))
@@ -1475,14 +1489,9 @@ object Similarity {
     val v = withNorm(spark, dir)
     val cent = kmeansCentroids(spark, dir)
     val member = kmeansMembership(spark, dir)
-    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb_d"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", expr(kmDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    // Probe ranking driver-side — same nearest-3-by-(dist, cluster)
+    // order as the crossJoin+window form it replaces (see knnIvfPq).
+    val probed = probedPairsFor(spark, dir, cent, s"sim.kmcent:$dir")
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("label").as("q_label"))
@@ -1580,10 +1589,15 @@ object Similarity {
   private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), "sub")
       .withColumn("dist", expr(pqDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("code"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+      // argmin as min(struct(dist, code)) — same semantics as the window
+      // rank (ties to the smaller code), but the 16-fold join fan-out
+      // partial-aggregates back to one row per (vector, subspace) before
+      // the exchange instead of shuffling+sorting the expanded table
+      // (guide §2.3; r16 — this pass runs 3× per codebook train plus
+      // every encode, the bulk of the PQ chains' run-1 cost).
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
 
   /** One PQ update pass: per-(sub, code, dim) decimal mean, r6'd,
     * re-assembled per (sub, code) — 1,024 cells total.
@@ -1642,9 +1656,12 @@ object Similarity {
     }
 
 
-  /** 128 codebook rows, value-memoized like collectCentroids. */
-  private def collectCodebook(spark: SparkSession, cb: DataFrame): Seq[(Int, Long, Array[Double])] =
-    Det.memoValue(spark, s"simval.cb:${cb.queryExecution.logical.semanticHash()}") {
+  /** 128 codebook rows, value-memoized on the caller's artifact identity
+    * like collectCentroids.
+    */
+  private def collectCodebook(spark: SparkSession, cb: DataFrame,
+                              key: String): Seq[(Int, Long, Array[Double])] =
+    Det.memoValue(spark, s"simval.cb:$key") {
       cb.select(col("sub").cast("int"), col("code").cast("long"), col("cent"))
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
@@ -1656,10 +1673,13 @@ object Similarity {
     * probe vectors (see the driver-side section note); the per-subspace
     * distance replicates pqDistExpr's sequential fold IEEE-exactly.
     */
-  /** Long-form LUT rows (query_id, sub, code, pdist) — driver values. */
+  /** Long-form LUT rows (query_id, sub, code, pdist) — driver values.
+    * (The long-form DataFrame wrapper `pqLutFor` died with the r15 move
+    * to the wide serve path — `pqLutWideFor` is the only LUT entry now.)
+    */
   private def pqLutRows(spark: SparkSession, dir: String,
-                        codebook: DataFrame): Seq[(Long, Int, Long, Double)] = {
-    val cb = collectCodebook(spark, codebook)
+                        codebook: DataFrame, cbKey: String): Seq[(Long, Int, Long, Double)] = {
+    val cb = collectCodebook(spark, codebook, cbKey)
     for {
       (qid, emb) <- probeVecsOf(spark, dir)
       (sub, code, cent) <- cb
@@ -1669,24 +1689,31 @@ object Similarity {
     }
   }
 
-  private[graft] def pqLutFor(spark: SparkSession, dir: String,
-                              codebook: DataFrame): DataFrame = {
-    import spark.implicits._
-    pqLutRows(spark, dir, codebook).toDF("query_id", "sub", "code", "pdist")
-  }
-
   /** Wide LUT (query_id → luts[8]: code → pdist) as a local relation,
     * assembled driver-side from the long rows.
     */
   private def pqLutWideLocal(spark: SparkSession, dir: String,
-                             codebook: DataFrame): DataFrame = {
+                             codebook: DataFrame, cbKey: String): DataFrame = {
     import spark.implicits._
-    pqLutRows(spark, dir, codebook)
+    pqLutRows(spark, dir, codebook, cbKey)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (qid, rs) =>
         val luts = (0 until pqM).map { s =>
           rs.collect { case (_, `s`, code, pd) => (code, pd) }.toMap
         }
+        // Gap guard (r15 ADVICE): adcDistExpr's element_at returns NULL
+        // for a LUT gap and the ascending rank would crown the broken
+        // candidate top neighbor — fail LOUDLY on the driver instead (a
+        // runtime isNotNull guard was measured to double-evaluate the
+        // 8-lookup decimal expression: +0.4 s on q_knn_ivfpq_res).
+        // Full completeness against the CODES table holds by
+        // construction — codes and codebook come from one committed
+        // version dir (served) or one memo chain (in-session), and
+        // pqAssign only emits codes the codebook holds — so the driver
+        // check is for the gross breach: a subspace with no LUT entries
+        // at all.
+        require(luts.forall(_.nonEmpty),
+          s"PQ LUT incomplete for query $qid: subspace code sets ${luts.map(_.keySet.size)}")
         (qid, luts)
       }
       .toDF("query_id", "luts")
@@ -1700,7 +1727,7 @@ object Similarity {
     */
   val knnPq: Q = (spark, dir) =>
     pqAdcSearchW(pqCodesWideMemo(spark, dir),
-      pqLutWideLocal(spark, dir, pqCodebook(spark, dir)))
+      pqLutWideLocal(spark, dir, pqCodebook(spark, dir), s"sim.pqcb:$dir"))
 
   /** Wide ADC layout (r15 optimization). The relational ADC — join every
     * (vec, sub, code) row to the LUT and decimal-sum 8 joined rows per
@@ -1757,10 +1784,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Wide LUT for an explicit codebook — serve-path entry (ext.AnnIndex). */
+  /** Wide LUT for an explicit codebook — serve-path entry (ext.AnnIndex);
+    * `cbKey` is the loaded codebook's resolved version path.
+    */
   private[graft] def pqLutWideFor(spark: SparkSession, dir: String,
-                                  codebook: DataFrame): DataFrame =
-    pqLutWideLocal(spark, dir, codebook)
+                                  codebook: DataFrame, cbKey: String): DataFrame =
+    pqLutWideLocal(spark, dir, codebook, cbKey)
 
   /** The shared PQ CTE chain (train + encode + LUT), mirroring the
     * Spark build step for step — `sub` as a key keeps the unrolled
@@ -1839,14 +1868,11 @@ object Similarity {
   val knnIvfPq: Q = (spark, dir) => {
     val member = kmeansMembership(spark, dir)
     val cent = kmeansCentroids(spark, dir)
-    val probed = vdF(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb_d"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", expr(kmDistExpr))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("cluster").as("probed_cluster"))
+    // Probe ranking driver-side (r16, extending the r15 driver-LUT
+    // discipline): probedPairsFor computes the same nearest-3 clusters
+    // per probe — ties to the smaller cluster id, IEEE-identical fold —
+    // without the crossJoin+window subplan's 2 extra jobs per run.
+    val probed = probedPairsFor(spark, dir, cent, s"sim.kmcent:$dir")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     // Wide ADC (see pqAdcSearchW): candidates = coarse-pruned (query, vec)
     // pairs; distance = one codegen expression over the widened code row
@@ -1855,7 +1881,7 @@ object Similarity {
     pqCodesWideMemo(spark, dir)
       .join(member, "vec_id")
       .join(broadcast(probed), col("cluster") === col("probed_cluster"))
-      .join(broadcast(pqLutWideLocal(spark, dir, pqCodebook(spark, dir))), "query_id")
+      .join(broadcast(pqLutWideLocal(spark, dir, pqCodebook(spark, dir), s"sim.pqcb:$dir")), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cluster"),
         r6(expr(adcDistExpr)).as("adist"))
@@ -1979,12 +2005,13 @@ object Similarity {
     */
   /** Long-form residual LUT rows — driver values (see pqResLut). */
   private def pqResLutRows(spark: SparkSession, dir: String, probed: DataFrame,
-                           cent: DataFrame, rcb: DataFrame): Seq[(Long, Long, Int, Long, Double)] = {
+                           cent: DataFrame, rcb: DataFrame,
+                           centKey: String, rcbKey: String): Seq[(Long, Long, Int, Long, Double)] = {
     // Driver-side (see the driver-side section note): Q × nprobe × 128
     // rows from bounded collects. The query residual (q − centroid_c)
     // is an elementwise double subtraction — identical to the zip_with.
-    val cents = collectCentroids(spark, cent).toMap
-    val cb = collectCodebook(spark, rcb)
+    val cents = collectCentroids(spark, cent, centKey).toMap
+    val cb = collectCodebook(spark, rcb, rcbKey)
     val probes = probeVecsOf(spark, dir).toMap
     val probedPairs = probed.select(col("query_id").cast("long"),
         col("probed_cluster").cast("long")).collect().toSeq
@@ -2001,25 +2028,23 @@ object Similarity {
     }
   }
 
-  private def pqResLut(spark: SparkSession, dir: String, probed: DataFrame,
-                       cent: DataFrame, rcb: DataFrame): DataFrame = {
-    import spark.implicits._
-    pqResLutRows(spark, dir, probed, cent, rcb)
-      .toDF("query_id", "probed_cluster", "sub", "code", "pdist")
-  }
-
   /** Wide residual LUT ((query_id, probed_cluster) → luts[8]) as a local
-    * relation.
+    * relation. (The long-form `pqResLut` wrapper died with the r15 move
+    * to the wide serve path.)
     */
   private def pqResLutWideLocal(spark: SparkSession, dir: String, probed: DataFrame,
-                                cent: DataFrame, rcb: DataFrame): DataFrame = {
+                                cent: DataFrame, rcb: DataFrame,
+                                centKey: String, rcbKey: String): DataFrame = {
     import spark.implicits._
-    pqResLutRows(spark, dir, probed, cent, rcb)
+    pqResLutRows(spark, dir, probed, cent, rcb, centKey, rcbKey)
       .groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
       .map { case ((qid, cluster), rs) =>
         val luts = (0 until pqM).map { s =>
           rs.collect { case (_, _, `s`, code, pd) => (code, pd) }.toMap
         }
+        // Same driver-side gap guard as pqLutWideLocal.
+        require(luts.forall(_.nonEmpty),
+          s"residual LUT incomplete for (query $qid, cluster $cluster)")
         (qid, cluster, luts)
       }
       .toDF("query_id", "probed_cluster", "luts")
@@ -2057,7 +2082,8 @@ object Similarity {
     */
   private[graft] val knnIvfPqResInSession: Q = (spark, dir) =>
     ivfAdcSearch(spark, dir, kmeansCentroids(spark, dir), kmeansMembership(spark, dir),
-      pqResCodebook(spark, dir), pqResCodes(spark, dir))
+      pqResCodebook(spark, dir), pqResCodes(spark, dir),
+      s"sim.kmcent:$dir", s"sim.pqrcb:$dir")
 
   /** The IVFADC search body, parameterized over where the four trained
     * artifacts come from — the in-session memo chain (`knnIvfPqRes`) or
@@ -2068,15 +2094,16 @@ object Similarity {
     */
   private[graft] def ivfAdcSearch(spark: SparkSession, dir: String,
                                   cent: DataFrame, member: DataFrame,
-                                  rcb: DataFrame, rcodes: DataFrame): DataFrame = {
-    val probed = probedPairsFor(spark, dir, cent)
+                                  rcb: DataFrame, rcodes: DataFrame,
+                                  centKey: String, rcbKey: String): DataFrame = {
+    val probed = probedPairsFor(spark, dir, cent, centKey)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     // Wide ADC with per-(query, probed cluster) LUTs (see pqAdcSearchW):
     // the candidate join key carries the cluster, so the broadcast LUT
     // row is keyed (query_id, probed_cluster) and the distance is the
     // same 8-lookup decimal expression. Values identical to the joined
     // dsum form; oracle unchanged.
-    val lutW = pqResLutWideLocal(spark, dir, probed, cent, rcb)
+    val lutW = pqResLutWideLocal(spark, dir, probed, cent, rcb, centKey, rcbKey)
     pqCodesWide(rcodes)
       .join(member, "vec_id")
       .join(broadcast(lutW), col("cluster") === col("probed_cluster"))

@@ -48,7 +48,7 @@ class AnnIndexSpec extends SparkSpec {
       "served plan must scan the persisted index dir")
     val trainedPlan = Similarity.ivfSearch(fresh, sfDir,
       Similarity.ivfCentroidsFor(fresh, sfDir),
-      Similarity.ivfMembershipFor(fresh, sfDir))
+      Similarity.ivfMembershipFor(fresh, sfDir), s"sim.kmcent:$sfDir")
       .queryExecution.optimizedPlan.toString
     assert(trainedPlan.contains("kmseed"),
       "sanity: the in-session chain DOES carry the seed derivation")
@@ -250,7 +250,7 @@ class AnnIndexSpec extends SparkSpec {
     val served = AnnIndex.searchIvf(spark, drift, idx).collect().map(_.toSeq)
     val trained = Similarity.ivfSearch(spark, drift,
       Similarity.ivfCentroidsFor(spark, drift),
-      Similarity.ivfMembershipFor(spark, drift)).collect().map(_.toSeq)
+      Similarity.ivfMembershipFor(spark, drift), s"sim.kmcent:$drift").collect().map(_.toSeq)
     assert(served.toSeq == trained.toSeq,
       "post-rebuild serving must answer from the NEW model")
     // Exactly one rebuild: the next pass finds nothing new and no-ops.

@@ -45,4 +45,26 @@ class DetSpec extends SparkSpec {
       assert(d1 == d2)
     }
   }
+
+  test("value memos release on releasePins/releaseForDir and rebuild fresh") {
+    // Staleness contract of the driver-value memo layer (r15 ADVICE): an
+    // in-place corpus mutation clears the value memos wholesale via
+    // releaseForDir, and a post-release consumer re-collects — a stale
+    // cached array must never survive a release.
+    Det.releasePins(spark) // isolate from whatever earlier suites pinned
+    var builds = 0
+    def build(): Int = { builds += 1; builds }
+    assert(Det.memoValue(spark, "detspec.v1")(build()) == 1)
+    assert(Det.memoValue(spark, "detspec.v1")(build()) == 1) // memo hit, no rebuild
+    assert(Det.valueMemoCount(spark) == 1)
+
+    Det.releaseForDir(spark, "/no/such/dir") // value memos go wholesale, any dir
+    assert(Det.valueMemoCount(spark) == 0, "releaseForDir must clear value memos")
+    assert(Det.memoValue(spark, "detspec.v1")(build()) == 2, "post-release rebuild must re-collect")
+
+    Det.releasePins(spark)
+    assert(Det.valueMemoCount(spark) == 0, "releasePins must clear value memos")
+    assert(Det.memoValue(spark, "detspec.v1")(build()) == 3)
+    Det.releasePins(spark)
+  }
 }

@@ -5,8 +5,21 @@ import org.apache.spark.sql.functions._
 /** Scale-pattern evidence on real plans: bucketed co-located joins
   * eliminate the join shuffle; approximate aggregates land within their
   * error bounds (the 100 TB replacement for exact countDistinct).
+  *
+  * The VOLUME tests (10^6-doc pipeline, 100k-doc packing) grew past the
+  * CI time budget (`sbt test` was killed mid-suite in round 15): they
+  * now run only when SPARK_GRAFT_SCALE_TESTS=1 (a local/BenchScale
+  * concern, not a per-commit gate). Each keeps a small smoke twin
+  * in-suite so the assertions themselves stay exercised per commit.
   */
 class ScaleSpec extends SparkSpec {
+
+  /** Register `name` as a live test only under SPARK_GRAFT_SCALE_TESTS=1;
+    * otherwise it reports ignored (visible in the run, zero cost).
+    */
+  private def volumeTest(name: String)(body: => Unit): Unit =
+    if (sys.env.get("SPARK_GRAFT_SCALE_TESTS").contains("1")) test(name)(body)
+    else ignore(name)(body)
 
   test("bucketed tables join with zero shuffle exchanges") {
     val dir = java.nio.file.Files.createTempDirectory("buckets").toString
@@ -98,33 +111,77 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
-  test("corpus pipeline at volume: 10^6 docs, planted dups removed, tokens conserved") {
-    // The end-to-end scrub→gate→exact→near→pack pipeline past fixture
-    // scale. Corpus (all deterministic in doc_id, token namespaces
-    // disjoint across docs so no accidental shingle sharing):
-    //   10^6 base docs of 10..29 unique tokens (~20M tokens);
-    //   5,000 EXACT clones of docs 0..4999 (same text, higher id);
-    //   5,000 NEAR variants of docs 10000..14999 (last token → 'zz'):
-    //     jaccard = (L−3)/(L−1), ≥ 0.8 iff L ≥ 11, so the 250 L=10
-    //     variants (id%20==0) are planted BELOW the gate and must
-    //     survive — the threshold does semantic work at volume.
-    // LSH recall at j ∈ [0.8, 0.93] with 4×3 bands is 1−(1−j³)⁴ ≈
-    // 0.94..0.998 (deterministic for fixed texts, not enumerable a
-    // priori), hence the ≥ 90% removal bound rather than equality.
-    def corpus(dir: String, nBase: Long, nClones: Long, nearLo: Long, nearHi: Long): Unit = {
-      val baseText =
-        "concat_ws(' ', transform(sequence(0, CAST(id % 20 + 9 AS INT)), j -> concat('t', CAST(id AS STRING), 'x', CAST(j AS STRING))))"
-      val nearText =
-        "concat(concat_ws(' ', transform(sequence(0, CAST(id % 20 + 8 AS INT)), j -> concat('t', CAST(id AS STRING), 'x', CAST(j AS STRING)))), ' zz')"
-      spark.range(0, nBase).selectExpr("id AS doc_id", s"$baseText AS text")
-        .union(spark.range(0, nClones).selectExpr("id + 2000000 AS doc_id", s"$baseText AS text"))
-        .union(spark.range(nearLo, nearHi).selectExpr("id + 3000000 AS doc_id", s"$nearText AS text"))
-        .selectExpr("doc_id", "text",
-          "concat('l', CAST(doc_id % 4 AS STRING)) AS lang",
-          "concat('s', CAST(doc_id % 8 AS STRING)) AS source",
-          "CAST(length(text) AS LONG) AS n_chars")
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    }
+  // The end-to-end scrub→gate→exact→near→pack pipeline, parameterized by
+  // scale. Corpus (all deterministic in doc_id, token namespaces
+  // disjoint across docs so no accidental shingle sharing):
+  //   nBase base docs of 10..29 unique tokens;
+  //   nClones EXACT clones of docs 0..nClones-1 (same text, higher id);
+  //   [nearLo, nearHi) NEAR variants (last token → 'zz'):
+  //     jaccard = (L−3)/(L−1), ≥ 0.8 iff L ≥ 11, so the L=10 variants
+  //     (id%20==0) are planted BELOW the gate and must survive — the
+  //     threshold does semantic work at volume.
+  // LSH recall at j ∈ [0.8, 0.93] with 4×3 bands is 1−(1−j³)⁴ ≈
+  // 0.94..0.998 (deterministic for fixed texts, not enumerable a
+  // priori), hence the ≥ 90% removal bound rather than equality.
+  private def plantedCorpus(dir: String, nBase: Long, nClones: Long,
+                            nearLo: Long, nearHi: Long): Unit = {
+    val baseText =
+      "concat_ws(' ', transform(sequence(0, CAST(id % 20 + 9 AS INT)), j -> concat('t', CAST(id AS STRING), 'x', CAST(j AS STRING))))"
+    val nearText =
+      "concat(concat_ws(' ', transform(sequence(0, CAST(id % 20 + 8 AS INT)), j -> concat('t', CAST(id AS STRING), 'x', CAST(j AS STRING)))), ' zz')"
+    spark.range(0, nBase).selectExpr("id AS doc_id", s"$baseText AS text")
+      .union(spark.range(0, nClones).selectExpr("id + 2000000 AS doc_id", s"$baseText AS text"))
+      .union(spark.range(nearLo, nearHi).selectExpr("id + 3000000 AS doc_id", s"$nearText AS text"))
+      .selectExpr("doc_id", "text",
+        "concat('l', CAST(doc_id % 4 AS STRING)) AS lang",
+        "concat('s', CAST(doc_id % 8 AS STRING)) AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** Run the pipeline on a planted corpus and check the stage counts,
+    * threshold semantics, LSH recall bound and token conservation —
+    * the same assertions at every scale.
+    */
+  private def checkPlantedPipeline(nBase: Long, nClones: Long,
+                                   nearLo: Long, nearHi: Long): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_planted").toString
+    val t0 = System.nanoTime()
+    plantedCorpus(dir, nBase, nClones, nearLo, nearHi)
+    val report = graft.ext.CorpusPipeline.run(spark, dir, s"$dir/out")
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.queries.Det.releasePins(spark)
+
+    val nNear = nearHi - nearLo
+    val total = nBase + nClones + nNear
+    assert(report.input == total, s"input: ${report.input}")
+    assert(report.afterQuality == total,
+      s"all-unique-token docs must pass the gate: ${report.afterQuality}")
+    assert(report.afterExact == nBase + nNear,
+      s"exactly the $nClones clones drop at the exact stage: ${report.afterExact}")
+    val eligible = nNear - (nearLo until nearHi).count(_ % 20 == 0) // L=10 survive
+    val removedNear = report.afterExact - report.afterNear
+    assert(removedNear <= eligible,
+      s"below-threshold variants must survive: removed $removedNear > $eligible")
+    assert(removedNear >= (0.9 * eligible).toLong, // ≥ 90% of the eligible
+      s"LSH recall collapsed: removed only $removedNear of $eligible")
+
+    // Token conservation through packing.
+    val clean = spark.read.parquet(s"$dir/out/corpus_clean")
+    val corpusToks = clean.select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    val packedToks = spark.read.parquet(s"$dir/out/sequences")
+      .select(sum(col("seq_tokens"))).head.getLong(0)
+    assert(packedToks == corpusToks, s"token conservation broke: $packedToks != $corpusToks")
+    secs
+  }
+
+  test("corpus pipeline smoke: planted dups removed, tokens conserved") {
+    // Per-commit twin of the 10^6-doc volume test below: same pipeline,
+    // same assertions, 20× smaller (CI-budget-sized).
+    checkPlantedPipeline(nBase = 50000L, nClones = 500L, nearLo = 1000L, nearHi = 1500L)
+  }
+
+  volumeTest("corpus pipeline at volume: 10^6 docs, planted dups removed, tokens conserved") {
     // Machine calibration (same discipline as the fixpoint volume spec):
     // the identical pipeline on a 10×-smaller corpus, on both sides of
     // the volume run. A real plan regression (bucket blowup, lost
@@ -135,40 +192,11 @@ class ScaleSpec extends SparkSpec {
     // volume (per-row work, GC pressure in a long-lived suite JVM), and
     // its ratio flaked; at 10× the calibration pays the same cost class
     // the volume run does, so the ratio tracks the environment.
-    def calibrate(): Double = {
-      val d = java.nio.file.Files.createTempDirectory("corpus_cal").toString
-      val t = System.nanoTime()
-      corpus(d, 100000, 500, 1000, 1500)
-      graft.ext.CorpusPipeline.run(spark, d, s"$d/out")
-      graft.queries.Det.releasePins(spark)
-      (System.nanoTime() - t) / 1e9
-    }
+    def calibrate(): Double =
+      checkPlantedPipeline(nBase = 100000L, nClones = 500L, nearLo = 1000L, nearHi = 1500L)
     val calibBefore = calibrate()
-    val dir = java.nio.file.Files.createTempDirectory("corpus_vol").toString
-    val t0 = System.nanoTime()
-    corpus(dir, 1000000L, 5000L, 10000L, 15000L)
-    val report = graft.ext.CorpusPipeline.run(spark, dir, s"$dir/out")
-    val secs = (System.nanoTime() - t0) / 1e9
-    graft.queries.Det.releasePins(spark)
-
-    assert(report.input == 1010000L, s"input: ${report.input}")
-    assert(report.afterQuality == 1010000L,
-      s"all-unique-token docs must pass the gate: ${report.afterQuality}")
-    assert(report.afterExact == 1005000L,
-      s"exactly the 5000 clones drop at the exact stage: ${report.afterExact}")
-    val removedNear = report.afterExact - report.afterNear
-    assert(removedNear <= 4750L,
-      s"below-threshold variants must survive: removed $removedNear > 4750")
-    assert(removedNear >= 4275L, // ≥ 90% of the 4750 eligible
-      s"LSH recall collapsed at volume: removed only $removedNear of 4750")
-
-    // Token conservation through packing, at volume.
-    val clean = spark.read.parquet(s"$dir/out/corpus_clean")
-    val corpusToks = clean.select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
-    val packedToks = spark.read.parquet(s"$dir/out/sequences")
-      .select(sum(col("seq_tokens"))).head.getLong(0)
-    assert(packedToks == corpusToks, s"token conservation broke: $packedToks != $corpusToks")
-
+    val secs =
+      checkPlantedPipeline(nBase = 1000000L, nClones = 5000L, nearLo = 10000L, nearHi = 15000L)
     val calibAfter = calibrate()
     // The budget exists to catch CATASTROPHIC regressions — an
     // accidental all-pairs join or per-doc re-plan lands at hours, not
@@ -181,16 +209,26 @@ class ScaleSpec extends SparkSpec {
         s"(calibration before=${calibBefore}s after=${calibAfter}s)")
   }
 
-  test("sequence packing at volume: 100k docs, tokens conserved, all sequences full") {
+  test("sequence packing smoke: 10k docs, tokens conserved, all sequences full") {
+    // Per-commit twin of the 100k-doc volume test below (CI-budget-sized:
+    // ~670k tokens, ~330 sequences per shard).
+    checkPacking(10000L)
+  }
+
+  volumeTest("sequence packing at volume: 100k docs, tokens conserved, all sequences full") {
     // ~6.7M tokens across 8 source shards — the window-cumsum +
     // range-explode shape must hold well past the harness corpus size
     // (each shard's stream is ~840k tokens ≈ 3.3k sequences).
-    val docs = spark.range(100000).select(
+    checkPacking(100000L)
+  }
+
+  private def checkPacking(nDocs: Long): Unit = {
+    val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
       concat(lit("s"), pmod(col("id"), lit(8))).as("source"),
       expr("concat_ws(' ', array_repeat('w', CAST(pmod(id, 120) + 8 AS INT)))").as("text"))
     val packed = graft.queries.TextOps.packSequencesOver(docs, 256).collect()
-    val expectedTokens = (0L until 100000L).map(i => (i % 120) + 8).sum
+    val expectedTokens = (0L until nDocs).map(i => (i % 120) + 8).sum
     val packedTokens = packed.map(_.getAs[Long]("seq_tokens")).sum
     assert(packedTokens == expectedTokens,
       s"token conservation broke: $packedTokens != $expectedTokens")
