@@ -153,6 +153,16 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing knobs, env-overridable for A/B only — defaults
+      // are Spark's. r16 re-measured `parallelismFirst=false` at a 256KB
+      // advisory (16× below r15's smallest trial): still a net loss
+      // (ONLY=q_sql 6.08 → 8.23 s, ONLY=q_join 2.86 → 3.22 s, quiet) —
+      // this suite's small shuffles are CPU-heavy per byte, so
+      // byte-targeted coalescing serializes them at ANY advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PF", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64MB"))
       // r15 note: AQE `coalescePartitions.parallelismFirst=false` (the
       // tuning-guide recommendation) was measured here and REJECTED for
       // this suite: it removed ~10 CPU-s/run of 32-task overhead on

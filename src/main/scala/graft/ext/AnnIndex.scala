@@ -588,10 +588,12 @@ object AnnIndex {
                         idxDir: String): Seq[Long] =
     // The value-memo key is the centroids table's RESOLVED VERSION PATH
     // (r15 ADVICE: a plan-hash key risked in-session collisions): a
-    // drift rebuild commits a new version dir → new key.
-    Similarity.probedPairsFor(spark, corpusDir, centroids(spark, idxDir),
+    // drift rebuild commits a new version dir → new key. Pure driver
+    // values (r16): the old DataFrame round-trip launched one Spark job
+    // per serve for a ≤ 10·nprobe distinct over local rows.
+    Similarity.probedPairRows(spark, corpusDir, centroids(spark, idxDir),
         tablePath(idxDir, "centroids"))
-      .select("probed_cluster").distinct().collect().map(_.getLong(0)).toSeq
+      .map(_._2).distinct.sorted
 
   /** IVF search served from the loaded index: the same search body as
     * q_knn_ivf_kmeans over parquet-read centroids + membership (pruned

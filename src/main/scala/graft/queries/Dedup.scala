@@ -371,8 +371,12 @@ object Dedup {
       .getOption("spark.graft.dedup.survivorsBroadcastMaxRows")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(1000000L)
+    // The gate count is value-memoized with the survivors memo's own
+    // lifecycle (r16): the count itself is immutable once the memo is
+    // built, and re-counting launched one Spark job per run.
+    val nSurvivors = Det.memoValue(spark, s"dedupval.survcount:$dir")(survivorsMemo.count())
     val survHinted =
-      if (survivorsMemo.count() <= maxBcastRows) broadcast(survivorsMemo)
+      if (nSurvivors <= maxBcastRows) broadcast(survivorsMemo)
       else survivorsMemo
     survHinted
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
@@ -451,8 +455,10 @@ object Dedup {
       .getOption("spark.graft.dedup.survivorsBroadcastMaxRows")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(1000000L)
+    // Same value-memoized gate count as the capped Jaccard (r16).
+    val nSurvivors = Det.memoValue(spark, s"dedupval.csurvcount:$dir")(survivorsMemo.count())
     val survHinted =
-      if (survivorsMemo.count() <= maxBcastRows) broadcast(survivorsMemo)
+      if (nSurvivors <= maxBcastRows) broadcast(survivorsMemo)
       else survivorsMemo
     survHinted
       .join(sharedShingles(spark, dir).select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
@@ -1152,11 +1158,14 @@ object Dedup {
     Det.memo(spark, s"dedup.srcshset:$dir", Some("q_source_overlap")) {
       sourceShingles(spark, dir).groupBy(col("shingle"))
         .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        // Tens of kB, but the per-run pair EXPLODE over it is CPU-heavy
+        // (~0.6 s of nested-HOF work at sf0.1): r15 cached it as ONE
+        // partition to kill 32-task scheduling overhead, which also
+        // serialized that explode (measured: the warm run was one
+        // 590 ms single-task stage). A handful of partitions keeps the
+        // scheduling negligible AND the explode parallel.
         .groupBy(col("srcs")).agg(count(lit(1)).as("cnt"))
-        // Tens of kB: cache as ONE partition so the per-run consumers
-        // (pair explode + the two broadcast count builds) don't each pay
-        // 32 tasks of scheduling overhead to scan it.
-        .repartition(1)
+        .repartition(math.min(8, math.max(1, spark.sparkContext.defaultParallelism)))
     }
 
   val sourceOverlap: Q = (spark, dir) => {

@@ -746,14 +746,23 @@ object Similarity {
     */
   private[graft] def probedPairsFor(spark: SparkSession, dir: String,
                                     cent: DataFrame, centKey: String): DataFrame = {
+    import spark.implicits._
+    probedPairRows(spark, dir, cent, centKey).toDF("query_id", "probed_cluster")
+  }
+
+  /** The probe ranking as driver values — shared by the local-relation
+    * form above and the served paths' scan-pruning id set (which needs
+    * only the values: a DataFrame round-trip cost one Spark job per
+    * serve, r16).
+    */
+  private[graft] def probedPairRows(spark: SparkSession, dir: String,
+                                    cent: DataFrame, centKey: String): Seq[(Long, Long)] = {
     val cents = collectCentroids(spark, cent, centKey)
-    val rows = for {
+    for {
       (qid, emb) <- probeVecsOf(spark, dir)
       (cluster, _) <- cents.map { case (c, v) => (c, sqDistSeq(emb, v)) }
         .sortBy { case (c, d) => (d, c) }.take(3)
     } yield (qid, cluster)
-    import spark.implicits._
-    rows.toDF("query_id", "probed_cluster")
   }
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String,

@@ -49,11 +49,18 @@ object Sketch {
   /** 16^12 = 2^48, the hash-space size, exact in double. */
   private val hashSpace = 281474976710656.0
 
-  /** The 48-bit value hash, engine-portable (digit i of md5 · 16^(12−i)). */
+  /** The 48-bit value hash: first 12 hex digits of md5 as a BIGINT.
+    * Spark side uses one `conv(hex, 16, 10)` node (r16): the original
+    * 12-term instr/substr digit sum — kept verbatim on the DuckDB side,
+    * where it still defines the value — built a ~50-node expression
+    * tree PER HASH SITE that the cms/kmv plans then re-planned at every
+    * AQE stage boundary (q_sketch_cms burned ~5 CPU-s per warm run with
+    * only 0.3 s inside stages — the rest was driver planning + 12
+    * substr/instr evaluations per row). conv of the same 12 hex chars
+    * is the identical Σ digit·16^(12−i) value, exact below 2^53.
+    */
   private def hvExpr(e: String): String =
-    (1 to 12).map { i =>
-      s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * ${1L << (4 * (12 - i))}L"
-    }.mkString("CAST(", " + ", " AS BIGINT)")
+    s"CAST(conv(substr(md5($e), 1, 12), 16, 10) AS BIGINT)"
 
   private def hvDuck(e: String): String =
     (1 to 12).map { i =>
